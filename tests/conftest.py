@@ -1,0 +1,25 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+This is the standard JAX trick for exercising multi-chip sharding without
+hardware (SURVEY.md section 4): force the host platform and split it into
+8 virtual devices BEFORE jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    path = "/root/reference"
+    if not os.path.isdir(path):
+        pytest.skip("reference tree not available")
+    return path
