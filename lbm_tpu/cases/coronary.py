@@ -1,0 +1,167 @@
+"""Coronary artery tree (reference: coronary_cfd/coronary.cu).
+
+291 x 291 x 372 grid, one velocity+pressure inlet at x=3 (rho* = 1 AND
+u* = 0.1745/C_U, coronary.cu:716-792), main outlet at x=272 (rho
+extrapolated, u* = 0.1/C_U, :795-867), three sub-outlets at z=185/191/204
+labeled 5/6/7 (rho extrapolated, u* = 0.02/C_U along +z, applied to the
+-z directions, :870-942). 300000 steps, u^2-windowed residual every 5000.
+
+The required ./geo.txt is NOT shipped in the reference mirror
+(coronary.cu:45, SURVEY.md section 2.1), so `build()` also offers a
+synthetic branched-tree generator with the same BC structure for testing
+and benchmarking at arbitrary scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lbm_tpu.cases import register
+from lbm_tpu.core.units import UnitSystem
+from lbm_tpu.engine.spec import CaseSpec, PlaneBC
+from lbm_tpu.geometry.io import load_geo
+from lbm_tpu.geometry.mask import (
+    CellType,
+    end_plane_min_label,
+    erode_label,
+    ghost_dilate,
+)
+
+REAL_SHAPE = (291, 291, 372)
+C_U = 2.74909090909091
+CH = 6.1111e-05
+
+
+def build_labels(
+    flag: np.ndarray,
+    inlet_x: int,
+    outlet_x: int,
+    subs: list[tuple[int, tuple[slice, slice] | None]],
+) -> np.ndarray:
+    """coronary.cu:31-274 label derivation: full-interior 3-pass erosion,
+    in-plane min passes for inlet (1), main outlet (2) and sub-outlets
+    (4/5/6 -> labels 5/6/7), wall-sourced ghost dilation."""
+    geo = erode_label(flag, passes=3)
+    geo = end_plane_min_label(geo, flag, axis=0, coord=inlet_x, passes=1)
+    geo = end_plane_min_label(geo, flag, axis=0, coord=outlet_x, passes=2)
+    for k, (z, window) in enumerate(subs):
+        geo = end_plane_min_label(
+            geo, flag, axis=2, coord=z, passes=4 + k, window=window
+        )
+    return ghost_dilate(geo, source_labels=(CellType.WALL,))
+
+
+def synthetic_tree_flag(
+    nx: int, ny: int, nz: int, radius: int, inlet_x: int, outlet_x: int,
+    branch_xs: list[int], branch_z_caps: list[int],
+) -> np.ndarray:
+    """A branched-tube occupancy grid with the coronary BC topology: a
+    main tube along x (capped at inlet_x/outlet_x) and side branches along
+    +z (capped at their z plane)."""
+    cy, cz = (ny - 1) / 2.0, nz // 4
+    y = np.arange(ny)[None, :, None]
+    z = np.arange(nz)[None, None, :]
+    x = np.arange(nx)[:, None, None]
+    main = ((y - cy) ** 2 + (z - cz) ** 2 <= radius**2) & (x >= inlet_x) & (
+        x <= outlet_x
+    )
+    flag = main
+    for bx, zcap in zip(branch_xs, branch_z_caps):
+        br = ((x - bx) ** 2 + (y - cy) ** 2 <= radius**2) & (z >= cz) & (z <= zcap)
+        flag = flag | br
+    flag = flag.astype(np.int32)
+    flag[0], flag[-1] = 0, 0
+    flag[:, 0], flag[:, -1] = 0, 0
+    flag[:, :, 0], flag[:, :, -1] = 0, 0
+    return flag
+
+
+def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels) -> list[PlaneBC]:
+    bcs = [
+        # coronary.cu:716-792: rho* = 1 AND u* prescribed at the inlet.
+        PlaneBC(
+            mask_value=int(CellType.INLET), axis=0, coord=inlet_x, normal=+1,
+            rho_mode="fixed", rho_value=1.0, u_mode="fixed",
+            u_value=(0.1745 / C_U, 0.0, 0.0),
+        ),
+        # coronary.cu:795-867: rho extrapolated, u* = 0.1/C_U.
+        PlaneBC(
+            mask_value=int(CellType.OUTLET), axis=0, coord=outlet_x, normal=-1,
+            rho_mode="extrapolate", u_mode="fixed",
+            u_value=(0.1 / C_U, 0.0, 0.0),
+        ),
+    ]
+    for label, z in zip(sub_labels, sub_planes):
+        # coronary.cu:870-942: -z directions, u* = +0.02/C_U along z.
+        bcs.append(
+            PlaneBC(
+                mask_value=label, axis=2, coord=z, normal=-1,
+                rho_mode="extrapolate", u_mode="fixed",
+                u_value=(0.0, 0.0, 0.02 / C_U),
+            )
+        )
+    return bcs
+
+
+@register("coronary")
+def build(
+    geo_path: str | None = None,
+    tau: float = 0.55,
+    max_steps: int = 300000,
+    time_save: int = 5000,
+    # synthetic-geometry knobs (used when geo_path is None):
+    shape: tuple[int, int, int] = (128, 64, 96),
+    radius: int = 10,
+) -> CaseSpec:
+    units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
+    if geo_path is not None:
+        nx, ny, nz = REAL_SHAPE
+        flag = load_geo(geo_path, REAL_SHAPE, order="yxz")
+        inlet_x, outlet_x = 3, 272
+        subs = [
+            (185, (slice(217, 237), slice(113, 138))),  # coronary.cu:101-113
+            (191, (slice(160, 206), slice(159, 200))),  # :115-127
+            (204, None),                                 # :129-141
+        ]
+        mask = build_labels(flag, inlet_x, outlet_x, subs)
+        shape = REAL_SHAPE
+    else:
+        nx, ny, nz = shape
+        inlet_x, outlet_x = 3, nx - 4
+        bw = radius + 2
+        branch_xs = [nx // 3, nx // 2, 2 * nx // 3]
+        caps = [nz - 3 * bw, nz - 2 * bw, nz - bw]
+        cy = (ny - 1) // 2
+        subs = [
+            (caps[k], (slice(branch_xs[k] - bw, branch_xs[k] + bw),
+                       slice(cy - bw, cy + bw)))
+            for k in range(3)
+        ]
+        flag = synthetic_tree_flag(
+            nx, ny, nz, radius, inlet_x, outlet_x, branch_xs, caps
+        )
+        mask = build_labels(flag, inlet_x, outlet_x, subs)
+
+    sub_planes = [s[0] for s in subs]
+    bcs = _boundaries(inlet_x, outlet_x, sub_planes, sub_labels=(5, 6, 7))
+    u0 = np.zeros((3,) + tuple(shape), np.float32)
+    # coronary.cu:297-309: prescribed BC speeds in the init macro fields.
+    u0[0][mask == CellType.INLET] = 0.1745 / C_U
+    u0[0][mask == CellType.OUTLET] = 0.1 / C_U
+    for label in (5, 6, 7):
+        u0[2][mask == label] = 0.02 / C_U
+    return CaseSpec(
+        name="coronary",
+        shape=tuple(shape),
+        tau=tau,
+        units=units,
+        mask=mask,
+        boundaries=bcs,
+        u0=u0,
+        max_steps=max_steps,
+        time_save=time_save,
+        tol=1e-6,
+        stag_max=10**9,
+        residual_flavor="usq",
+        output_crop=0,
+    )

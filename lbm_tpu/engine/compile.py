@@ -1,0 +1,173 @@
+"""Compile a CaseSpec into device-ready arrays and precomputed BC data.
+
+The key precomputations that make the runtime step a single fused pass
+(see step.py):
+
+  - `nbr_wall[i] = roll(mask == WALL, e_i)`: per-direction booleans
+    marking cells whose pull-source in direction i is a wall. Streaming
+    then replaces the pull with the cell's OWN opposite post-collision
+    pdf — algebraically identical to the reference's two-kernel half-way
+    bounce-back (wall stores reversed neighbors at Poiseulle.cu:601-746,
+    fluid pulls them back next step), because the stored value
+    dst[i at w] = dst[opp(i) at w + e_i] is consumed exactly by the cell
+    w + e_i that donated it.
+
+  - Per-boundary consumer-plane data: the NEE write at boundary cell b in
+    direction i (e.g. bifurcation.cu:950-1021) is consumed next step only
+    by the fluid cell F = b + e_i — the same cell whose post-collision
+    state the formula reads. So NEE also fuses into the next step's pull,
+    evaluated on the one-cell-thick consumer plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.core.lattice import D3Q19
+from lbm_tpu.engine.spec import CaseSpec, PlaneBC
+from lbm_tpu.geometry.mask import CellType
+
+
+def _phi_np(u: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Host-side phi for precomputing static boundary equilibria.
+
+    u: (3, A, B) -> (D, A, B), fp32 like the runtime path.
+    """
+    e = D3Q19.E[dirs].astype(np.float32)
+    w = D3Q19.W[dirs].astype(np.float32)
+    u = u.astype(np.float32)
+    cu = np.tensordot(e, u, axes=([1], [0]))
+    usq = np.sum(u * u, axis=0)
+    return (w[:, None, None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+            ).astype(np.float32)
+
+
+def _lat_axes(axis: int) -> tuple[int, int]:
+    return tuple(a for a in range(3) if a != axis)  # type: ignore
+
+
+def _shift_lat(arr: np.ndarray, e_lat: tuple[int, int]) -> np.ndarray:
+    """Pull-shift on the last two (lateral) axes: value at x - e -> x."""
+    return np.roll(arr, shift=e_lat, axis=(-2, -1))
+
+
+@dataclasses.dataclass
+class CompiledBC:
+    """Runtime data for one PlaneBC, on its consumer plane."""
+
+    axis: int
+    consumer_coord: int
+    dirs: tuple[int, ...]            # static direction indices
+    valid: Any                       # (D, A, B) bool jnp
+    rho_fixed: Optional[float]       # None => extrapolate rho_F
+    u_mode: str
+    phi_star: Any = None             # (D, A, B) f32 for fixed/field
+    phi_star_series: Any = None      # (T, D, A, B) f32 for series
+    series_stride: int = 1
+    omega: float = 0.0               # (1 - 1/tau)
+
+
+@dataclasses.dataclass
+class CompiledCase:
+    name: str
+    shape: tuple[int, int, int]
+    tau: float
+    fluid: Any                       # (X,Y,Z) bool jnp
+    nbr_wall: Any                    # (19,X,Y,Z) bool jnp
+    bcs: list[CompiledBC]
+    rho0: Any                        # (X,Y,Z) f32 jnp (init/static macro)
+    u0: Any                          # (3,X,Y,Z) f32 jnp
+    # Residual offsets: contribution of non-fluid cells, which hold their
+    # init macro forever (the reference sums its persistent d_ux arrays
+    # over all live cells, ldc.cu:460-466).
+    velsum_offset: float
+    usq_offset: float
+    spec: CaseSpec
+
+
+def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
+    dirs = D3Q19.dirs_into(bc.axis, bc.normal)
+    lat = _lat_axes(bc.axis)
+    plane_mask = np.take(mask, bc.coord, axis=bc.axis) == bc.mask_value
+    e_lats = [tuple(int(D3Q19.E[i][a]) for a in lat) for i in dirs]
+    valid = np.stack([_shift_lat(plane_mask, el) for el in e_lats])
+
+    phi_star = phi_series = None
+    if bc.u_mode in ("fixed", "field"):
+        if bc.u_mode == "fixed":
+            a, b = plane_mask.shape
+            u_star = np.broadcast_to(
+                np.asarray(bc.u_value, np.float32)[:, None, None], (3, a, b)
+            )
+        else:
+            u_star = bc.u_field
+        phi_star = np.stack(
+            [
+                _phi_np(_shift_lat(u_star, el), dirs[d : d + 1])[0]
+                for d, el in enumerate(e_lats)
+            ]
+        )
+    elif bc.u_mode == "series":
+        series = bc.u_series  # (T, 3, A, B)
+        phi_series = np.stack(
+            [
+                np.stack(
+                    [
+                        _phi_np(_shift_lat(series[p], el), dirs[d : d + 1])[0]
+                        for d, el in enumerate(e_lats)
+                    ]
+                )
+                for p in range(series.shape[0])
+            ]
+        )  # (T, D, A, B)
+
+    return CompiledBC(
+        axis=bc.axis,
+        consumer_coord=bc.coord + bc.normal,
+        dirs=tuple(int(i) for i in dirs),
+        valid=jnp.asarray(valid),
+        rho_fixed=(bc.rho_value if bc.rho_mode == "fixed" else None),
+        u_mode=bc.u_mode,
+        phi_star=None if phi_star is None else jnp.asarray(phi_star),
+        phi_star_series=None if phi_series is None else jnp.asarray(phi_series),
+        series_stride=int(bc.u_series_stride),
+        omega=float(1.0 - 1.0 / tau),
+    )
+
+
+def compile_case(spec: CaseSpec) -> CompiledCase:
+    mask = spec.mask
+    fluid = mask == CellType.FLUID
+    wall = mask == CellType.WALL
+    nbr_wall = np.zeros((D3Q19.Q,) + mask.shape, dtype=bool)
+    for i in range(1, D3Q19.Q):
+        ex, ey, ez = (int(v) for v in D3Q19.E[i])
+        nbr_wall[i] = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
+
+    u0 = spec.u0.astype(np.float32)
+    rho0 = spec.rho0.astype(np.float32)
+    nonfluid = ~fluid
+    speed0 = np.sqrt(np.sum(u0.astype(np.float64) ** 2, axis=0))
+    velsum_offset = float(np.sum(speed0[nonfluid], dtype=np.float64))
+    usq_offset = float(np.sum(speed0[nonfluid] ** 2, dtype=np.float64))
+
+    return CompiledCase(
+        name=spec.name,
+        shape=tuple(spec.shape),
+        tau=float(spec.tau),
+        fluid=jnp.asarray(fluid),
+        nbr_wall=jnp.asarray(nbr_wall),
+        bcs=[compile_bc(bc, mask, spec.tau) for bc in spec.boundaries],
+        rho0=jnp.asarray(rho0),
+        u0=jnp.asarray(u0),
+        velsum_offset=velsum_offset,
+        usq_offset=usq_offset,
+        spec=spec,
+    )
+
+
+__all__ = ["CompiledBC", "CompiledCase", "compile_case", "compile_bc"]

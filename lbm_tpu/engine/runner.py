@@ -1,0 +1,194 @@
+"""Host-side simulation driver: jitted scan chunks, convergence policy,
+output cadence, checkpointing, throughput metering.
+
+Replaces the reference's per-case main() loops (ldc.cu:612-717,
+bifurcation.cu:1177-1283) with one engine:
+  - the hot loop is a jax.lax.scan over `time_save` fused steps, jitted
+    once and re-invoked per chunk (device round-trips only at the save
+    cadence, like the reference's D->H copies every time_save);
+  - convergence flavor 'velsum': per-step residual
+    |s_k - s_{k-1}| / s_k with s = sum |u|, stop after `stag_max`
+    sub-tolerance steps (ldc.cu:653-685);
+  - flavor 'usq': windowed residual between consecutive snapshots of
+    sum u^2 over interior fluid cells (bifurcation.cu:1158-1175,
+    :1258-1273), fixed step count;
+  - MLUPS metering (thesis section 4.9.1 reports MLUPS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.engine.compile import CompiledCase, compile_case
+from lbm_tpu.engine.spec import CaseSpec
+from lbm_tpu.engine.step import initial_f, macro_fields, make_step
+
+
+@dataclasses.dataclass
+class RunResult:
+    steps: int
+    residual: float
+    residual_history: list
+    elapsed_s: float
+    mlups: float
+    converged: bool
+
+
+def _interior_region(shape):
+    nx, ny, nz = shape
+    return (slice(1, nx - 1), slice(2, ny - 2), slice(1, nz - 1))
+
+
+class Simulation:
+    def __init__(
+        self,
+        case: CaseSpec | CompiledCase,
+        sharding=None,
+        donate: bool = True,
+    ):
+        self.cc = case if isinstance(case, CompiledCase) else compile_case(case)
+        self.spec = self.cc.spec
+        self.sharding = sharding
+        self._chunk_fns: dict[int, Callable] = {}
+        self._usq_fn = None
+        self._donate = donate
+        self.reset()
+
+    # -- state ------------------------------------------------------------
+    def reset(self):
+        f = initial_f(self.cc)
+        if self.sharding is not None:
+            f = jax.device_put(f, self.sharding)
+        self.f = f
+        self.t = 0
+        self._last_velsum: Optional[float] = None
+        self._last_usq: Optional[float] = None
+
+    def macro(self):
+        """(rho, u) persistent macroscopic fields (lattice units)."""
+        return macro_fields(self.cc, self.f)
+
+    # -- jitted chunk -----------------------------------------------------
+    def _chunk(self, n: int) -> Callable:
+        if n not in self._chunk_fns:
+            cc = self.cc
+            step = make_step(cc)
+            fluid = cc.fluid
+            offset = jnp.float32(cc.velsum_offset)
+
+            def body(carry, _):
+                f, t = carry
+                f, rho, u = step(f, t)
+                speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                s = jnp.sum(jnp.where(fluid, speed, 0.0)) + offset
+                return (f, t + 1), s
+
+            def run(f, t):
+                (f, t), s = jax.lax.scan(body, (f, t), xs=None, length=n)
+                return f, t, s
+
+            self._chunk_fns[n] = jax.jit(
+                run, donate_argnums=(0,) if self._donate else ()
+            )
+        return self._chunk_fns[n]
+
+    def _usq(self):
+        if self._usq_fn is None:
+            cc = self.cc
+            region = _interior_region(cc.shape)
+            fluid_r = cc.fluid[region]
+            # Non-fluid cells with label >= FLUID (coronary sub-outlets)
+            # contribute their static init u^2 (bifurcation.cu:1167).
+            mask_r = np.asarray(self.spec.mask)[region]
+            extra = (mask_r > 4) & ~np.asarray(fluid_r)
+            u0_r = np.asarray(cc.u0)[(slice(None),) + region]
+            offset = float(np.sum(np.sum(u0_r**2, axis=0)[extra], dtype=np.float64))
+
+            def usq(f):
+                rho, u = macro_fields(cc, f)
+                usq_f = jnp.sum(u[(slice(None),) + region] ** 2, axis=0)
+                return jnp.sum(jnp.where(fluid_r, usq_f, 0.0)) + offset
+
+            self._usq_fn = jax.jit(usq)
+        return self._usq_fn
+
+    # -- main loop ----------------------------------------------------------
+    def run(
+        self,
+        max_steps: Optional[int] = None,
+        time_save: Optional[int] = None,
+        tol: Optional[float] = None,
+        stag_max: Optional[int] = None,
+        on_save: Optional[Callable] = None,
+        verbose: bool = True,
+    ) -> RunResult:
+        spec = self.spec
+        max_steps = spec.max_steps if max_steps is None else max_steps
+        time_save = spec.time_save if time_save is None else time_save
+        tol = spec.tol if tol is None else tol
+        stag_max = spec.stag_max if stag_max is None else stag_max
+        flavor = spec.residual_flavor
+
+        t_start = time.perf_counter()
+        tol_count = 0
+        residual = float("inf")
+        history: list[float] = []
+        converged = False
+        steps_done_at_start = self.t
+        n_fluid = int(np.asarray(self.cc.fluid).sum())
+
+        while self.t < steps_done_at_start + max_steps:
+            n = min(time_save, steps_done_at_start + max_steps - self.t)
+            self.f, t_dev, s_series = self._chunk(n)(self.f, jnp.int32(self.t))
+            self.t += n
+            s_series = np.asarray(s_series, np.float64)
+
+            if flavor == "velsum":
+                prev = self._last_velsum
+                for s in s_series:
+                    if prev is not None and s != 0:
+                        r = abs(s - prev) / s
+                        if r <= tol:
+                            tol_count += 1
+                        residual = r
+                    prev = float(s)
+                self._last_velsum = prev
+            else:  # 'usq'
+                s = float(self._usq()(self.f))
+                if self._last_usq is not None and s != 0:
+                    residual = abs(self._last_usq - s) / s
+                self._last_usq = s
+
+            history.append(residual)
+            elapsed = time.perf_counter() - t_start
+            if verbose:
+                print(
+                    f"ITERATION # {self.t}, collapse time: "
+                    f"{elapsed*1e3:.1f} ms, residual: {residual:.3e}"
+                )
+            if on_save is not None:
+                on_save(self, self.t, residual)
+            if flavor == "velsum" and tol_count > stag_max:
+                converged = True
+                break
+
+        elapsed = time.perf_counter() - t_start
+        steps = self.t - steps_done_at_start
+        mlups = n_fluid * steps / max(elapsed, 1e-12) / 1e6
+        return RunResult(
+            steps=steps,
+            residual=residual,
+            residual_history=history,
+            elapsed_s=elapsed,
+            mlups=mlups,
+            converged=converged,
+        )
+
+
+__all__ = ["Simulation", "RunResult"]

@@ -1,0 +1,92 @@
+"""Declarative case specification.
+
+Where the reference hard-codes every parameter as compile-time constants
+in four separate .cu programs (SURVEY.md section 5, "Config / flag
+system: none"), this framework has one engine driven by a CaseSpec: grid,
+tau, units, the labeled mask, a table of plane boundary conditions, init
+fields, and run/convergence policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from lbm_tpu.core.units import UnitSystem
+
+
+@dataclasses.dataclass
+class PlaneBC:
+    """A non-equilibrium-extrapolation (NEE) boundary on an axis plane.
+
+    Generalizes all five reference variants (SURVEY.md section 0):
+      lid (ldc.cu:373-458):        rho extrapolated, u fixed vector
+      velocity inlet/outlet (Poiseulle.cu:748-891): rho extrapolated,
+                                   u from a lateral field (the parabola)
+      measured-map inlet (bifurcation.cu:950-1021): rho extrapolated,
+                                   u from a lateral field (bc.txt)
+      pressure outlet (bifurcation.cu:877-948): rho fixed (=1),
+                                   u extrapolated from the fluid neighbor
+      velocity+pressure inlet (coronary.cu:716-792): rho fixed AND u fixed
+
+    For direction i with e_i . n > 0 (n = inward normal) and fluid
+    neighbor F = b + e_i:
+        f_i(b) = feq_i(rho*, u*) + (f_i(F) - feq_i(rho_F, u_F)) (1 - 1/tau)
+    """
+
+    mask_value: int          # cell label this BC applies to (2, 3, 5, ...)
+    axis: int                # 0=x, 1=y, 2=z
+    coord: int               # plane index along `axis`
+    normal: int              # +1/-1: inward normal direction (into fluid)
+    rho_mode: str = "extrapolate"    # 'extrapolate' | 'fixed'
+    rho_value: float = 1.0
+    u_mode: str = "fixed"            # 'fixed' | 'field' | 'extrapolate' | 'series'
+    u_value: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    u_field: Optional[np.ndarray] = None    # (3, A, B) lateral field
+    u_series: Optional[np.ndarray] = None   # (T, 3, A, B) per-step fields
+    u_series_stride: int = 1                # steps per series phase
+    #   (phase = (t // stride) % T; the thesis streams unsteady BC arrays
+    #   per step, section 4.5-E — stride lets long pulses stay compact)
+
+    def __post_init__(self):
+        assert self.axis in (0, 1, 2) and self.normal in (-1, 1)
+        assert self.rho_mode in ("extrapolate", "fixed")
+        assert self.u_mode in ("fixed", "field", "extrapolate", "series")
+        if self.u_mode == "field":
+            assert self.u_field is not None and self.u_field.ndim == 3
+        if self.u_mode == "series":
+            assert self.u_series is not None and self.u_series.ndim == 4
+
+
+@dataclasses.dataclass
+class CaseSpec:
+    name: str
+    shape: tuple[int, int, int]
+    tau: float
+    units: UnitSystem
+    mask: np.ndarray                     # (nx, ny, nz) int labels
+    boundaries: list[PlaneBC]
+    rho0: Optional[np.ndarray] = None    # (nx, ny, nz); default 1
+    u0: Optional[np.ndarray] = None      # (3, nx, ny, nz); default 0
+    # Run policy (reference values: ldc.cu:614-615, bifurcation.cu:19).
+    max_steps: int = 10000
+    time_save: int = 500
+    tol: float = 1e-6
+    stag_max: int = 50
+    residual_flavor: str = "velsum"      # 'velsum' (per-step sum|u|,
+    #                                       ldc.cu:460-466,668) |
+    #                                      'usq' (windowed sum u^2,
+    #                                       bifurcation.cu:1158-1175)
+    output_crop: int = 2                 # VTK interior crop (ldc.cu:592)
+
+    def __post_init__(self):
+        assert self.mask.shape == tuple(self.shape)
+        if self.rho0 is None:
+            self.rho0 = np.ones(self.shape, np.float32)
+        if self.u0 is None:
+            self.u0 = np.zeros((3,) + tuple(self.shape), np.float32)
+
+
+__all__ = ["PlaneBC", "CaseSpec"]

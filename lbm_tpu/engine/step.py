@@ -1,0 +1,162 @@
+"""The fused D3Q19 time step: pull-stream + bounce-back + NEE + BGK collide
+in one pass over the lattice.
+
+This is the TPU-native re-design of the reference's two-kernel hot loop
+(`update` + `boundary_stream`, e.g. Poiseulle.cu:384-893). The reference's
+boundary writes are all consumed exactly by the cell that donated the
+data (see compile.py), so both kernels fuse into one local pass:
+
+  for fluid cell x, direction i, neighbor n = x - e_i:
+    pulled_i(x) = f[i][n]                      if n is bulk/ghost/dead
+                = f[opp(i)][x]                 if n is wall (half-way BB)
+                = feq_i(rho*, u*) +
+                  (f[i][x] - feq_i(rho_prev[x], u_prev[x])) (1 - 1/tau)
+                                               if n is an NEE boundary
+  rho, u = moments(pulled); f'(x) = pulled - (pulled - feq(rho, u))/tau
+
+Because BGK conserves rho and u, the "previous-step macroscopics" the NEE
+formula needs are just moments of the carried f on the one-cell consumer
+plane — no macroscopic fields are carried between steps. Non-fluid cells
+never change, matching the reference where ghost/dead cells keep their
+init feq and boundary-cell macro arrays keep their init values.
+
+Transient-ordering note: ldc.cu:75-202 applies wall bounce-back on the
+PRE-collision array inside `update` (with an intra-kernel race the later
+solvers fixed); this engine uses the post-collision ordering of
+Poiseulle.cu:601-746 / bifurcation.cu:654-799 for every case. Steady
+states are identical; ldc transients differ slightly from the (racy)
+original.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.core.lattice import D3Q19, phi
+from lbm_tpu.engine.compile import CompiledBC, CompiledCase
+
+_E = D3Q19.E
+_OPP = D3Q19.OPP
+_EF = _E.astype(np.float32)
+
+
+def pull_one(fi, e) -> jnp.ndarray:
+    """Pull-stream one direction: value at x - e arrives at x."""
+    shifts = [int(s) for s in e]
+    axes = [a for a, s in enumerate(shifts) if s != 0]
+    if not axes:
+        return fi
+    return jnp.roll(fi, shift=[shifts[a] for a in axes], axis=axes)
+
+
+def _plane_slicer(axis: int, coord: int):
+    idx = [slice(None)] * 3
+    idx[axis] = coord
+    return tuple(idx)
+
+
+def _safe_u(f_plane):
+    """moments on a (19, A, B) plane slice with guarded division."""
+    rho = jnp.sum(f_plane, axis=0)
+    mom = jnp.tensordot(
+        jnp.asarray(_EF.T), f_plane, axes=([1], [0]),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return rho, mom / jnp.where(rho == 0, 1.0, rho)
+
+
+def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t):
+    """Overwrite the pulled populations on the consumer plane of one NEE
+    boundary (exact fusion of the reference's boundary_stream NEE write,
+    e.g. bifurcation.cu:877-1021)."""
+    sl = _plane_slicer(bc.axis, bc.consumer_coord)
+    src_pl = f_src[(slice(None),) + sl]            # (19, A, B)
+    rho_prev, u_prev = _safe_u(src_pl)
+    phi_nbr = phi(u_prev, dirs=bc.dirs)            # (D, A, B)
+    feq_nbr = rho_prev[None] * phi_nbr
+
+    if bc.u_mode in ("fixed", "field"):
+        phi_star = bc.phi_star
+    elif bc.u_mode == "series":
+        T = bc.phi_star_series.shape[0]
+        phase = (t // bc.series_stride) % T
+        phi_star = jax.lax.dynamic_index_in_dim(
+            bc.phi_star_series, phase, axis=0, keepdims=False
+        )
+    else:  # 'extrapolate': u* = u_F, so phi* == phi_nbr
+        phi_star = phi_nbr
+
+    rho_star = bc.rho_fixed if bc.rho_fixed is not None else rho_prev[None]
+    src_dirs = src_pl[jnp.asarray(bc.dirs)]        # (D, A, B)
+    val = rho_star * phi_star + (src_dirs - feq_nbr) * bc.omega
+
+    for d, i in enumerate(bc.dirs):
+        plane = f_pulled[(i,) + sl]
+        f_pulled = f_pulled.at[(i,) + sl].set(
+            jnp.where(bc.valid[d], val[d], plane)
+        )
+    return f_pulled
+
+
+def streamed(f, nbr_wall):
+    """Pull-stream all 19 directions with fused half-way bounce-back."""
+    pulled = [f[0]]
+    for i in range(1, D3Q19.Q):
+        direct = pull_one(f[i], _E[i])
+        pulled.append(jnp.where(nbr_wall[i], f[_OPP[i]], direct))
+    return jnp.stack(pulled)
+
+
+def make_step(cc: CompiledCase) -> Callable:
+    """Build the jittable fused step: (f, t) -> (f', rho, u).
+
+    rho/u are this step's macroscopic fields, valid at fluid cells (other
+    cells must be masked with cc.fluid / reconstructed from cc.rho0/u0,
+    which `macro_fields` does).
+    """
+    inv_tau = 1.0 / cc.tau
+    fluid3 = cc.fluid[None]
+
+    def step(f, t):
+        pulled = streamed(f, cc.nbr_wall)
+        for bc in cc.bcs:
+            pulled = apply_bc_fixup(pulled, f, bc, t)
+        rho = jnp.sum(pulled, axis=0)
+        mom = jnp.tensordot(
+            jnp.asarray(_EF.T), pulled, axes=([1], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+        f_eq = rho[None] * phi(u)
+        f_post = pulled - (pulled - f_eq) * inv_tau
+        f_new = jnp.where(fluid3, f_post, f)
+        return f_new, rho, u
+
+    return step
+
+
+def initial_f(cc: CompiledCase) -> jnp.ndarray:
+    """f(0) = feq(rho0, u0) everywhere (ldc.cu:504-580 semantics)."""
+    return cc.rho0[None] * phi(cc.u0)
+
+
+def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reconstruct the persistent macroscopic fields the reference keeps in
+    d_rho/d_ux/d_uy/d_uz: current moments at fluid cells, init values
+    elsewhere (boundary cells keep their prescribed init macro forever)."""
+    rho = jnp.sum(f, axis=0)
+    mom = jnp.tensordot(
+        jnp.asarray(_EF.T), f, axes=([1], [0]),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+    rho = jnp.where(cc.fluid, rho, cc.rho0)
+    u = jnp.where(cc.fluid[None], u, cc.u0)
+    return rho, u
+
+
+__all__ = ["make_step", "initial_f", "macro_fields", "streamed", "pull_one"]

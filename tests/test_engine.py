@@ -1,0 +1,134 @@
+"""Engine correctness tests: conservation properties, BC behavior, and the
+analytic Poiseuille validation (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from lbm_tpu.cases import get_case
+from lbm_tpu.engine.compile import compile_case
+from lbm_tpu.engine.runner import Simulation
+from lbm_tpu.engine.step import initial_f, macro_fields, make_step
+from lbm_tpu.geometry.mask import CellType
+
+
+def _run_steps(cc, nsteps):
+    step = make_step(cc)
+    f = initial_f(cc)
+    for t in range(nsteps):
+        f, rho, u = step(f, t)
+    return f, rho, u
+
+
+def test_closed_box_mass_conservation():
+    """On a closed no-slip cavity with a static lid, total fluid mass is
+    exactly conserved by stream+collide+bounce-back (SURVEY section 4:
+    property test)."""
+    case = get_case("lid_driven_cavity", n=16, u_lid_phys=0.0)
+    cc = compile_case(case)
+    f0 = initial_f(cc)
+    fluid = np.asarray(cc.fluid)
+    m0 = float(np.asarray(f0).sum(axis=0)[fluid].sum())
+    f, _, _ = _run_steps(cc, 20)
+    m1 = float(np.asarray(f).sum(axis=0)[fluid].sum())
+    assert abs(m1 - m0) / m0 < 1e-6
+
+
+def test_quiescent_cavity_stays_quiescent():
+    case = get_case("lid_driven_cavity", n=16, u_lid_phys=0.0)
+    cc = compile_case(case)
+    f, rho, u = _run_steps(cc, 10)
+    fluid = np.asarray(cc.fluid)
+    assert np.abs(np.asarray(u)[:, fluid]).max() < 1e-6
+    assert np.abs(np.asarray(rho)[fluid] - 1.0).max() < 1e-5
+
+
+def test_nonfluid_cells_never_change():
+    case = get_case("lid_driven_cavity", n=16)
+    cc = compile_case(case)
+    f0 = np.asarray(initial_f(cc))
+    f, _, _ = _run_steps(cc, 5)
+    nonfluid = ~np.asarray(cc.fluid)
+    np.testing.assert_array_equal(np.asarray(f)[:, nonfluid], f0[:, nonfluid])
+
+
+def test_lid_cavity_develops_flow():
+    case = get_case("lid_driven_cavity", n=16)
+    cc = compile_case(case)
+    f, rho, u = _run_steps(cc, 50)
+    u = np.asarray(u)
+    fluid = np.asarray(cc.fluid)
+    # The lid drags fluid below it along +z.
+    below_lid = np.zeros_like(fluid)
+    below_lid[:, 12, :] = fluid[:, 12, :]
+    assert np.asarray(u)[2][below_lid].mean() > 1e-4
+    # Everything stays finite and subsonic.
+    assert np.isfinite(u[:, fluid]).all()
+    assert np.abs(u[:, fluid]).max() < 0.3
+
+
+def test_runner_converges_small_cavity():
+    sim = Simulation(get_case("lid_driven_cavity", n=16, max_steps=4000,
+                              time_save=200))
+    res = sim.run(verbose=False)
+    assert res.converged
+    assert res.residual <= 1e-6
+    rho, u = sim.macro()
+    assert np.isfinite(np.asarray(u)).all()
+
+
+@pytest.mark.slow
+def test_poiseuille_matches_analytic_profile():
+    """Steady pipe flow must reproduce u(r) = u_max (1 - r^2/R^2) on the
+    mid-plane (the reference's validation: Poiseulle.cu:301,597 and
+    thesis section 4.9.2, <2% vs STAR-CCM+)."""
+    n = 32
+    case = get_case("poiseuille", n=n, max_steps=20000, time_save=500)
+    sim = Simulation(case)
+    res = sim.run(verbose=False)
+    rho, u = sim.macro()
+    uy = np.asarray(u)[1, :, n // 2, :]
+    fluid_mid = np.asarray(sim.cc.fluid)[:, n // 2, :]
+    from lbm_tpu.cases.poiseuille import analytic_profile
+
+    exact = analytic_profile(n)
+    err = np.linalg.norm((uy - exact)[fluid_mid]) / np.linalg.norm(
+        exact[fluid_mid]
+    )
+    # Half-way bounce-back on a staircase circle: second-order accurate;
+    # at 32^3 a few percent relative L2 is the discretization floor.
+    assert err < 0.05, f"relative L2 error {err:.4f}"
+    assert res.residual < 1e-5
+
+
+def test_bifurcation_case_steps_stably(reference_root):
+    case = get_case("bifurcation", max_steps=60, time_save=30)
+    sim = Simulation(case)
+    sim.run(verbose=False)
+    rho, u = sim.macro()
+    fluid = np.asarray(sim.cc.fluid)
+    assert np.isfinite(np.asarray(u)[:, fluid]).all()
+    # Measured inflow should push fluid in +y near the inlet.
+    assert np.asarray(u)[1][:, 2, :][fluid[:, 2, :]].mean() > 0
+
+
+def test_coronary_synthetic_structure_and_step():
+    case = get_case("coronary", shape=(64, 32, 48), radius=6,
+                    max_steps=10, time_save=10)
+    labels = set(np.unique(case.mask))
+    assert {0, 1, 2, 3, 4, 5, 6, 7, -1} <= labels
+    sim = Simulation(case)
+    sim.run(verbose=False)
+    rho, u = sim.macro()
+    assert np.isfinite(np.asarray(u)[:, np.asarray(sim.cc.fluid)]).all()
+
+
+def test_curved_vessel_pulsatile_series():
+    case = get_case("curved_vessel", n=32, nphase=8, period_steps=16,
+                    max_steps=32, time_save=16)
+    sim = Simulation(case)
+    sim.run(verbose=False)
+    rho, u = sim.macro()
+    assert np.isfinite(np.asarray(u)[:, np.asarray(sim.cc.fluid)]).all()
+    # Inlet fluid responds to the waveform (nonzero flow develops).
+    fluid = np.asarray(sim.cc.fluid)
+    assert np.abs(np.asarray(u)[1][:, 2, :][fluid[:, 2, :]]).max() > 1e-5
