@@ -100,5 +100,5 @@ def build(
         tol=1e-6,
         stag_max=10**9,  # fixed-step run (bifurcation.cu:1246)
         residual_flavor="usq",
-        output_crop=0,
+        vtk_crops=(1, 2, 1),
     )

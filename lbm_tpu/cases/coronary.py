@@ -163,5 +163,7 @@ def build(
         tol=1e-6,
         stag_max=10**9,
         residual_flavor="usq",
-        output_crop=0,
+        vtk_crops=(1, 2, 1),
+        vtk_density=True,
+        usq_includes_outlet_labels=False,
     )

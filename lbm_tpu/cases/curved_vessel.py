@@ -84,5 +84,5 @@ def build(
         tol=1e-6,
         stag_max=10**9,  # unsteady: fixed-length run
         residual_flavor="usq",
-        output_crop=0,
+        vtk_crops=(1, 2, 1),
     )

@@ -58,5 +58,5 @@ def build(
         tol=1e-6,
         stag_max=50,
         residual_flavor="velsum",
-        output_crop=2,
+        vtk_crops=(2, 2, 2),
     )

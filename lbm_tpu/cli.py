@@ -1,0 +1,128 @@
+"""Command-line runner: one engine, N case configs.
+
+Replaces the reference's compile-and-run-per-case workflow
+("nvcc Poiseulle.cu -o Poiseulle", Poiseulle_flow/README.md) with:
+
+    python -m lbm_tpu run --case lid_driven_cavity --out out/
+    python -m lbm_tpu run --case bifurcation --steps 4400
+    python -m lbm_tpu run --case coronary --resume out/coronary.ckpt.npz
+    python -m lbm_tpu list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _parse_kv(pairs: list[str]) -> dict:
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="lbm_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a case")
+    runp.add_argument("--case", required=True)
+    runp.add_argument("--out", default="out")
+    runp.add_argument("--steps", type=int, default=None)
+    runp.add_argument("--time-save", type=int, default=None)
+    runp.add_argument("--checkpoint-every", type=int, default=0,
+                      help="save a resumable checkpoint every N saves")
+    runp.add_argument("--resume", default=None, help="checkpoint to resume")
+    runp.add_argument("--no-vtk", action="store_true")
+    runp.add_argument("--binary-vtk", action="store_true")
+    runp.add_argument("--shard", type=int, default=0,
+                      help="shard the lattice over N devices (0 = auto off)")
+    runp.add_argument("--profile", default=None,
+                      help="write a jax.profiler trace to this directory")
+    runp.add_argument("--opt", nargs="*", metavar="KEY=VAL",
+                      help="case builder options (e.g. n=128 tau=0.55)")
+
+    sub.add_parser("list", help="list available cases")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "list":
+        from lbm_tpu.cases import list_cases
+
+        for name in list_cases():
+            print(name)
+        return 0
+
+    from lbm_tpu.cases import get_case
+    from lbm_tpu.engine import checkpoint as ckpt
+    from lbm_tpu.engine.runner import Simulation
+    from lbm_tpu.io.convlog import ConvergenceLog
+    from lbm_tpu.io.vtk import case_vtk
+
+    spec = get_case(args.case, **_parse_kv(args.opt))
+    sharding = None
+    if args.shard:
+        from lbm_tpu.parallel.mesh import lattice_sharding
+
+        sharding = lattice_sharding(n_devices=args.shard)
+    sim = Simulation(spec, sharding=sharding)
+    if args.resume:
+        ckpt.restore(sim, args.resume)
+        print(f"resumed from {args.resume} at step {sim.t}")
+
+    os.makedirs(args.out, exist_ok=True)
+    log = ConvergenceLog(args.out)
+    t0 = time.perf_counter()
+    save_count = 0
+
+    def on_save(sim, k, residual):
+        nonlocal save_count
+        save_count += 1
+        log.residual(residual)
+        if not args.no_vtk:
+            case_vtk(sim, args.out, k, include_density=spec.vtk_density,
+                     binary=args.binary_vtk)
+        if args.checkpoint_every and save_count % args.checkpoint_every == 0:
+            ckpt.save(
+                os.path.join(args.out, f"{spec.name}.ckpt.npz"),
+                sim.f, sim.t, spec.name,
+            )
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    result = sim.run(
+        max_steps=args.steps, time_save=args.time_save, on_save=on_save
+    )
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    import numpy as np
+
+    nlattice = int((np.asarray(spec.mask) != 0).sum())
+    print(
+        f"TOTAL RUNNING TIME: {elapsed_ms:.1f} MILLI SECONDS "
+        f"#LATTICE {nlattice}  {result.mlups:.1f} MLUPS"
+    )
+    print(f"Residual is {result.residual:g}")
+    log.finish(elapsed_ms, nlattice, result.residual)
+    if not args.no_vtk:
+        case_vtk(sim, args.out, sim.t, include_density=spec.vtk_density,
+                 binary=args.binary_vtk)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

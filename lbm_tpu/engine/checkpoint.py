@@ -1,0 +1,53 @@
+"""Checkpoint / resume — a capability the reference lacks entirely
+(SURVEY.md section 5: "a crashed run restarts from step 0"; pdfs are never
+saved). State = (f, t) plus case identity; npz on disk, optionally via a
+temp-file rename for crash atomicity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def save(path: str, f, t: int, case_name: str, meta: dict | None = None) -> None:
+    tmp = path + ".tmp"
+    np.savez_compressed(
+        tmp if tmp.endswith(".npz") else tmp,
+        f=np.asarray(f),
+        t=np.int64(t),
+        case=np.bytes_(case_name.encode()),
+        meta=np.bytes_(json.dumps(meta or {}).encode()),
+    )
+    # np.savez appends .npz to names lacking it.
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def load(path: str):
+    with np.load(path) as data:
+        f = data["f"]
+        t = int(data["t"])
+        case = bytes(data["case"]).decode()
+        meta = json.loads(bytes(data["meta"]).decode())
+    return f, t, case, meta
+
+
+def restore(sim, path: str) -> None:
+    """Restore a Simulation in place, verifying case identity."""
+    f, t, case, _ = load(path)
+    if case != sim.spec.name:
+        raise ValueError(
+            f"checkpoint is for case {case!r}, simulation is {sim.spec.name!r}"
+        )
+    if f.shape != (19,) + tuple(sim.spec.shape):
+        raise ValueError(f"checkpoint shape {f.shape} != case {sim.spec.shape}")
+    import jax
+
+    sim.f = jax.device_put(f, sim.sharding) if sim.sharding is not None \
+        else jax.numpy.asarray(f)
+    sim.t = t
+
+
+__all__ = ["save", "load", "restore"]

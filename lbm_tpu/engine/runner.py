@@ -103,12 +103,17 @@ class Simulation:
             cc = self.cc
             region = _interior_region(cc.shape)
             fluid_r = cc.fluid[region]
-            # Non-fluid cells with label >= FLUID (coronary sub-outlets)
-            # contribute their static init u^2 (bifurcation.cu:1167).
-            mask_r = np.asarray(self.spec.mask)[region]
-            extra = (mask_r > 4) & ~np.asarray(fluid_r)
-            u0_r = np.asarray(cc.u0)[(slice(None),) + region]
-            offset = float(np.sum(np.sum(u0_r**2, axis=0)[extra], dtype=np.float64))
+            # bifurcation.cu:1167 sums labels >= 4 (sub-outlets included,
+            # holding static init u), coronary.cu:1022 label == 4 only.
+            if self.spec.usq_includes_outlet_labels:
+                mask_r = np.asarray(self.spec.mask)[region]
+                extra = (mask_r > 4) & ~np.asarray(fluid_r)
+                u0_r = np.asarray(cc.u0)[(slice(None),) + region]
+                offset = float(
+                    np.sum(np.sum(u0_r**2, axis=0)[extra], dtype=np.float64)
+                )
+            else:
+                offset = 0.0
 
             def usq(f):
                 rho, u = macro_fields(cc, f)

@@ -79,7 +79,15 @@ class CaseSpec:
     #                                       ldc.cu:460-466,668) |
     #                                      'usq' (windowed sum u^2,
     #                                       bifurcation.cu:1158-1175)
-    output_crop: int = 2                 # VTK interior crop (ldc.cu:592)
+    usq_includes_outlet_labels: bool = True  # bifurcation sums geo>=4
+    #                                      (bifurcation.cu:1167); coronary
+    #                                      sums geo==4 only (coronary.cu:1022)
+    vtk_crops: tuple[int, int, int] = (2, 2, 2)  # per-axis interior crop
+    #                                      (ldc.cu:592: 2 everywhere;
+    #                                       vessel cases: (1, 2, 1),
+    #                                       bifurcation.cu:1103)
+    vtk_density: bool = False            # also write DENSITY/PRESSURE
+    #                                      scalars (coronary.cu:961-988)
 
     def __post_init__(self):
         assert self.mask.shape == tuple(self.shape)

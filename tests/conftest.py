@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS; force the CPU backend
+# explicitly before anything initializes devices.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

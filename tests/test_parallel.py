@@ -1,0 +1,95 @@
+"""Multi-chip decomposition tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4: sharded run must match the single-device run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.cases import get_case
+from lbm_tpu.engine.compile import compile_case
+from lbm_tpu.engine.step import initial_f, make_step
+from lbm_tpu.parallel.halo import make_halo_step
+from lbm_tpu.parallel.mesh import (
+    free_axis,
+    lattice_mesh,
+    lattice_sharding,
+    shard_compiled,
+)
+
+pytestmark = pytest.mark.multichip
+
+
+def _reference_run(cc, nsteps):
+    step = jax.jit(make_step(cc))
+    f = initial_f(cc)
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    return np.asarray(f), np.asarray(rho), np.asarray(u)
+
+
+@pytest.mark.parametrize("case_name,kwargs", [
+    ("lid_driven_cavity", dict(n=16)),
+    ("poiseuille", dict(n=16)),
+    ("curved_vessel", dict(n=32, nphase=4, period_steps=8)),
+])
+def test_gspmd_sharded_matches_single_device(case_name, kwargs):
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    spec = get_case(case_name, **kwargs)
+    cc = compile_case(spec)
+    nsteps = 7
+    f_ref, rho_ref, u_ref = _reference_run(cc, nsteps)
+
+    axis = free_axis(spec)
+    mesh = lattice_mesh()
+    cc_sh = shard_compiled(cc, mesh, axis=axis)
+    shard = lattice_sharding(axis=axis, mesh=mesh, leading=1)
+    step = jax.jit(make_step(cc_sh))
+    f = jax.device_put(initial_f(cc), shard)
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=3e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=3e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("case_name,kwargs", [
+    ("lid_driven_cavity", dict(n=16)),
+    ("poiseuille", dict(n=16)),
+])
+def test_halo_exchange_matches_single_device(case_name, kwargs):
+    spec = get_case(case_name, **kwargs)
+    cc = compile_case(spec)
+    nsteps = 7
+    f_ref, rho_ref, u_ref = _reference_run(cc, nsteps)
+
+    axis = free_axis(spec)
+    mesh = lattice_mesh()
+    cc_sh = shard_compiled(cc, mesh, axis=axis)
+    step = jax.jit(make_halo_step(cc_sh, mesh, shard_axis=axis))
+    shard = lattice_sharding(axis=axis, mesh=mesh, leading=1)
+    f = jax.device_put(initial_f(cc), shard)
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=3e-6, atol=1e-7)
+
+
+def test_coronary_shards_on_y():
+    spec = get_case("coronary", shape=(48, 32, 40), radius=5)
+    assert free_axis(spec) == 1
+    cc = compile_case(spec)
+    nsteps = 4
+    f_ref, _, _ = _reference_run(cc, nsteps)
+    mesh = lattice_mesh()
+    cc_sh = shard_compiled(cc, mesh, axis=1)
+    step = jax.jit(make_halo_step(cc_sh, mesh, shard_axis=1))
+    f = jax.device_put(initial_f(cc), lattice_sharding(axis=1, mesh=mesh, leading=1))
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=3e-6, atol=1e-7)
+
+
+def test_halo_step_rejects_bc_on_shard_axis():
+    spec = get_case("poiseuille", n=16)
+    cc = compile_case(spec)
+    with pytest.raises(ValueError):
+        make_halo_step(cc, lattice_mesh(), shard_axis=1)
