@@ -1,0 +1,66 @@
+"""Headline benchmark: D3Q19 BGK lid-driven cavity at 256^3 on one chip.
+
+Prints ONE JSON line: MLUPS (million lattice-site updates per second,
+the reference's own metric, thesis section 4.9.1) and the ratio vs the
+reference's published 391.86 MLUPS (GTX 1050 Ti, BASELINE.md). Site count
+follows the reference's convention of the full padded grid
+(ldc.cu:54,689: NLATTICE = whole block-padded box).
+
+Usage: python bench.py [--n 256] [--steps 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_MLUPS = 391.86  # thesis section 4.9.1, lid cavity 64^3 fp32
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=256)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--warmup", type=int, default=20)
+    p.add_argument("--case", default="lid_driven_cavity")
+    p.add_argument("--backend", default="auto")
+    args = p.parse_args()
+
+    import numpy as np
+
+    from lbm_tpu.cases import get_case
+    from lbm_tpu.engine.runner import Simulation
+
+    spec = get_case(args.case, n=args.n)
+    sim = Simulation(spec, backend=args.backend)
+    run = sim._chunk(args.steps)
+    # Warmup call compiles the scan; only steady-state execution is timed.
+    # Fetching the per-step residual series forces real completion (the
+    # remote-TPU transport's block_until_ready can return early).
+    sim.f, _, s = run(sim.f, 0)
+    _ = np.asarray(s)
+
+    t0 = time.perf_counter()
+    sim.f, _, s = run(sim.f, args.steps)
+    _ = np.asarray(s)
+    elapsed = time.perf_counter() - t0
+
+    nsites = args.n**3
+    mlups = nsites * args.steps / elapsed / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"MLUPS (D3Q19 BGK {args.case} {args.n}^3 fp32, 1 chip)",
+                "value": round(mlups, 1),
+                "unit": "MLUPS",
+                "vs_baseline": round(mlups / BASELINE_MLUPS, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     runp.add_argument("--binary-vtk", action="store_true")
     runp.add_argument("--shard", type=int, default=0,
                       help="shard the lattice over N devices (0 = auto off)")
+    runp.add_argument("--backend", default="auto",
+                      choices=["auto", "xla", "pallas"],
+                      help="step backend (auto: pallas on TPU, else xla)")
     runp.add_argument("--profile", default=None,
                       help="write a jax.profiler trace to this directory")
     runp.add_argument("--opt", nargs="*", metavar="KEY=VAL",
@@ -73,7 +76,7 @@ def main(argv=None) -> int:
         from lbm_tpu.parallel.mesh import lattice_sharding
 
         sharding = lattice_sharding(n_devices=args.shard)
-    sim = Simulation(spec, sharding=sharding)
+    sim = Simulation(spec, sharding=sharding, backend=args.backend)
     if args.resume:
         ckpt.restore(sim, args.resume)
         print(f"resumed from {args.resume} at step {sim.t}")
@@ -93,7 +96,7 @@ def main(argv=None) -> int:
         if args.checkpoint_every and save_count % args.checkpoint_every == 0:
             ckpt.save(
                 os.path.join(args.out, f"{spec.name}.ckpt.npz"),
-                sim.f, sim.t, spec.name,
+                sim.f_standard(), sim.t, spec.name,
             )
 
     if args.profile:

@@ -35,7 +35,11 @@ def load(path: str):
 
 
 def restore(sim, path: str) -> None:
-    """Restore a Simulation in place, verifying case identity."""
+    """Restore a Simulation in place, verifying case identity.
+
+    Checkpoints always hold the portable unpadded (19, nx, ny, nz) layout
+    so they transfer between backends (xla <-> pallas) and shardings.
+    """
     f, t, case, _ = load(path)
     if case != sim.spec.name:
         raise ValueError(
@@ -43,10 +47,7 @@ def restore(sim, path: str) -> None:
         )
     if f.shape != (19,) + tuple(sim.spec.shape):
         raise ValueError(f"checkpoint shape {f.shape} != case {sim.spec.shape}")
-    import jax
-
-    sim.f = jax.device_put(f, sim.sharding) if sim.sharding is not None \
-        else jax.numpy.asarray(f)
+    sim.set_f_standard(f)
     sim.t = t
 
 

@@ -46,48 +46,126 @@ def _interior_region(shape):
 
 
 class Simulation:
+    """One engine for all cases and both execution backends.
+
+    backend:
+      'xla'    — the dense jnp step (portable: CPU mesh tests, GSPMD
+                 multi-chip sharding)
+      'pallas' — the fused single-pass TPU kernel (kernels/collide_stream);
+                 state lives halo-padded and channel-packed on device
+      'auto'   — pallas on TPU when unsharded, else xla
+    """
+
     def __init__(
         self,
         case: CaseSpec | CompiledCase,
         sharding=None,
         donate: bool = True,
+        backend: str = "auto",
     ):
-        self.cc = case if isinstance(case, CompiledCase) else compile_case(case)
-        self.spec = self.cc.spec
+        spec = case.spec if isinstance(case, CompiledCase) else case
+        if backend == "auto":
+            on_tpu = jax.default_backend() not in ("cpu",)
+            backend = "pallas" if (on_tpu and sharding is None) else "xla"
+        self.backend = backend
+        if backend == "pallas":
+            from lbm_tpu.kernels.collide_stream import pad_spec
+
+            self.cc = compile_case(pad_spec(spec, lane_multiple=128))
+        else:
+            self.cc = (
+                case if isinstance(case, CompiledCase) else compile_case(case)
+            )
+        self.spec = spec
+        self._padded_spec = self.cc.spec
         self.sharding = sharding
         self._chunk_fns: dict[int, Callable] = {}
         self._usq_fn = None
+        self._pallas_step = None
         self._donate = donate
         self.reset()
 
     # -- state ------------------------------------------------------------
     def reset(self):
         f = initial_f(self.cc)
-        if self.sharding is not None:
+        if self.backend == "pallas":
+            from lbm_tpu.kernels.collide_stream import pack_state
+
+            mask = jnp.asarray(np.asarray(self._padded_spec.mask))
+            f = pack_state(f, mask)
+        elif self.sharding is not None:
             f = jax.device_put(f, self.sharding)
         self.f = f
         self.t = 0
         self._last_velsum: Optional[float] = None
         self._last_usq: Optional[float] = None
 
+    def f_standard(self):
+        """f in the portable unpadded (19, nx, ny, nz) layout."""
+        if self.backend != "pallas":
+            return self.f
+        from lbm_tpu.kernels.collide_stream import unpack_state
+
+        nz = self.spec.shape[2]
+        return unpack_state(self.f)[:, 1:-1, 1:-1, :nz]
+
+    def set_f_standard(self, f):
+        if self.backend != "pallas":
+            self.f = jnp.asarray(f)
+            if self.sharding is not None:
+                self.f = jax.device_put(self.f, self.sharding)
+            return
+        from lbm_tpu.kernels.collide_stream import pack_state
+
+        nzp = self._padded_spec.shape[2]
+        nz = self.spec.shape[2]
+        f_pad = jnp.pad(
+            jnp.asarray(f), ((0, 0), (1, 1), (1, 1), (0, nzp - nz))
+        )
+        mask = jnp.asarray(np.asarray(self._padded_spec.mask))
+        self.f = pack_state(f_pad, mask)
+
     def macro(self):
-        """(rho, u) persistent macroscopic fields (lattice units)."""
-        return macro_fields(self.cc, self.f)
+        """(rho, u) persistent macroscopic fields (lattice units), in the
+        unpadded layout."""
+        if self.backend != "pallas":
+            return macro_fields(self.cc, self.f)
+        rho, u = macro_fields(self.cc, self._unpacked())
+        nz = self.spec.shape[2]
+        return rho[1:-1, 1:-1, :nz], u[:, 1:-1, 1:-1, :nz]
+
+    def _unpacked(self):
+        from lbm_tpu.kernels.collide_stream import unpack_state
+
+        return unpack_state(self.f)
 
     # -- jitted chunk -----------------------------------------------------
     def _chunk(self, n: int) -> Callable:
         if n not in self._chunk_fns:
             cc = self.cc
-            step = make_step(cc)
-            fluid = cc.fluid
             offset = jnp.float32(cc.velsum_offset)
+            if self.backend == "pallas":
+                from lbm_tpu.kernels.collide_stream import make_pallas_step
 
-            def body(carry, _):
-                f, t = carry
-                f, rho, u = step(f, t)
-                speed = jnp.sqrt(jnp.sum(u * u, axis=0))
-                s = jnp.sum(jnp.where(fluid, speed, 0.0)) + offset
-                return (f, t + 1), s
+                if self._pallas_step is None:
+                    self._pallas_step = make_pallas_step(cc)
+                pstep = self._pallas_step
+
+                def body(carry, _):
+                    p, t = carry
+                    p, vs = pstep(p, t)
+                    return (p, t + 1), vs + offset
+
+            else:
+                step = make_step(cc)
+                fluid = cc.fluid
+
+                def body(carry, _):
+                    f, t = carry
+                    f, rho, u = step(f, t)
+                    speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                    s = jnp.sum(jnp.where(fluid, speed, 0.0)) + offset
+                    return (f, t + 1), s
 
             def run(f, t):
                 (f, t), s = jax.lax.scan(body, (f, t), xs=None, length=n)
@@ -99,24 +177,25 @@ class Simulation:
         return self._chunk_fns[n]
 
     def _usq(self):
+        """Windowed u^2 sum over the unpadded interior region, from the
+        (rho, u) fields that macro() returns."""
         if self._usq_fn is None:
-            cc = self.cc
-            region = _interior_region(cc.shape)
-            fluid_r = cc.fluid[region]
+            spec = self.spec
+            region = _interior_region(spec.shape)
+            mask_r = np.asarray(spec.mask)[region]
+            fluid_r = jnp.asarray(mask_r == 4)
             # bifurcation.cu:1167 sums labels >= 4 (sub-outlets included,
             # holding static init u), coronary.cu:1022 label == 4 only.
-            if self.spec.usq_includes_outlet_labels:
-                mask_r = np.asarray(self.spec.mask)[region]
-                extra = (mask_r > 4) & ~np.asarray(fluid_r)
-                u0_r = np.asarray(cc.u0)[(slice(None),) + region]
+            if spec.usq_includes_outlet_labels:
+                extra = mask_r > 4
+                u0_r = np.asarray(spec.u0)[(slice(None),) + region]
                 offset = float(
                     np.sum(np.sum(u0_r**2, axis=0)[extra], dtype=np.float64)
                 )
             else:
                 offset = 0.0
 
-            def usq(f):
-                rho, u = macro_fields(cc, f)
+            def usq(u):
                 usq_f = jnp.sum(u[(slice(None),) + region] ** 2, axis=0)
                 return jnp.sum(jnp.where(fluid_r, usq_f, 0.0)) + offset
 
@@ -165,7 +244,7 @@ class Simulation:
                     prev = float(s)
                 self._last_velsum = prev
             else:  # 'usq'
-                s = float(self._usq()(self.f))
+                s = float(self._usq()(self.macro()[1]))
                 if self._last_usq is not None and s != 0:
                     residual = abs(self._last_usq - s) / s
                 self._last_usq = s

@@ -1,0 +1,704 @@
+"""Fused D3Q19 collide+stream Pallas TPU kernel — the speed-of-light path.
+
+Motivation (measured): the XLA expression of the fused step touches ~40 GB
+of HBM per 256^3 step (16x the 2.5 GB algorithmic minimum) because the 19
+shifted pulls, selects and the collision chain do not fuse — see
+engine/step.py for the semantics. This kernel performs the entire step in
+ONE pass: each tile is DMA'd into VMEM once (with one-cell x/y halos),
+all 19 pulls become VMEM slices (+ lane rolls along z), the moments / BGK
+/ bounce-back / selects run on the VPU, and the post-collision tile is
+DMA'd back. Input and output DMAs are double-buffered and overlap with
+compute across tiles.
+
+Packed TPU layout (the key design decision): state lives as
+    (NX+2, NY+2, C=24, NZ) float32
+where channels 0..18 are the D3Q19 populations, channel 19 carries the
+cell-type mask (exact small integers in f32), and 20..23 are padding to
+the 8-sublane tile. Mosaic requires DMA slices on the last two (tiled)
+memref dims to be tile-aligned; the halo-sliced spatial axes (x, y) are
+therefore placed in the untiled leading dims, channels fill the sublane
+dim (24 = 3x8, no hidden padding), and z occupies the 128-aligned lane
+dim. The mask rides in the same DMA as the populations.
+
+The x/y halo rings hold no physical cell; their contents are only ever
+pulled into dead/ghost cells (every case keeps its boundary layer
+non-fluid), so they never reach observable state. z is padded to a
+multiple of 128 with dead cells (pad_spec), which is equally inert.
+
+NEE boundary planes are handled OUTSIDE the kernel by recomputing the
+one-cell-thick consumer planes with the reference dense ops
+(engine/step semantics) and splicing them into the kernel output —
+O(N^2) work vs the kernel's O(N^3).
+
+The kernel fuses what the reference runs as two kernels per step
+(update: ldc.cu:204-369; boundary_stream wall pass: Poiseulle.cu:601-746),
+re-designed for TPU VMEM tiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.core.lattice import D3Q19
+from lbm_tpu.geometry.mask import CellType
+
+_E = D3Q19.E
+_OPP = D3Q19.OPP
+_W = D3Q19.W
+
+C = 24  # channel dim: 19 pdfs + mask + 4 sublane-tile padding
+MASK_CH = 19
+
+
+def pack_state(f, mask):
+    """(19, X, Y, Z) f + (X, Y, Z) mask -> packed (X, Y, C, Z)."""
+    m = jnp.asarray(mask, jnp.float32)[None]
+    zeros = jnp.zeros((C - MASK_CH - 1,) + f.shape[1:], jnp.float32)
+    return jnp.concatenate([f, m, zeros], axis=0).transpose(1, 2, 0, 3)
+
+
+def unpack_state(p):
+    """Packed (X, Y, C, Z) -> (19, X, Y, Z)."""
+    return p.transpose(2, 0, 1, 3)[:19]
+
+
+def _tile_compute(ft, tau: float, tx: int, ty: int,
+                  ti=None, tj=None, bcs_static=(), nee_refs=()):
+    """All-VMEM tile update.
+
+    ft: ref (tx+2, ty+2, C, nz) f32 — packed tile with x/y halos.
+    ti/tj: dynamic tile coordinates (for in-kernel NEE plane masking).
+    bcs_static: static per-BC dicts for axis-0/1 NEE boundaries; nee_refs:
+    matching VMEM refs (A, 8, nz) holding the 5 per-direction shifted
+    boundary equilibria phi* (0 marks invalid lateral cells).
+    returns (out (tx, ty, C, nz), velsum_partial scalar).
+    """
+    inv_tau = np.float32(1.0 / tau)
+    cx, cy = slice(1, 1 + tx), slice(1, 1 + ty)
+    m_ctr = ft[cx, cy, MASK_CH, :]
+    is_fluid = m_ctr == np.float32(int(CellType.FLUID))
+    nz = m_ctr.shape[-1]
+
+    def pulled(i):
+        ex, ey, ez = (int(v) for v in _E[i])
+        sx = slice(1 - ex, 1 - ex + tx)
+        sy = slice(1 - ey, 1 - ey + ty)
+        piece = ft[sx, sy, i, :]
+        nbr = ft[sx, sy, MASK_CH, :]
+        if ez != 0:
+            piece = pltpu.roll(piece, shift=ez % nz, axis=2)
+            nbr = pltpu.roll(nbr, shift=ez % nz, axis=2)
+        own_opp = ft[cx, cy, _OPP[i], :]
+        return jnp.where(
+            nbr == np.float32(int(CellType.WALL)), own_opp, piece
+        )
+
+    # Pass 1: moments (VPU adds; a 19x3 contraction needs no MXU). The
+    # pulled values are NOT kept live — pass 2 recomputes them from the
+    # VMEM tile, trading cheap VPU work for ~2.4 MB of VMEM per tile.
+    rho = ft[cx, cy, 0, :]
+    mx = jnp.zeros_like(rho)
+    my = jnp.zeros_like(rho)
+    mz = jnp.zeros_like(rho)
+    for i in range(1, 19):
+        v = pulled(i)
+        rho = rho + v
+        ex, ey, ez = (int(c) for c in _E[i])
+        if ex:
+            mx = mx + v if ex > 0 else mx - v
+        if ey:
+            my = my + v if ey > 0 else my - v
+        if ez:
+            mz = mz + v if ez > 0 else mz - v
+    inv_rho = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
+    ux, uy, uz = mx * inv_rho, my * inv_rho, mz * inv_rho
+    usq = ux * ux + uy * uy + uz * uz
+    common = np.float32(1.0) - np.float32(1.5) * usq
+
+    # Pass 2: BGK collide + fluid select, per direction.
+    outs = []
+    f0 = ft[cx, cy, 0, :]
+    feq0 = rho * np.float32(_W[0]) * common
+    outs.append(jnp.where(is_fluid, f0 - (f0 - feq0) * inv_tau, f0))
+    for i in range(1, 19):
+        ex, ey, ez = (int(c) for c in _E[i])
+        cu = jnp.zeros_like(ux)
+        if ex:
+            cu = cu + ux if ex > 0 else cu - ux
+        if ey:
+            cu = cu + uy if ey > 0 else cu - uy
+        if ez:
+            cu = cu + uz if ez > 0 else cu - uz
+        feq = rho * np.float32(_W[i]) * (
+            common + np.float32(3.0) * cu + np.float32(4.5) * cu * cu
+        )
+        v = pulled(i)
+        outs.append(
+            jnp.where(is_fluid, v - (v - feq) * inv_tau, ft[cx, cy, i, :])
+        )
+    # Mask + padding channels pass through unchanged.
+    for ch in range(MASK_CH, C):
+        outs.append(ft[cx, cy, ch, :])
+    out = jnp.stack(outs, axis=2)  # (tx, ty, C, nz)
+    # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
+    # rows' post-NEE contribution is added by the row fix itself).
+    count = is_fluid
+    for bc in bcs_static:
+        if bc.axis == 0:
+            ids = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, nz), 0) \
+                + 1 + ti * tx
+        else:
+            ids = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, nz), 1) \
+                + 1 + tj * ty
+        count = count & (ids != bc.c)
+    vs = jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
+    return out, vs
+
+
+def _row_fix(ft, ot_slot, bc, nee, ti, tj, tau: float, tx: int, ty: int):
+    """Recompute ONE consumer-plane row of a tile with the NEE boundary
+    applied, and overwrite it in the output tile. Runs only for tiles
+    intersecting the plane (under pl.when in the kernel), so the whole
+    NEE machinery is O(N^2) per step.
+
+    Exactly reproduces the dense fixup (engine/step.apply_bc_fixup +
+    collide) on the row: pulls with wall bounce-back, NEE overwrite on
+    bc.dirs, moments, BGK, fluid select.
+    """
+    inv_tau = np.float32(1.0 / tau)
+    axis, c = bc.axis, bc.c
+    if axis == 0:
+        r = c - 1 - ti * tx
+        lat0 = 1 + tj * ty
+        lat_len = ty
+    else:
+        r = c - 1 - tj * ty
+        lat0 = 1 + ti * tx
+        lat_len = tx
+
+    def read(ch, ox, oy, ez):
+        if axis == 0:
+            piece = ft[pl.ds(1 + r + ox, 1), 1 + oy : 1 + oy + ty, ch, :]
+        else:
+            piece = ft[1 + ox : 1 + ox + tx, pl.ds(1 + r + oy, 1), ch, :]
+        if ez != 0:
+            nz = piece.shape[-1]
+            piece = pltpu.roll(piece, shift=ez % nz, axis=2)
+        return piece  # (1, ty, nz) or (tx, 1, nz)
+
+    def lat_expand(arr2d):
+        return arr2d[None, :, :] if axis == 0 else arr2d[:, None, :]
+
+    # Previous-step macroscopics at the consumer row (moments of the
+    # carried f — BGK conserves rho,u): the NEE formula's rho_F/u_F.
+    rp = read(0, 0, 0, 0)
+    mxp = jnp.zeros_like(rp)
+    myp = jnp.zeros_like(rp)
+    mzp = jnp.zeros_like(rp)
+    srcs = [rp]
+    for i in range(1, 19):
+        v = read(i, 0, 0, 0)
+        srcs.append(v)
+        rp = rp + v
+        ex, ey, ez = (int(cmp) for cmp in _E[i])
+        if ex:
+            mxp = mxp + v if ex > 0 else mxp - v
+        if ey:
+            myp = myp + v if ey > 0 else myp - v
+        if ez:
+            mzp = mzp + v if ez > 0 else mzp - v
+    irp = np.float32(1.0) / jnp.where(rp == 0.0, np.float32(1.0), rp)
+    uxp, uyp, uzp = mxp * irp, myp * irp, mzp * irp
+    commonp = np.float32(1.0) - np.float32(1.5) * (
+        uxp * uxp + uyp * uyp + uzp * uzp
+    )
+
+    def phi_prev(i):
+        ex, ey, ez = (int(cmp) for cmp in _E[i])
+        cu = jnp.zeros_like(uxp)
+        if ex:
+            cu = cu + uxp if ex > 0 else cu - uxp
+        if ey:
+            cu = cu + uyp if ey > 0 else cu - uyp
+        if ez:
+            cu = cu + uzp if ez > 0 else cu - uzp
+        return np.float32(_W[i]) * (
+            commonp + np.float32(3.0) * cu + np.float32(4.5) * cu * cu
+        )
+
+    wall_f = np.float32(int(CellType.WALL))
+    pulls = []
+    for i in range(19):
+        if i == 0:
+            pulls.append(srcs[0])
+            continue
+        ex, ey, ez = (int(cmp) for cmp in _E[i])
+        piece = read(i, -ex, -ey, ez)
+        nbr = read(MASK_CH, -ex, -ey, ez)
+        v = jnp.where(nbr == wall_f, srcs[_OPP[i]], piece)
+        if i in bc.dirs:
+            d = bc.dirs.index(i)
+            phiv = lat_expand(nee[pl.ds(lat0, lat_len), d, :])
+            valid = phiv > np.float32(0.0)
+            phi_nbr = phi_prev(i)
+            rho_star = (
+                np.float32(bc.rho_fixed) if bc.rho_fixed is not None else rp
+            )
+            phi_star = phi_nbr if bc.u_extrap else phiv
+            val = rho_star * phi_star + (srcs[i] - rp * phi_nbr) * np.float32(
+                bc.omega
+            )
+            v = jnp.where(valid, val, v)
+        pulls.append(v)
+
+    rho = pulls[0]
+    mx = jnp.zeros_like(rho)
+    my = jnp.zeros_like(rho)
+    mz = jnp.zeros_like(rho)
+    for i in range(1, 19):
+        v = pulls[i]
+        rho = rho + v
+        ex, ey, ez = (int(cmp) for cmp in _E[i])
+        if ex:
+            mx = mx + v if ex > 0 else mx - v
+        if ey:
+            my = my + v if ey > 0 else my - v
+        if ez:
+            mz = mz + v if ez > 0 else mz - v
+    ir = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
+    ux, uy, uz = mx * ir, my * ir, mz * ir
+    usq_row = ux * ux + uy * uy + uz * uz
+    common = np.float32(1.0) - np.float32(1.5) * usq_row
+    m_row = read(MASK_CH, 0, 0, 0)
+    is_fluid = m_row == np.float32(int(CellType.FLUID))
+    outs = []
+    for i in range(19):
+        ex, ey, ez = (int(cmp) for cmp in _E[i])
+        cu = jnp.zeros_like(ux)
+        if ex:
+            cu = cu + ux if ex > 0 else cu - ux
+        if ey:
+            cu = cu + uy if ey > 0 else cu - uy
+        if ez:
+            cu = cu + uz if ez > 0 else cu - uz
+        feq = rho * np.float32(_W[i]) * (
+            common + np.float32(3.0) * cu + np.float32(4.5) * cu * cu
+        )
+        v = pulls[i]
+        outs.append(jnp.where(is_fluid, v - (v - feq) * inv_tau, srcs[i]))
+    for ch in range(MASK_CH, C):
+        outs.append(read(ch, 0, 0, 0))
+    row_out = jnp.stack(outs, axis=2)  # (1, ty, C, nz) or (tx, 1, C, nz)
+    if axis == 0:
+        ot_slot[pl.ds(r, 1), :, :, :] = row_out
+    else:
+        ot_slot[:, pl.ds(r, 1), :, :] = row_out
+    return jnp.sum(
+        jnp.where(is_fluid, jnp.sqrt(usq_row), np.float32(0.0))
+    )
+
+
+class BCStatic(tuple):
+    """Hashable static NEE-boundary descriptor for the kernel."""
+
+    axis = property(lambda s: s[0])
+    c = property(lambda s: s[1])
+    dirs = property(lambda s: s[2])
+    rho_fixed = property(lambda s: s[3])
+    u_extrap = property(lambda s: s[4])
+    omega = property(lambda s: s[5])
+
+    @staticmethod
+    def make(axis, c, dirs, rho_fixed, u_extrap, omega):
+        return BCStatic((axis, c, tuple(dirs), rho_fixed, u_extrap, omega))
+
+
+def _kernel(
+    *refs,
+    tau: float, tx: int, ty: int, gx: int, gy: int, bcs_static=(),
+):
+    nbc = len(bcs_static)
+    p_hbm = refs[0]
+    nee_refs = refs[1 : 1 + nbc]
+    out_hbm, vs_out, ft, ot, acc, in_sems, out_sems = refs[1 + nbc :]
+    ntiles = gx * gy
+
+    def in_copy(slot, tid):
+        i, j = tid // gy, tid % gy
+        return pltpu.make_async_copy(
+            p_hbm.at[pl.ds(i * tx, tx + 2), pl.ds(j * ty, ty + 2)],
+            ft.at[slot],
+            in_sems.at[slot],
+        )
+
+    def out_copy(slot, tid):
+        i, j = tid // gy, tid % gy
+        return pltpu.make_async_copy(
+            ot.at[slot],
+            out_hbm.at[pl.ds(1 + i * tx, tx), pl.ds(1 + j * ty, ty)],
+            out_sems.at[slot],
+        )
+
+    acc[0] = jnp.float32(0.0)
+    in_copy(0, 0).start()
+
+    def process(tid, slot):
+        @pl.when(tid + 1 < ntiles)
+        def _():
+            in_copy(1 - slot, tid + 1).start()
+
+        in_copy(slot, tid).wait()
+        ti, tj = tid // gy, tid % gy
+        out, vs = _tile_compute(
+            ft.at[slot], tau, tx, ty,
+            ti=ti, tj=tj, bcs_static=bcs_static, nee_refs=nee_refs,
+        )
+
+        @pl.when(tid >= 2)
+        def _():
+            out_copy(slot, tid - 2).wait()
+
+        ot[slot] = out
+        acc[0] = acc[0] + vs
+
+        # NEE consumer-plane rows: recompute only on intersecting tiles.
+        for bc_, nee_ in zip(bcs_static, nee_refs):
+            if bc_.axis == 0:
+                r_ = bc_.c - 1 - ti * tx
+                pred = (r_ >= 0) & (r_ < tx)
+            else:
+                r_ = bc_.c - 1 - tj * ty
+                pred = (r_ >= 0) & (r_ < ty)
+
+            @pl.when(pred)
+            def _(bc_=bc_, nee_=nee_):
+                dv = _row_fix(
+                    ft.at[slot], ot.at[slot], bc_, nee_, ti, tj, tau, tx, ty
+                )
+                acc[0] = acc[0] + dv
+
+        out_copy(slot, tid).start()
+
+    npairs = (ntiles + 1) // 2
+
+    def body(p, _):
+        tid = 2 * p
+        process(tid, 0)
+
+        @pl.when(tid + 1 < ntiles)
+        def _():
+            process(tid + 1, 1)
+
+        return 0
+
+    jax.lax.fori_loop(0, npairs, body, 0)
+    if ntiles >= 2:
+        out_copy((ntiles - 2) % 2, ntiles - 2).wait()
+    out_copy((ntiles - 1) % 2, ntiles - 1).wait()
+    vs_out[0, 0] = acc[0]
+
+
+def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 11.0):
+    """Choose (tx, ty) maximizing tile area under the VMEM budget:
+    2 slots x (input tile + output tile), packed C channels."""
+    best, best_cost = (1, 1), float("inf")
+    col = C * nz * 4
+    for txc in (64, 32, 16, 8, 4, 2, 1):
+        if nx % txc:
+            continue
+        for tyc in (64, 32, 16, 8, 4, 2, 1):
+            if ny % tyc:
+                continue
+            # Double-buffered in/out tiles + ~10 live (tx,ty,nz) f32
+            # temporaries inside _tile_compute (rho, moments, u, ...).
+            need = (
+                2 * ((txc + 2) * (tyc + 2) + txc * tyc) * col
+                + 10 * txc * tyc * nz * 4
+            )
+            if need > budget_mb * 1e6:
+                continue
+            # Cost model: halo read amplification.
+            amp = (txc + 2) * (tyc + 2) / (txc * tyc)
+            if amp < best_cost:
+                best, best_cost = (txc, tyc), amp
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "tx", "ty", "bcs_static", "interpret")
+)
+def _pallas_bulk(p, *nee, tau, tx, ty, bcs_static=(), interpret=False):
+    nxp, nyp, c, nz = p.shape
+    nx, ny = nxp - 2, nyp - 2
+    gx, gy = nx // tx, ny // ty
+    kern = functools.partial(
+        _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, bcs_static=bcs_static
+    )
+    out, vs = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct(p.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(nee),
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 2, ty + 2, C, nz), jnp.float32),
+            pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # The default 16 MB scoped-vmem cap under-counts reuse of the
+            # kernel's stack temporaries; the real high-water mark fits
+            # comfortably (v5e has 128 MB of VMEM).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p, *nee)
+    return out, vs[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Consumer-plane fixups on the packed layout
+# ---------------------------------------------------------------------------
+
+_SPATIAL_DIM = {0: 0, 1: 1, 2: 3}  # lattice axis -> packed array dim
+
+
+def _plane_pull_packed(p, nbr_wall, axis: int, c: int):
+    """Pulled populations (19, A, B) on plane `c` along `axis` of the
+    packed state, with fused wall bounce-back (plane-restricted
+    engine/step.streamed)."""
+    dim = _SPATIAL_DIM[axis]
+
+    def plane(ch, coord):
+        idx = [slice(None)] * 4
+        idx[dim] = coord
+        idx[2] = ch
+        sl = p[tuple(idx)]
+        return sl  # (A, B) lateral, in spatial order
+
+    lat = [a for a in range(3) if a != axis]
+    out = [plane(0, c)]
+    for i in range(1, 19):
+        e = [int(v) for v in _E[i]]
+        nbr_plane = plane(i, c - e[axis])
+        shifts = [e[a] for a in lat]
+        ax = [k for k in range(2) if shifts[k] != 0]
+        if ax:
+            nbr_plane = jnp.roll(nbr_plane, [shifts[k] for k in ax], axis=ax)
+        own_opp = plane(_OPP[i], c)
+        wall = jnp.take(nbr_wall[i], c, axis=axis)
+        out.append(jnp.where(wall, own_opp, nbr_plane))
+    return jnp.stack(out)
+
+
+def _fix_consumer_plane_packed(cc, bc, p_src, p_out, t):
+    """Recompute the fused step exactly on one BC consumer plane of the
+    packed state and splice it into the kernel output."""
+    from lbm_tpu.core.lattice import phi
+    from lbm_tpu.engine.step import apply_bc_fixup
+
+    axis, c = bc.axis, bc.consumer_coord
+    dim = _SPATIAL_DIM[axis]
+    pulled = _plane_pull_packed(p_src, cc.nbr_wall, axis, c)  # (19, A, B)
+
+    # Reuse apply_bc_fixup by lifting the plane to a 1-thick slab in
+    # standard (19, x, y, z) layout.
+    src_idx = [slice(None)] * 4
+    src_idx[dim] = c
+    src_plane = p_src[tuple(src_idx)]  # (A, C, B) or (C, A, B)...
+    # Normalize: after removing spatial dim `dim`, channel dim position:
+    ch_pos = 2 if dim in (0, 1) else 2  # p is (x, y, C, z)
+    if dim == 0:
+        src_plane = src_plane.transpose(1, 0, 2)  # (C, y, z)
+    elif dim == 1:
+        src_plane = src_plane.transpose(1, 0, 2)  # (C, x, z)
+    else:  # dim == 3 (z-plane): (x, y, C) -> (C, x, y)
+        src_plane = src_plane.transpose(2, 0, 1)
+    src_f = src_plane[:19]  # (19, A, B)
+
+    bc0 = dataclasses.replace(bc, consumer_coord=0)
+    pulled_slab = jnp.expand_dims(pulled, 1 + axis)
+    src_slab = jnp.expand_dims(src_f, 1 + axis)
+    pulled_slab = apply_bc_fixup(pulled_slab, src_slab, bc0, t)
+    pulled = jnp.squeeze(pulled_slab, 1 + axis)
+
+    rho = jnp.sum(pulled, axis=0)
+    ef = jnp.asarray(_E.T.astype(np.float32))
+    mom = jnp.tensordot(ef, pulled, axes=([1], [0]),
+                        precision=jax.lax.Precision.HIGHEST)
+    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+    feq = rho[None] * phi(u)
+    post = pulled - (pulled - feq) / cc.tau
+    fluid_pl = jnp.take(cc.fluid, c, axis=axis)
+    newplane = jnp.where(fluid_pl[None], post, src_f)  # (19, A, B)
+
+    # Back to packed plane orientation and splice. All 24 channels are
+    # written (mask/pad channels pass through from src) so the update is
+    # a full contiguous slab along the tiled sublane dim — an unaligned
+    # 19-of-24 channel slice would force XLA into a copy.
+    aux = src_plane[19:]  # (5, A, B) mask + padding channels
+    full = jnp.concatenate([newplane, aux], axis=0)  # (C, A, B)
+    if dim == 0:
+        p_out = p_out.at[c, :, :, :].set(full.transpose(1, 0, 2))
+    elif dim == 1:
+        p_out = p_out.at[:, c, :, :].set(full.transpose(1, 0, 2))
+    else:
+        p_out = p_out.at[:, :, :, c].set(full.transpose(1, 2, 0))
+    return p_out
+
+
+def _build_nee(bc):
+    """(A, 8, B) f32 NEE plane data: channels 0..4 hold phi*_d masked by
+    validity (phi* > 0 <=> valid; for u-extrapolate BCs a 1.0 marker)."""
+    valid = np.asarray(bc.valid)  # (D, A, B) bool
+    d_, a, b = valid.shape
+    arr = np.zeros((a, 8, b), np.float32)
+    if bc.u_mode == "extrapolate":
+        for d in range(d_):
+            arr[:, d, :] = valid[d].astype(np.float32)
+    else:
+        phis = np.asarray(bc.phi_star)  # (D, A, B)
+        for d in range(d_):
+            arr[:, d, :] = np.where(valid[d], phis[d], 0.0)
+    return jnp.asarray(arr)
+
+
+def _build_nee_series(bc):
+    """(T, A, 8, B) for u_mode='series' boundaries."""
+    valid = np.asarray(bc.valid)
+    series = np.asarray(bc.phi_star_series)  # (T, D, A, B)
+    t_, d_, a, b = series.shape
+    arr = np.zeros((t_, a, 8, b), np.float32)
+    for d in range(d_):
+        arr[:, :, d, :] = np.where(valid[d][None], series[:, d], 0.0)
+    return jnp.asarray(arr)
+
+
+def make_pallas_step(
+    cc_pad, tx: int | None = None, ty: int | None = None,
+    interpret: bool = False,
+) -> Callable:
+    """Build the Pallas-backed fused step over PACKED PADDED state.
+
+    cc_pad: CompiledCase built from pad_spec(spec, lane_multiple=...); all
+    coordinates padded. Returns step(p, t) -> (p', velsum_fluid) where p
+    is the packed (X+2, Y+2, C, Z) state (see pack_state).
+
+    NEE boundaries on x/y planes run INSIDE the kernel (plane-row masks +
+    VMEM phi* tables); z-plane boundaries (coronary sub-outlets) fall back
+    to the XLA consumer-plane fixup.
+    """
+    nxp, nyp, nz = cc_pad.shape
+    nx, ny = nxp - 2, nyp - 2
+    auto = _pick_tiles(nx, ny, nz)
+    tx = tx if tx is not None else auto[0]
+    ty = ty if ty is not None else auto[1]
+    tau = float(cc_pad.tau)
+
+    kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
+    fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
+    bcs_static = tuple(
+        BCStatic.make(
+            bc.axis, bc.consumer_coord, bc.dirs,
+            bc.rho_fixed, bc.u_mode == "extrapolate", bc.omega,
+        )
+        for bc in kernel_bcs
+    )
+    nee_static = []
+    for bc in kernel_bcs:
+        if bc.u_mode == "series":
+            nee_static.append(("series", _build_nee_series(bc),
+                               bc.series_stride))
+        else:
+            nee_static.append(("static", _build_nee(bc), 1))
+
+    def step(p, t):
+        nee = []
+        for kind, arr, stride in nee_static:
+            if kind == "series":
+                T = arr.shape[0]
+                phase = (t // stride) % T
+                nee.append(
+                    jax.lax.dynamic_index_in_dim(arr, phase, 0, False)
+                )
+            else:
+                nee.append(arr)
+        p_bulk, vs = _pallas_bulk(
+            p, *nee, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
+            interpret=interpret,
+        )
+        for bc in fixup_bcs:
+            p_bulk = _fix_consumer_plane_packed(cc_pad, bc, p, p_bulk, t)
+        return p_bulk, vs
+
+    return step
+
+
+def pad_spec(spec, lane_multiple: int = 1):
+    """A copy of a CaseSpec with the lattice halo-padded in x and y (mask
+    gets DEAD rings, init fields zero/one rings, BC coords shift by +1,
+    lateral plane fields pad accordingly) and, if `lane_multiple` > 1, the
+    z extent padded AT THE END with dead cells up to that multiple —
+    Mosaic requires the lane dimension be 128-aligned, and every case
+    keeps its z borders non-fluid so trailing dead layers are inert."""
+    import copy
+    import dataclasses as dc
+
+    zpad = (-spec.shape[2]) % lane_multiple
+    mask = np.pad(np.asarray(spec.mask), ((1, 1), (1, 1), (0, zpad)))
+    rho0 = np.pad(np.asarray(spec.rho0), ((1, 1), (1, 1), (0, zpad)),
+                  constant_values=1.0)
+    u0 = np.pad(np.asarray(spec.u0), ((0, 0), (1, 1), (1, 1), (0, zpad)))
+
+    def pad_lat(arr, axis, lead):
+        lat = [a for a in range(3) if a != axis]
+        pads = [(0, 0)] * lead + [
+            ((1, 1) if lat[k] in (0, 1) else (0, zpad)) for k in range(2)
+        ]
+        return np.pad(arr, pads)
+
+    bcs = []
+    for bc in spec.boundaries:
+        new = copy.copy(bc)
+        new.coord = bc.coord + (1 if bc.axis in (0, 1) else 0)
+        if bc.u_field is not None:
+            new.u_field = pad_lat(bc.u_field, bc.axis, 1)
+        if bc.u_series is not None:
+            new.u_series = pad_lat(bc.u_series, bc.axis, 2)
+        bcs.append(new)
+
+    return dc.replace(
+        spec,
+        shape=(spec.shape[0] + 2, spec.shape[1] + 2, spec.shape[2] + zpad),
+        mask=mask,
+        rho0=rho0,
+        u0=u0,
+        boundaries=bcs,
+    )
+
+
+__all__ = [
+    "make_pallas_step",
+    "pack_state",
+    "unpack_state",
+    "pad_spec",
+    "C",
+    "MASK_CH",
+]
