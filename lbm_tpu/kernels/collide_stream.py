@@ -101,15 +101,16 @@ def _tile_compute(ft, tau: float, tx: int, ty: int,
             nbr == np.float32(int(CellType.WALL)), own_opp, piece
         )
 
-    # Pass 1: moments (VPU adds; a 19x3 contraction needs no MXU). The
-    # pulled values are NOT kept live — pass 2 recomputes them from the
-    # VMEM tile, trading cheap VPU work for ~2.4 MB of VMEM per tile.
+    # Pass 1: moments (VPU adds; a 19x3 contraction needs no MXU). Pulled
+    # values are kept live in VMEM for the collide pass.
     rho = ft[cx, cy, 0, :]
     mx = jnp.zeros_like(rho)
     my = jnp.zeros_like(rho)
     mz = jnp.zeros_like(rho)
+    vals = [rho]
     for i in range(1, 19):
         v = pulled(i)
+        vals.append(v)
         rho = rho + v
         ex, ey, ez = (int(c) for c in _E[i])
         if ex:
@@ -123,12 +124,19 @@ def _tile_compute(ft, tau: float, tx: int, ty: int,
     usq = ux * ux + uy * uy + uz * uz
     common = np.float32(1.0) - np.float32(1.5) * usq
 
-    # Pass 2: BGK collide + fluid select, per direction.
-    outs = []
-    f0 = ft[cx, cy, 0, :]
+    # Pass 2: BGK collide + fluid select. Opposite-direction pairs share
+    # their equilibrium terms: feq_{i,opp} = w rho (common + 4.5 cu^2)
+    # +/- 3 w rho cu — the classic pairwise LBM factorization, ~30% fewer
+    # VPU ops than the naive per-direction form.
+    outs: list = [None] * 19
+    f0 = vals[0]
     feq0 = rho * np.float32(_W[0]) * common
-    outs.append(jnp.where(is_fluid, f0 - (f0 - feq0) * inv_tau, f0))
+    outs[0] = jnp.where(is_fluid, f0 - (f0 - feq0) * inv_tau, f0)
+    rho_tau = rho * inv_tau
     for i in range(1, 19):
+        o = int(_OPP[i])
+        if o < i:
+            continue  # handled with its partner
         ex, ey, ez = (int(c) for c in _E[i])
         cu = jnp.zeros_like(ux)
         if ex:
@@ -137,16 +145,19 @@ def _tile_compute(ft, tau: float, tx: int, ty: int,
             cu = cu + uy if ey > 0 else cu - uy
         if ez:
             cu = cu + uz if ez > 0 else cu - uz
-        feq = rho * np.float32(_W[i]) * (
-            common + np.float32(3.0) * cu + np.float32(4.5) * cu * cu
-        )
-        v = pulled(i)
-        outs.append(
-            jnp.where(is_fluid, v - (v - feq) * inv_tau, ft[cx, cy, i, :])
-        )
+        w = np.float32(_W[i])
+        even = rho_tau * (w * (common + np.float32(4.5) * cu * cu))
+        odd = rho_tau * (w * np.float32(3.0)) * cu
+        vi, vo = vals[i], vals[o]
+        keep = np.float32(1.0) - inv_tau
+        post_i = vi * keep + even + odd
+        post_o = vo * keep + even - odd
+        outs[i] = jnp.where(is_fluid, post_i, ft[cx, cy, i, :])
+        outs[o] = jnp.where(is_fluid, post_o, ft[cx, cy, o, :])
     # Mask + padding channels pass through unchanged.
     for ch in range(MASK_CH, C):
         outs.append(ft[cx, cy, ch, :])
+    assert all(o is not None for o in outs)
     out = jnp.stack(outs, axis=2)  # (tx, ty, C, nz)
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
     # rows' post-NEE contribution is added by the row fix itself).
@@ -406,30 +417,24 @@ def _kernel(
     vs_out[0, 0] = acc[0]
 
 
-def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 11.0):
-    """Choose (tx, ty) maximizing tile area under the VMEM budget:
-    2 slots x (input tile + output tile), packed C channels."""
-    best, best_cost = (1, 1), float("inf")
+def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 24.0):
+    """Choose (tx, ty): measured on v5e at 256^3, SMALL tiles win — the
+    kernel is VPU-bound, small tiles schedule/pipeline better, and they
+    compile an order of magnitude faster (sweep: 4x8 = 1366 MLUPS, 8x8 =
+    1348, 16x8 = 1040, 16x16 slower still). Candidates in preference
+    order, subject to divisibility and the VMEM budget."""
     col = C * nz * 4
-    for txc in (64, 32, 16, 8, 4, 2, 1):
-        if nx % txc:
+    for txc, tyc in ((4, 8), (8, 8), (4, 16), (8, 4), (4, 4), (2, 8),
+                     (2, 4), (2, 2), (1, 2), (1, 1)):
+        if nx % txc or ny % tyc:
             continue
-        for tyc in (64, 32, 16, 8, 4, 2, 1):
-            if ny % tyc:
-                continue
-            # Double-buffered in/out tiles + ~10 live (tx,ty,nz) f32
-            # temporaries inside _tile_compute (rho, moments, u, ...).
-            need = (
-                2 * ((txc + 2) * (tyc + 2) + txc * tyc) * col
-                + 10 * txc * tyc * nz * 4
-            )
-            if need > budget_mb * 1e6:
-                continue
-            # Cost model: halo read amplification.
-            amp = (txc + 2) * (tyc + 2) / (txc * tyc)
-            if amp < best_cost:
-                best, best_cost = (txc, tyc), amp
-    return best
+        need = (
+            2 * ((txc + 2) * (tyc + 2) + txc * tyc) * col
+            + 30 * txc * tyc * nz * 4
+        )
+        if need <= budget_mb * 1e6:
+            return txc, tyc
+    return 1, 1
 
 
 @functools.partial(
