@@ -335,11 +335,18 @@ class BCStatic(tuple):
 def _kernel(
     *refs,
     tau: float, tx: int, ty: int, gx: int, gy: int, bcs_static=(),
+    halo_axis=None,
 ):
     nbc = len(bcs_static)
     p_hbm = refs[0]
     nee_refs = refs[1 : 1 + nbc]
-    out_hbm, vs_out, ft, ot, acc, in_sems, out_sems = refs[1 + nbc :]
+    rest = refs[1 + nbc :]
+    if halo_axis is not None:
+        lo_hbm, hi_hbm = rest[0], rest[1]
+        (out_hbm, vs_out, ft, ot, acc,
+         in_sems, out_sems, halo_sems) = rest[2:]
+    else:
+        out_hbm, vs_out, ft, ot, acc, in_sems, out_sems = rest
     ntiles = gx * gy
 
     def in_copy(slot, tid):
@@ -361,12 +368,44 @@ def _kernel(
     acc[0] = jnp.float32(0.0)
     in_copy(0, 0).start()
 
+    def halo_copies(slot, tid):
+        """Patch the tile's outer halo row from the exchanged neighbor
+        planes (multi-chip decomposition): the shard-local state's halo
+        ring along `halo_axis` is stale, so edge tiles overwrite it in
+        VMEM from lo/hi after the main tile DMA lands."""
+        i, j = tid // gy, tid % gy
+        if halo_axis == 0:
+            lo = pltpu.make_async_copy(
+                lo_hbm.at[:, pl.ds(j * ty, ty + 2)],
+                ft.at[slot, 0:1], halo_sems.at[slot],
+            )
+            hi = pltpu.make_async_copy(
+                hi_hbm.at[:, pl.ds(j * ty, ty + 2)],
+                ft.at[slot, tx + 1 : tx + 2], halo_sems.at[slot],
+            )
+            return (i == 0, lo), (i == gx - 1, hi)
+        lo = pltpu.make_async_copy(
+            lo_hbm.at[pl.ds(i * tx, tx + 2), :],
+            ft.at[slot, :, 0:1], halo_sems.at[slot],
+        )
+        hi = pltpu.make_async_copy(
+            hi_hbm.at[pl.ds(i * tx, tx + 2), :],
+            ft.at[slot, :, ty + 1 : ty + 2], halo_sems.at[slot],
+        )
+        return (j == 0, lo), (j == gy - 1, hi)
+
     def process(tid, slot):
         @pl.when(tid + 1 < ntiles)
         def _():
             in_copy(1 - slot, tid + 1).start()
 
         in_copy(slot, tid).wait()
+        if halo_axis is not None:
+            for pred, cp in halo_copies(slot, tid):
+                @pl.when(pred)
+                def _(cp=cp):
+                    cp.start()
+                    cp.wait()
         ti, tj = tid // gy, tid % gy
         out, vs = _tile_compute(
             ft.at[slot], tau, tx, ty,
@@ -438,15 +477,29 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 24.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "tx", "ty", "bcs_static", "interpret")
+    jax.jit,
+    static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
+                     "interpret"),
 )
-def _pallas_bulk(p, *nee, tau, tx, ty, bcs_static=(), interpret=False):
+def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
+                 halo_axis=None, interpret=False):
     nxp, nyp, c, nz = p.shape
     nx, ny = nxp - 2, nyp - 2
     gx, gy = nx // tx, ny // ty
     kern = functools.partial(
-        _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, bcs_static=bcs_static
+        _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy,
+        bcs_static=bcs_static, halo_axis=halo_axis,
     )
+    n_nee = len(nee_and_halos) - (2 if halo_axis is not None else 0)
+    scratch = [
+        pltpu.VMEM((2, tx + 2, ty + 2, C, nz), jnp.float32),
+        pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
+        pltpu.SMEM((1,), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if halo_axis is not None:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     out, vs = pl.pallas_call(
         kern,
         out_shape=[
@@ -454,18 +507,14 @@ def _pallas_bulk(p, *nee, tau, tx, ty, bcs_static=(), interpret=False):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(nee),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        * (2 if halo_axis is not None else 0),
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, tx + 2, ty + 2, C, nz), jnp.float32),
-            pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
-            pltpu.SMEM((1,), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # The default 16 MB scoped-vmem cap under-counts reuse of the
@@ -474,7 +523,7 @@ def _pallas_bulk(p, *nee, tau, tx, ty, bcs_static=(), interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(p, *nee)
+    )(p, *nee_and_halos)
     return out, vs[0, 0]
 
 
