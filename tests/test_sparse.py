@@ -1,0 +1,89 @@
+"""Sparse node-compaction engine vs the dense engine (SURVEY §7.5(b):
+gather/scatter index map for vessel trees)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.cases import get_case
+from lbm_tpu.engine.compile import compile_case
+from lbm_tpu.engine.sparse import (
+    compile_sparse,
+    initial_f_sparse,
+    macro_fields_sparse,
+    make_sparse_step,
+    scatter_dense,
+)
+from lbm_tpu.engine.step import initial_f, make_step
+
+
+def _dense_run(spec, nsteps):
+    cc = compile_case(spec)
+    step = jax.jit(make_step(cc))
+    f = initial_f(cc)
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    return cc, np.asarray(f)
+
+
+def _sparse_run(spec, nsteps):
+    sc = compile_sparse(spec, lane_multiple=256)
+    step = jax.jit(make_sparse_step(sc))
+    f = initial_f_sparse(sc)
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    return sc, np.asarray(f)
+
+
+@pytest.mark.parametrize("case_name,kwargs", [
+    ("lid_driven_cavity", dict(n=16)),
+    ("poiseuille", dict(n=16)),
+    ("coronary", dict(shape=(32, 24, 40), radius=5)),
+    ("curved_vessel", dict(n=32, nphase=4, period_steps=8)),
+])
+def test_sparse_matches_dense(case_name, kwargs):
+    spec = get_case(case_name, **kwargs)
+    nsteps = 4
+    cc, f_dense = _dense_run(spec, nsteps)
+    sc, f_sparse = _sparse_run(spec, nsteps)
+    f_scattered = np.asarray(scatter_dense(sc, jnp.asarray(f_sparse)))
+    fluid = np.asarray(cc.fluid)
+    np.testing.assert_allclose(
+        f_scattered[:, fluid], f_dense[:, fluid], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_sparse_memory_savings_on_tree():
+    """The coronary-tree regime: live cells are a small fraction of the
+    box, so the sparse state (f + index) beats dense f + masks."""
+    spec = get_case("coronary", shape=(96, 48, 72), radius=6)
+    sc = compile_sparse(spec)
+    n_total = int(np.prod(spec.shape))
+    occupancy = sc.n_live / n_total
+    assert occupancy < 0.35
+    sparse_bytes = sc.n_pad * (19 * 4 + 19 * 4 + 19 * 1)  # f + idx + masks
+    dense_bytes = n_total * (19 * 4 + 19 * 1 + 1)
+    assert sparse_bytes < dense_bytes
+
+
+def test_sparse_macro_and_velsum():
+    spec = get_case("lid_driven_cavity", n=16)
+    sc = compile_sparse(spec, lane_multiple=256)
+    step = jax.jit(make_sparse_step(sc))
+    f = initial_f_sparse(sc)
+    for t in range(5):
+        f, rho, u = step(f, jnp.int32(t))
+    rho_m, u_m = macro_fields_sparse(sc, f)
+    assert np.isfinite(np.asarray(u_m)).all()
+    # Dense comparison of the persistent macro fields.
+    cc, f_dense = _dense_run(spec, 5)
+    from lbm_tpu.engine.step import macro_fields
+
+    rho_d, u_d = macro_fields(cc, jnp.asarray(f_dense))
+    u_scattered = np.asarray(scatter_dense(sc, u_m))
+    live = np.asarray(sc.index) >= 0
+    np.testing.assert_allclose(
+        u_scattered[:, live], np.asarray(u_d)[:, live], rtol=3e-5,
+        atol=5e-7,
+    )
