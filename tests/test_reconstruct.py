@@ -1,0 +1,90 @@
+"""Surface reconstruction (the MyCrustOpen capability): point cloud ->
+solid occupancy -> boundary mesh -> smoothed surface; plus the alpha
+shape for volumetric samples."""
+
+import numpy as np
+
+from lbm_tpu.geometry.native import voxelize_mesh
+from lbm_tpu.geometry.reconstruct import (
+    alpha_shape_surface,
+    cloud_to_occupancy,
+    median_spacing,
+    reconstruct_surface,
+    voxel_boundary_mesh,
+)
+
+
+def _sphere_cloud(n=1800, r=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return r * v
+
+
+def _tube_cloud(n_theta=48, n_len=60, r=0.5, L=3.0):
+    th = np.linspace(0, 2 * np.pi, n_theta, endpoint=False)
+    zs = np.linspace(0, L, n_len)
+    return np.asarray(
+        [[r * np.cos(t), r * np.sin(t), z] for z in zs for t in th]
+    )
+
+
+def test_cloud_to_occupancy_sphere_volume():
+    occ, origin, spacing = cloud_to_occupancy(_sphere_cloud(), (40, 40, 40))
+    vol = occ.sum() * spacing**3
+    exact = 4 / 3 * np.pi
+    assert abs(vol - exact) / exact < 0.2
+    assert occ[20, 20, 20] == 1 and occ[0, 0, 0] == 0
+
+
+def test_voxel_boundary_mesh_watertight():
+    occ = np.zeros((8, 8, 8), np.int32)
+    occ[2:6, 2:6, 2:6] = 1
+    verts, faces = voxel_boundary_mesh(occ)
+    # Cube surface: 6 faces x 16 cells x 2 tris.
+    assert len(faces) == 6 * 16 * 2
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+    )
+    key = np.sort(edges, axis=1)
+    _, counts = np.unique(key, axis=0, return_counts=True)
+    assert (counts == 2).all()  # watertight
+
+
+def test_reconstruct_sphere_roundtrip():
+    """cloud -> smooth surface -> voxelize: volume within 20% of exact."""
+    verts, faces = reconstruct_surface(_sphere_cloud(), (40, 40, 40),
+                                       smooth_iters=6)
+    assert np.isfinite(verts).all()
+    occ = voxelize_mesh(verts[faces], (40, 40, 40), margin=3)
+    spacing = 2.0 / 34
+    vol = occ.sum() * spacing**3
+    exact = 4 / 3 * np.pi
+    assert abs(vol - exact) / exact < 0.2
+    # Smoothing pulls the blocky surface toward sphericity.
+    radii = np.linalg.norm(verts - verts.mean(axis=0), axis=1)
+    assert np.std(radii) / np.mean(radii) < 0.15
+
+
+def test_reconstruct_tube():
+    verts, faces = reconstruct_surface(_tube_cloud(), (32, 32, 72),
+                                       smooth_iters=4)
+    occ, origin, spacing = cloud_to_occupancy(_tube_cloud(), (32, 32, 72))
+    mid = occ[:, :, 36]
+    assert mid.sum() > 10
+    assert len(faces) > 500
+
+
+def test_alpha_shape_volumetric_ball():
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((3000, 3))
+    pts = pts[np.linalg.norm(pts, axis=1) < 1.0]
+    verts, faces = alpha_shape_surface(pts)
+    assert len(faces) > 100
+    occ = voxelize_mesh(verts[faces], (32, 32, 32), margin=3)
+    assert occ[16, 16, 16] == 1
+
+
+def test_median_spacing():
+    s = median_spacing(_sphere_cloud(500))
+    assert 0.01 < s < 0.5
