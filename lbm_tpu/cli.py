@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     runp.add_argument("--shard", type=int, default=0,
                       help="shard the lattice over N devices (0 = auto off)")
     runp.add_argument("--backend", default="auto",
-                      choices=["auto", "xla", "pallas"],
+                      choices=["auto", "xla", "pallas", "sparse"],
                       help="step backend (auto: pallas on TPU, else xla)")
     runp.add_argument("--profile", default=None,
                       help="write a jax.profiler trace to this directory")
@@ -72,11 +72,26 @@ def main(argv=None) -> int:
 
     spec = get_case(args.case, **_parse_kv(args.opt))
     sharding = None
+    mesh = None
     if args.shard:
-        from lbm_tpu.parallel.mesh import lattice_sharding
+        import jax
 
-        sharding = lattice_sharding(n_devices=args.shard)
-    sim = Simulation(spec, sharding=sharding, backend=args.backend)
+        from lbm_tpu.parallel.mesh import (
+            free_axis,
+            lattice_mesh,
+            lattice_sharding,
+        )
+
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if args.backend == "xla" or (args.backend == "auto" and not on_tpu):
+            sharding = lattice_sharding(
+                n_devices=args.shard, axis=free_axis(spec)
+            )
+        else:
+            mesh = lattice_mesh(args.shard)
+    sim = Simulation(
+        spec, sharding=sharding, backend=args.backend, mesh=mesh
+    )
     if args.resume:
         ckpt.restore(sim, args.resume)
         print(f"resumed from {args.resume} at step {sim.t}")

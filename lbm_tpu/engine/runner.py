@@ -53,6 +53,8 @@ class Simulation:
                  multi-chip sharding)
       'pallas' — the fused single-pass TPU kernel (kernels/collide_stream);
                  state lives halo-padded and channel-packed on device
+      'sparse' — gather/scatter over live cells only (engine/sparse);
+                 wins below ~60% occupancy (vessel trees)
       'auto'   — pallas on TPU when unsharded, else xla
     """
 
@@ -62,22 +64,40 @@ class Simulation:
         sharding=None,
         donate: bool = True,
         backend: str = "auto",
+        mesh=None,
+        shard_axis: int | None = None,
     ):
         spec = case.spec if isinstance(case, CompiledCase) else case
         if backend == "auto":
             on_tpu = jax.default_backend() not in ("cpu",)
             backend = "pallas" if (on_tpu and sharding is None) else "xla"
         self.backend = backend
+        self.sc = None
+        self.mesh = mesh
+        if mesh is not None and shard_axis is None:
+            from lbm_tpu.parallel.mesh import free_axis
+
+            shard_axis = free_axis(spec)
+        self.shard_axis = shard_axis
         if backend == "pallas":
             from lbm_tpu.kernels.collide_stream import pad_spec
 
-            self.cc = compile_case(pad_spec(spec, lane_multiple=128))
+            interpret = jax.default_backend() == "cpu"
+            self._pallas_interpret = interpret
+            self.cc = compile_case(
+                pad_spec(spec, lane_multiple=1 if interpret else 128)
+            )
+        elif backend == "sparse":
+            from lbm_tpu.engine.sparse import compile_sparse
+
+            self.sc = compile_sparse(spec)
+            self.cc = None
         else:
             self.cc = (
                 case if isinstance(case, CompiledCase) else compile_case(case)
             )
         self.spec = spec
-        self._padded_spec = self.cc.spec
+        self._padded_spec = self.cc.spec if self.cc is not None else spec
         self.sharding = sharding
         self._chunk_fns: dict[int, Callable] = {}
         self._usq_fn = None
@@ -87,29 +107,49 @@ class Simulation:
 
     # -- state ------------------------------------------------------------
     def reset(self):
-        f = initial_f(self.cc)
-        if self.backend == "pallas":
-            from lbm_tpu.kernels.collide_stream import pack_state
+        if self.backend == "sparse":
+            from lbm_tpu.engine.sparse import initial_f_sparse
 
-            mask = jnp.asarray(np.asarray(self._padded_spec.mask))
-            f = pack_state(f, mask)
-        elif self.sharding is not None:
-            f = jax.device_put(f, self.sharding)
+            f = initial_f_sparse(self.sc)
+        else:
+            f = initial_f(self.cc)
+            if self.backend == "pallas":
+                from lbm_tpu.kernels.collide_stream import pack_state
+
+                mask = jnp.asarray(np.asarray(self._padded_spec.mask))
+                f = pack_state(f, mask)
+                if self.mesh is not None:
+                    f = self._sharded()[1](f)  # init_blocked
+            elif self.sharding is not None:
+                f = jax.device_put(f, self.sharding)
         self.f = f
         self.t = 0
         self._last_velsum: Optional[float] = None
         self._last_usq: Optional[float] = None
 
     def f_standard(self):
-        """f in the portable unpadded (19, nx, ny, nz) layout."""
+        """f in the portable unpadded (19, nx, ny, nz) layout (dead cells
+        hold zeros on the sparse backend)."""
+        if self.backend == "sparse":
+            from lbm_tpu.engine.sparse import scatter_dense
+
+            return scatter_dense(self.sc, self.f)
         if self.backend != "pallas":
             return self.f
-        from lbm_tpu.kernels.collide_stream import unpack_state
-
         nz = self.spec.shape[2]
-        return unpack_state(self.f)[:, 1:-1, 1:-1, :nz]
+        return self._unpacked()[:, 1:-1, 1:-1, :nz]
 
     def set_f_standard(self, f):
+        if self.backend == "sparse":
+            sc = self.sc
+            mask = np.asarray(self.spec.mask)
+            live = np.argwhere(mask != 0)
+            order = np.lexsort((live[:, 0], live[:, 1], live[:, 2]))
+            live = live[order]
+            vals = jnp.asarray(f)[:, live[:, 0], live[:, 1], live[:, 2]]
+            pad = sc.n_pad - sc.n_live
+            self.f = jnp.pad(vals, ((0, 0), (0, pad)))
+            return
         if self.backend != "pallas":
             self.f = jnp.asarray(f)
             if self.sharding is not None:
@@ -124,10 +164,23 @@ class Simulation:
         )
         mask = jnp.asarray(np.asarray(self._padded_spec.mask))
         self.f = pack_state(f_pad, mask)
+        if self.mesh is not None:
+            self.f = self._sharded()[1](self.f)
 
     def macro(self):
         """(rho, u) persistent macroscopic fields (lattice units), in the
         unpadded layout."""
+        if self.backend == "sparse":
+            from lbm_tpu.engine.sparse import (
+                macro_fields_sparse,
+                scatter_dense,
+            )
+
+            rho, u = macro_fields_sparse(self.sc, self.f)
+            return (
+                scatter_dense(self.sc, rho, fill=1.0),
+                scatter_dense(self.sc, u),
+            )
         if self.backend != "pallas":
             return macro_fields(self.cc, self.f)
         rho, u = macro_fields(self.cc, self._unpacked())
@@ -137,18 +190,59 @@ class Simulation:
     def _unpacked(self):
         from lbm_tpu.kernels.collide_stream import unpack_state
 
-        return unpack_state(self.f)
+        p = self.f
+        if self.mesh is not None and self.backend == "pallas":
+            p = self._sharded()[2](p)  # unblock
+        return unpack_state(p)
+
+    def _sharded(self):
+        """(step, init_blocked, unblock) for the multi-chip Pallas path."""
+        if getattr(self, "_sharded_fns", None) is None:
+            from lbm_tpu.parallel.pallas_sharded import (
+                make_pallas_sharded_step,
+            )
+
+            self._sharded_fns = make_pallas_sharded_step(
+                self.cc, self.mesh, shard_axis=self.shard_axis,
+                interpret=getattr(self, "_pallas_interpret", False),
+            )
+        return self._sharded_fns
 
     # -- jitted chunk -----------------------------------------------------
     def _chunk(self, n: int) -> Callable:
         if n not in self._chunk_fns:
             cc = self.cc
-            offset = jnp.float32(cc.velsum_offset)
-            if self.backend == "pallas":
-                from lbm_tpu.kernels.collide_stream import make_pallas_step
+            offset = jnp.float32(
+                (self.sc if cc is None else cc).velsum_offset
+            )
+            if self.backend == "sparse":
+                from lbm_tpu.engine.sparse import make_sparse_step
 
+                sstep = make_sparse_step(self.sc)
+                sfluid = self.sc.fluid
+
+                def body(carry, _):
+                    f, t = carry
+                    f, rho, u = sstep(f, t)
+                    speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                    s = jnp.sum(jnp.where(sfluid, speed, 0.0)) + offset
+                    return (f, t + 1), s
+
+            elif self.backend == "pallas":
                 if self._pallas_step is None:
-                    self._pallas_step = make_pallas_step(cc)
+                    if self.mesh is not None:
+                        self._pallas_step = self._sharded()[0]
+                    else:
+                        from lbm_tpu.kernels.collide_stream import (
+                            make_pallas_step,
+                        )
+
+                        self._pallas_step = make_pallas_step(
+                            cc,
+                            interpret=getattr(
+                                self, "_pallas_interpret", False
+                            ),
+                        )
                 pstep = self._pallas_step
 
                 def body(carry, _):
@@ -225,7 +319,9 @@ class Simulation:
         history: list[float] = []
         converged = False
         steps_done_at_start = self.t
-        n_fluid = int(np.asarray(self.cc.fluid).sum())
+        n_fluid = int(
+            np.asarray((self.sc if self.cc is None else self.cc).fluid).sum()
+        )
 
         while self.t < steps_done_at_start + max_steps:
             n = min(time_save, steps_done_at_start + max_steps - self.t)

@@ -11,8 +11,11 @@ from lbm_tpu.engine.step import initial_f, macro_fields, make_step
 from lbm_tpu.geometry.mask import CellType
 
 
+import jax
+
+
 def _run_steps(cc, nsteps):
-    step = make_step(cc)
+    step = jax.jit(make_step(cc))
     f = initial_f(cc)
     for t in range(nsteps):
         f, rho, u = step(f, t)
@@ -173,3 +176,52 @@ def test_curved_vessel_pulsatile_series():
     # Inlet fluid responds to the waveform (nonzero flow develops).
     fluid = np.asarray(sim.cc.fluid)
     assert np.abs(np.asarray(u)[1][:, 2, :][fluid[:, 2, :]]).max() > 1e-5
+
+
+def test_sparse_backend_in_runner():
+    """Simulation(backend='sparse') end-to-end with residual + macro."""
+    sim = Simulation(
+        get_case("coronary", shape=(48, 32, 40), radius=5,
+                 max_steps=20, time_save=10),
+        backend="sparse",
+    )
+    res = sim.run(verbose=False)
+    assert res.steps == 20
+    rho, u = sim.macro()
+    assert rho.shape == (48, 32, 40)
+    assert np.isfinite(np.asarray(u)).all()
+    # Cross-backend: first 10 steps must match the dense xla backend.
+    sim2 = Simulation(
+        get_case("coronary", shape=(48, 32, 40), radius=5,
+                 max_steps=20, time_save=10),
+        backend="xla",
+    )
+    sim2.run(verbose=False)
+    live = np.asarray(sim.spec.mask) != 0
+    np.testing.assert_allclose(
+        np.asarray(sim.f_standard())[:, live],
+        np.asarray(sim2.f_standard())[:, live],
+        rtol=3e-5, atol=5e-7,
+    )
+
+
+def test_checkpoint_cross_backend_sparse():
+    from lbm_tpu.engine import checkpoint as ckpt
+    import tempfile, os
+
+    case = lambda: get_case("coronary", shape=(32, 24, 40), radius=5)
+    sim = Simulation(case(), backend="xla")
+    sim.run(max_steps=10, time_save=10, verbose=False)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.npz")
+        ckpt.save(p, sim.f_standard(), sim.t, sim.spec.name)
+        sim2 = Simulation(case(), backend="sparse")
+        ckpt.restore(sim2, p)
+        sim.run(max_steps=5, time_save=5, verbose=False)
+        sim2.run(max_steps=5, time_save=5, verbose=False)
+        f1 = np.asarray(sim.f_standard())
+        f2 = np.asarray(sim2.f_standard())
+        live = np.asarray(sim.spec.mask) != 0
+        np.testing.assert_allclose(
+            f2[:, live], f1[:, live], rtol=3e-5, atol=5e-7
+        )

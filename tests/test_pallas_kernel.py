@@ -16,8 +16,11 @@ from lbm_tpu.kernels.collide_stream import (
 )
 
 
+import jax
+
+
 def _dense_run(cc, f0, nsteps):
-    step = make_step(cc)
+    step = jax.jit(make_step(cc))
     f = f0
     for t in range(nsteps):
         f, rho, u = step(f, jnp.int32(t))
@@ -25,7 +28,7 @@ def _dense_run(cc, f0, nsteps):
 
 
 def _pallas_run(cc, f0, nsteps, **kw):
-    step = make_pallas_step(cc, interpret=True, **kw)
+    step = jax.jit(make_pallas_step(cc, interpret=True, **kw))
     p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
     vs = None
     for t in range(nsteps):

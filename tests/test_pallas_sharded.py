@@ -21,7 +21,7 @@ pytestmark = pytest.mark.multichip
 
 
 def _dense_run(cc, f0, nsteps):
-    step = make_step(cc)
+    step = jax.jit(make_step(cc))
     f = f0
     for t in range(nsteps):
         f, rho, u = step(f, jnp.int32(t))
@@ -33,6 +33,7 @@ def _sharded_run(cc, f0, nsteps, shard_axis):
     step, init, unblock = make_pallas_sharded_step(
         cc, mesh, shard_axis=shard_axis, interpret=True
     )
+    step = jax.jit(step)
     p = init(pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask))))
     vs = None
     for t in range(nsteps):
@@ -90,3 +91,24 @@ def test_sharded_rejects_bc_on_shard_axis():
     cc = compile_case(spec)
     with pytest.raises(ValueError):
         make_pallas_sharded_step(cc, lattice_mesh(), shard_axis=1)
+
+
+def test_runner_mesh_pallas_backend():
+    """Simulation(backend='pallas', mesh=...) — the multi-chip production
+    path end-to-end through the runner (interpret mode on CPU)."""
+    from lbm_tpu.engine.runner import Simulation
+
+    case_kw = dict(n=16, max_steps=8, time_save=4)
+    sim = Simulation(get_case("lid_driven_cavity", **case_kw),
+                     backend="pallas", mesh=lattice_mesh())
+    res = sim.run(verbose=False)
+    assert res.steps == 8
+    sim2 = Simulation(get_case("lid_driven_cavity", **case_kw),
+                      backend="xla")
+    sim2.run(verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(sim.f_standard()), np.asarray(sim2.f_standard()),
+        rtol=3e-6, atol=1e-7,
+    )
+    rho, u = sim.macro()
+    assert rho.shape == (16, 16, 16)
