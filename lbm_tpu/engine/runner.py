@@ -85,7 +85,11 @@ class Simulation:
             interpret = jax.default_backend() == "cpu"
             self._pallas_interpret = interpret
             self.cc = compile_case(
-                pad_spec(spec, lane_multiple=1 if interpret else 128)
+                pad_spec(
+                    spec,
+                    lane_multiple=1 if interpret else 128,
+                    plane_multiples=(1, 1) if mesh is not None else (4, 8),
+                )
             )
         elif backend == "sparse":
             from lbm_tpu.engine.sparse import compile_sparse
@@ -136,8 +140,8 @@ class Simulation:
             return scatter_dense(self.sc, self.f)
         if self.backend != "pallas":
             return self.f
-        nz = self.spec.shape[2]
-        return self._unpacked()[:, 1:-1, 1:-1, :nz]
+        nx, ny, nz = self.spec.shape
+        return self._unpacked()[:, 1 : 1 + nx, 1 : 1 + ny, :nz]
 
     def set_f_standard(self, f):
         if self.backend == "sparse":
@@ -157,10 +161,11 @@ class Simulation:
             return
         from lbm_tpu.kernels.collide_stream import pack_state
 
-        nzp = self._padded_spec.shape[2]
-        nz = self.spec.shape[2]
+        nxp, nyp, nzp = self._padded_spec.shape
+        nx, ny, nz = self.spec.shape
         f_pad = jnp.pad(
-            jnp.asarray(f), ((0, 0), (1, 1), (1, 1), (0, nzp - nz))
+            jnp.asarray(f),
+            ((0, 0), (1, nxp - nx - 1), (1, nyp - ny - 1), (0, nzp - nz)),
         )
         mask = jnp.asarray(np.asarray(self._padded_spec.mask))
         self.f = pack_state(f_pad, mask)
@@ -184,8 +189,11 @@ class Simulation:
         if self.backend != "pallas":
             return macro_fields(self.cc, self.f)
         rho, u = macro_fields(self.cc, self._unpacked())
-        nz = self.spec.shape[2]
-        return rho[1:-1, 1:-1, :nz], u[:, 1:-1, 1:-1, :nz]
+        nx, ny, nz = self.spec.shape
+        return (
+            rho[1 : 1 + nx, 1 : 1 + ny, :nz],
+            u[:, 1 : 1 + nx, 1 : 1 + ny, :nz],
+        )
 
     def _unpacked(self):
         from lbm_tpu.kernels.collide_stream import unpack_state

@@ -705,26 +705,33 @@ def make_pallas_step(
     return step
 
 
-def pad_spec(spec, lane_multiple: int = 1):
+def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1)):
     """A copy of a CaseSpec with the lattice halo-padded in x and y (mask
     gets DEAD rings, init fields zero/one rings, BC coords shift by +1,
-    lateral plane fields pad accordingly) and, if `lane_multiple` > 1, the
-    z extent padded AT THE END with dead cells up to that multiple —
-    Mosaic requires the lane dimension be 128-aligned, and every case
-    keeps its z borders non-fluid so trailing dead layers are inert."""
+    lateral plane fields pad accordingly). If `lane_multiple` > 1, the z
+    extent pads AT THE END with dead cells up to that multiple — Mosaic
+    requires the lane dimension be 128-aligned. `plane_multiples` rounds
+    the x/y interiors up the same way so awkward extents (e.g. the
+    bifurcation's prime ny=83) still get efficient kernel tiles. Every
+    case keeps its borders non-fluid, so trailing dead layers are inert
+    (same argument as the halo rings)."""
     import copy
     import dataclasses as dc
 
+    xpad = (-spec.shape[0]) % plane_multiples[0]
+    ypad = (-spec.shape[1]) % plane_multiples[1]
     zpad = (-spec.shape[2]) % lane_multiple
-    mask = np.pad(np.asarray(spec.mask), ((1, 1), (1, 1), (0, zpad)))
-    rho0 = np.pad(np.asarray(spec.rho0), ((1, 1), (1, 1), (0, zpad)),
-                  constant_values=1.0)
-    u0 = np.pad(np.asarray(spec.u0), ((0, 0), (1, 1), (1, 1), (0, zpad)))
+    spatial = ((1, 1 + xpad), (1, 1 + ypad), (0, zpad))
+    mask = np.pad(np.asarray(spec.mask), spatial)
+    rho0 = np.pad(np.asarray(spec.rho0), spatial, constant_values=1.0)
+    u0 = np.pad(np.asarray(spec.u0), ((0, 0),) + spatial)
+    endpad = {0: xpad, 1: ypad, 2: zpad}
 
     def pad_lat(arr, axis, lead):
         lat = [a for a in range(3) if a != axis]
         pads = [(0, 0)] * lead + [
-            ((1, 1) if lat[k] in (0, 1) else (0, zpad)) for k in range(2)
+            ((1, 1 + endpad[lat[k]]) if lat[k] in (0, 1)
+             else (0, zpad)) for k in range(2)
         ]
         return np.pad(arr, pads)
 
@@ -740,7 +747,11 @@ def pad_spec(spec, lane_multiple: int = 1):
 
     return dc.replace(
         spec,
-        shape=(spec.shape[0] + 2, spec.shape[1] + 2, spec.shape[2] + zpad),
+        shape=(
+            spec.shape[0] + 2 + xpad,
+            spec.shape[1] + 2 + ypad,
+            spec.shape[2] + zpad,
+        ),
         mask=mask,
         rho0=rho0,
         u0=u0,

@@ -106,3 +106,22 @@ def test_padded_spec_matches_unpadded_physics():
     np.testing.assert_allclose(
         f_p[:, 1:-1, 1:-1, :], f_u, rtol=2e-6, atol=1e-7
     )
+
+
+def test_pallas_plane_multiples_padding():
+    """x/y interior rounding to tile multiples must not change physics
+    (bifurcation's prime ny=83 regime)."""
+    spec_p = pad_spec(get_case("lid_driven_cavity", n=18),
+                      plane_multiples=(4, 8))
+    assert spec_p.shape[0] == 22 and spec_p.shape[1] == 26
+    cc = compile_case(spec_p)
+    f0 = initial_f(cc)
+    f, _ = _pallas_run(cc, f0, 3)
+
+    spec_u = pad_spec(get_case("lid_driven_cavity", n=18))
+    cc_u = compile_case(spec_u)
+    f_ref = _dense_run(cc_u, initial_f(cc_u), 3)
+    np.testing.assert_allclose(
+        f[:, 1:19, 1:19, :], f_ref[:, 1:-1, 1:-1, :],
+        rtol=3e-6, atol=1e-7,
+    )
