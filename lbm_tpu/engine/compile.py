@@ -69,6 +69,9 @@ class CompiledBC:
     phi_star_series: Any = None      # (T, D, A, B) f32 for series
     series_stride: int = 1
     omega: float = 0.0               # (1 - 1/tau)
+    nbr_wall_plane: Any = None       # (19, A, B) bool: per-direction
+    #   wall-neighbor mask ON the consumer plane — lets plane fixups run
+    #   without the full (19, nx, ny, nz) nbr_wall array on device
 
 
 @dataclasses.dataclass
@@ -125,9 +128,19 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
             ]
         )  # (T, D, A, B)
 
+    # Wall-neighbor masks restricted to the consumer plane (for fixups).
+    wall = mask == CellType.WALL
+    c = bc.coord + bc.normal
+    planes = [np.take(wall, c, axis=bc.axis) & False]
+    for i in range(1, D3Q19.Q):
+        ex, ey, ez = (int(v) for v in D3Q19.E[i])
+        rolled = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
+        planes.append(np.take(rolled, c, axis=bc.axis))
+    nbr_wall_plane = np.stack(planes)
+
     return CompiledBC(
         axis=bc.axis,
-        consumer_coord=bc.coord + bc.normal,
+        consumer_coord=c,
         dirs=tuple(int(i) for i in dirs),
         valid=jnp.asarray(valid),
         rho_fixed=(bc.rho_value if bc.rho_mode == "fixed" else None),
@@ -136,17 +149,25 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
         phi_star_series=None if phi_series is None else jnp.asarray(phi_series),
         series_stride=int(bc.u_series_stride),
         omega=float(1.0 - 1.0 / tau),
+        nbr_wall_plane=jnp.asarray(nbr_wall_plane),
     )
 
 
-def compile_case(spec: CaseSpec) -> CompiledCase:
+def compile_case(spec: CaseSpec, light: bool = False) -> CompiledCase:
+    """light=True skips the full (19, nx, ny, nz) neighbor-wall array —
+    the Pallas backend derives wall tests from the mask channel in VMEM
+    and its plane fixups use the per-BC nbr_wall_plane slices, so the
+    645 MB-at-coronary-scale array never touches the device."""
     mask = spec.mask
     fluid = mask == CellType.FLUID
     wall = mask == CellType.WALL
-    nbr_wall = np.zeros((D3Q19.Q,) + mask.shape, dtype=bool)
-    for i in range(1, D3Q19.Q):
-        ex, ey, ez = (int(v) for v in D3Q19.E[i])
-        nbr_wall[i] = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
+    if light:
+        nbr_wall = None
+    else:
+        nbr_wall = np.zeros((D3Q19.Q,) + mask.shape, dtype=bool)
+        for i in range(1, D3Q19.Q):
+            ex, ey, ez = (int(v) for v in D3Q19.E[i])
+            nbr_wall[i] = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
 
     u0 = spec.u0.astype(np.float32)
     rho0 = spec.rho0.astype(np.float32)
@@ -160,7 +181,7 @@ def compile_case(spec: CaseSpec) -> CompiledCase:
         shape=tuple(spec.shape),
         tau=float(spec.tau),
         fluid=jnp.asarray(fluid),
-        nbr_wall=jnp.asarray(nbr_wall),
+        nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau) for bc in spec.boundaries],
         rho0=jnp.asarray(rho0),
         u0=jnp.asarray(u0),

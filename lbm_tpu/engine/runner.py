@@ -89,7 +89,8 @@ class Simulation:
                     spec,
                     lane_multiple=1 if interpret else 128,
                     plane_multiples=(1, 1) if mesh is not None else (4, 8),
-                )
+                ),
+                light=True,  # no full nbr_wall array on device
             )
         elif backend == "sparse":
             from lbm_tpu.engine.sparse import compile_sparse

@@ -534,10 +534,11 @@ def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
 _SPATIAL_DIM = {0: 0, 1: 1, 2: 3}  # lattice axis -> packed array dim
 
 
-def _plane_pull_packed(p, nbr_wall, axis: int, c: int):
+def _plane_pull_packed(p, nbr_wall_plane, axis: int, c: int):
     """Pulled populations (19, A, B) on plane `c` along `axis` of the
     packed state, with fused wall bounce-back (plane-restricted
-    engine/step.streamed)."""
+    engine/step.streamed). nbr_wall_plane: (19, A, B) per-direction
+    wall-neighbor masks for THIS plane (CompiledBC.nbr_wall_plane)."""
     dim = _SPATIAL_DIM[axis]
 
     def plane(ch, coord):
@@ -557,8 +558,7 @@ def _plane_pull_packed(p, nbr_wall, axis: int, c: int):
         if ax:
             nbr_plane = jnp.roll(nbr_plane, [shifts[k] for k in ax], axis=ax)
         own_opp = plane(_OPP[i], c)
-        wall = jnp.take(nbr_wall[i], c, axis=axis)
-        out.append(jnp.where(wall, own_opp, nbr_plane))
+        out.append(jnp.where(nbr_wall_plane[i], own_opp, nbr_plane))
     return jnp.stack(out)
 
 
@@ -570,7 +570,7 @@ def _fix_consumer_plane_packed(cc, bc, p_src, p_out, t):
 
     axis, c = bc.axis, bc.consumer_coord
     dim = _SPATIAL_DIM[axis]
-    pulled = _plane_pull_packed(p_src, cc.nbr_wall, axis, c)  # (19, A, B)
+    pulled = _plane_pull_packed(p_src, bc.nbr_wall_plane, axis, c)
 
     # Reuse apply_bc_fixup by lifting the plane to a 1-thick slab in
     # standard (19, x, y, z) layout.
@@ -645,6 +645,68 @@ def _build_nee_series(bc):
     return jnp.asarray(arr)
 
 
+def _valid_bbox(bc, shape_xy, margin: int = 2):
+    """Static (x0, x1, y0, y1) window around a z-BC's valid consumer
+    cells, inflated by `margin` so every written cell's lateral pulls
+    stay inside the window (the written region excludes the outermost
+    ring). Restricting the fixup to this window keeps the per-step XLA
+    work O(window), not O(plane) — and the splice a small
+    dynamic-update-slice instead of a full-plane one."""
+    v = np.asarray(bc.valid).any(axis=0)  # (A, B) = (x, y)
+    xs, ys = np.nonzero(v)
+    if xs.size == 0:
+        return None
+    x0 = max(int(xs.min()) - margin, 0)
+    x1 = min(int(xs.max()) + 1 + margin, shape_xy[0])
+    y0 = max(int(ys.min()) - margin, 0)
+    y1 = min(int(ys.max()) + 1 + margin, shape_xy[1])
+    return x0, x1, y0, y1
+
+
+def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
+    """Windowed z-plane NEE fixup (same math as _fix_consumer_plane_packed
+    restricted to the bbox window; exact because the written interior's
+    pulls never reach the window border)."""
+    from lbm_tpu.core.lattice import phi
+    from lbm_tpu.engine.step import apply_bc_fixup
+
+    x0, x1, y0, y1 = win
+    c = bc.consumer_coord
+    sub = p_src[x0:x1, y0:y1, :, c - 1 : c + 2]  # (wx, wy, C, 3)
+    nbr_w = bc.nbr_wall_plane[:, x0:x1, y0:y1]
+    pulled = _plane_pull_packed(sub, nbr_w, 2, 1)  # (19, wx, wy)
+
+    bc0 = dataclasses.replace(
+        bc,
+        consumer_coord=0,
+        valid=bc.valid[:, x0:x1, y0:y1],
+        phi_star=(None if bc.phi_star is None
+                  else bc.phi_star[:, x0:x1, y0:y1]),
+        phi_star_series=(None if bc.phi_star_series is None
+                         else bc.phi_star_series[:, :, x0:x1, y0:y1]),
+    )
+    src_plane = sub[:, :, :19, 1].transpose(2, 0, 1)  # (19, wx, wy)
+    pulled_slab = jnp.expand_dims(pulled, 3)
+    src_slab = jnp.expand_dims(src_plane, 3)
+    pulled = jnp.squeeze(apply_bc_fixup(pulled_slab, src_slab, bc0, t), 3)
+
+    rho = jnp.sum(pulled, axis=0)
+    ef = jnp.asarray(_E.T.astype(np.float32))
+    mom = jnp.tensordot(ef, pulled, axes=([1], [0]),
+                        precision=jax.lax.Precision.HIGHEST)
+    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+    feq = rho[None] * phi(u)
+    post = pulled - (pulled - feq) / cc.tau
+    fluid_pl = cc.fluid[x0:x1, y0:y1, c]
+    newplane = jnp.where(fluid_pl[None], post, src_plane)
+    aux = sub[:, :, 19:, 1].transpose(2, 0, 1)
+    full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
+    # Write the window interior only (border ring may be wrap-corrupted).
+    return p_out.at[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, :, c].set(
+        full[1:-1, 1:-1]
+    )
+
+
 def make_pallas_step(
     cc_pad, tx: int | None = None, ty: int | None = None,
     interpret: bool = False,
@@ -683,6 +745,10 @@ def make_pallas_step(
         else:
             nee_static.append(("static", _build_nee(bc), 1))
 
+    wins = [
+        _valid_bbox(bc, (nxp, nyp)) for bc in fixup_bcs
+    ]
+
     def step(p, t):
         nee = []
         for kind, arr, stride in nee_static:
@@ -698,8 +764,10 @@ def make_pallas_step(
             p, *nee, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
             interpret=interpret,
         )
-        for bc in fixup_bcs:
-            p_bulk = _fix_consumer_plane_packed(cc_pad, bc, p, p_bulk, t)
+        for bc, win in zip(fixup_bcs, wins):
+            if win is None:
+                continue
+            p_bulk = _fix_z_plane_windowed(cc_pad, bc, win, p, p_bulk, t)
         return p_bulk, vs
 
     return step

@@ -94,8 +94,7 @@ def _fix_z_plane_blocked(cc_blk, bc, p_local, lo, hi, p_out, t, shard_axis):
         slab = jnp.concatenate(
             [lo_s, slab[:, 1:-1], hi_s], axis=1
         )
-    nbr_wall_s = cc_blk.nbr_wall[..., zsl]
-    pulled = cs._plane_pull_packed(slab, nbr_wall_s, 2, 1)  # (19, x, y)
+    pulled = cs._plane_pull_packed(slab, bc.nbr_wall_plane, 2, 1)
 
     bc0 = dataclasses.replace(bc, consumer_coord=0)
     src_plane = slab[:, :, :19, 1].transpose(2, 0, 1)  # (19, x, y)
@@ -180,8 +179,7 @@ def make_pallas_sharded_step(
     if fixup_bcs:
         cc_blk = dataclasses.replace(
             cc_pad,
-            nbr_wall=jnp.asarray(_overlap_windows(
-                np.asarray(cc_pad.nbr_wall), 1 + shard_axis, ndev, L)),
+            nbr_wall=None,
             fluid=jnp.asarray(_overlap_windows(
                 np.asarray(cc_pad.fluid), shard_axis, ndev, L)),
         )
@@ -190,6 +188,8 @@ def make_pallas_sharded_step(
             dim = 1 + shard_axis
             d["valid"] = jnp.asarray(_overlap_windows(
                 np.asarray(bc.valid), dim, ndev, L))
+            d["nbr_wall_plane"] = jnp.asarray(_overlap_windows(
+                np.asarray(bc.nbr_wall_plane), dim, ndev, L))
             if bc.phi_star is not None:
                 d["phi_star"] = jnp.asarray(_overlap_windows(
                     np.asarray(bc.phi_star), dim, ndev, L))
@@ -208,9 +208,9 @@ def make_pallas_sharded_step(
         nee = nee_and_blk[: len(nee_tabs)]
         blk = nee_and_blk[len(nee_tabs):]
         if fixup_bcs:
-            nbr_wall_loc, fluid_loc = blk[0], blk[1]
+            fluid_loc = blk[0]
             fix_dicts = []
-            k = 2
+            k = 1
             for d in fixup_arrays:
                 loc = {}
                 for key in d:
@@ -242,9 +242,7 @@ def make_pallas_sharded_step(
             interpret=interpret,
         )
         if fixup_bcs:
-            cc_loc = dataclasses.replace(
-                cc_blk, nbr_wall=nbr_wall_loc, fluid=fluid_loc
-            )
+            cc_loc = dataclasses.replace(cc_blk, fluid=fluid_loc)
             for bc, loc in zip(fixup_bcs, fix_dicts):
                 bc_loc = dataclasses.replace(bc, **loc)
                 p_new = _fix_z_plane_blocked(
@@ -264,12 +262,10 @@ def make_pallas_sharded_step(
         in_specs.append(P(*spec))
         extra_args.append(tab)
     if fixup_bcs:
-        nw_spec = [None] * 4
-        nw_spec[1 + shard_axis] = axis_name
         fl_spec = [None] * 3
         fl_spec[shard_axis] = axis_name
-        in_specs += [P(*nw_spec), P(*fl_spec)]
-        extra_args += [cc_blk.nbr_wall, cc_blk.fluid]
+        in_specs += [P(*fl_spec)]
+        extra_args += [cc_blk.fluid]
         for d in fixup_arrays:
             for key, arr in d.items():
                 spec = [None] * arr.ndim

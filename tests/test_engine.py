@@ -225,3 +225,32 @@ def test_checkpoint_cross_backend_sparse():
         np.testing.assert_allclose(
             f2[:, live], f1[:, live], rtol=3e-5, atol=5e-7
         )
+
+
+@pytest.mark.slow
+def test_curved_vessel_pulsatile_periodicity():
+    """Unsteady BC series: after spin-up, the inlet-region velocity must
+    oscillate at the driven period (thesis section 4.5-E capability)."""
+    import jax.numpy as jnp
+    from lbm_tpu.engine.step import initial_f, make_step
+
+    period = 120
+    case = get_case("curved_vessel", n=24, nphase=12, period_steps=period)
+    cc = compile_case(case)
+    step = jax.jit(make_step(cc))
+    f = initial_f(cc)
+    # Spin up two periods.
+    for t in range(2 * period):
+        f, rho, u = step(f, jnp.int32(t))
+    # Record a probe (mean inlet-region uy) over two more periods.
+    fluid_probe = np.asarray(cc.fluid)[:, 3, :]
+    sig = []
+    for t in range(2 * period, 4 * period):
+        f, rho, u = step(f, jnp.int32(t))
+        sig.append(float(np.asarray(u)[1][:, 3, :][fluid_probe].mean()))
+    sig = np.asarray(sig)
+    assert sig.std() > 1e-5  # genuinely unsteady
+    # Period-shifted self-similarity: cycle 1 vs cycle 2.
+    c1, c2 = sig[:period], sig[period:]
+    err = np.linalg.norm(c1 - c2) / np.linalg.norm(c2 - c2.mean() + 1e-12)
+    assert np.corrcoef(c1, c2)[0, 1] > 0.99
