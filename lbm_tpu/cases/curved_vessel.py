@@ -17,7 +17,7 @@ from lbm_tpu.cases import register
 from lbm_tpu.core.units import UnitSystem
 from lbm_tpu.engine.spec import CaseSpec, PlaneBC
 from lbm_tpu.geometry.mask import CellType
-from lbm_tpu.geometry.shapes import curved_pipe_mask, pipe_parabola
+from lbm_tpu.geometry.shapes import curved_pipe_mask
 
 
 def pulse_waveform(nphase: int, base: float = 0.6, amp: float = 0.4):

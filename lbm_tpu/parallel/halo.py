@@ -19,12 +19,11 @@ y-wrap, Poiseulle.cu:617).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from lbm_tpu.core.lattice import D3Q19, phi
 from lbm_tpu.engine.compile import CompiledCase

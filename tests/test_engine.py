@@ -7,8 +7,7 @@ import pytest
 from lbm_tpu.cases import get_case
 from lbm_tpu.engine.compile import compile_case
 from lbm_tpu.engine.runner import Simulation
-from lbm_tpu.engine.step import initial_f, macro_fields, make_step
-from lbm_tpu.geometry.mask import CellType
+from lbm_tpu.engine.step import initial_f, make_step
 
 
 import jax

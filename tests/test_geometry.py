@@ -10,7 +10,6 @@ from lbm_tpu.geometry.mask import (
     CellType,
     compact_index,
     end_plane_copy_label,
-    end_plane_min_label,
     erode_label,
     ghost_dilate,
 )

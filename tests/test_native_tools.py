@@ -138,7 +138,6 @@ def test_fit_plane_normal():
 def test_geo_preprocess_pipeline(reference_root, tmp_path):
     """End-to-end STL -> labeled mask (the capability the reference
     describes in README item E but never ships)."""
-    from lbm_tpu.geometry.io import load_geo
     from lbm_tpu.geometry.preprocess import label_occupancy, stl_to_occupancy
 
     flag = stl_to_occupancy(

@@ -12,10 +12,7 @@ from lbm_tpu.engine.compile import compile_case
 from lbm_tpu.engine.step import initial_f, make_step
 from lbm_tpu.kernels.collide_stream import pack_state, pad_spec, unpack_state
 from lbm_tpu.parallel.mesh import lattice_mesh
-from lbm_tpu.parallel.pallas_sharded import (
-    from_blocked,
-    make_pallas_sharded_step,
-)
+from lbm_tpu.parallel.pallas_sharded import make_pallas_sharded_step
 
 pytestmark = pytest.mark.multichip
 
