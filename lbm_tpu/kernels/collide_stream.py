@@ -70,16 +70,18 @@ def unpack_state(p):
     return p.transpose(2, 0, 1, 3)[:19]
 
 
-def _tile_compute(ft, tau: float, tx: int, ty: int,
+def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
                   ti=None, tj=None, bcs_static=(), nee_refs=()):
     """All-VMEM tile update.
 
     ft: ref (tx+2, ty+2, C, nz) f32 — packed tile with x/y halos.
+    ot: ref (tx, ty, C, nz) — output tile, written per channel (a stacked
+    value would materialize an extra tile-sized copy; measured +18%).
     ti/tj: dynamic tile coordinates (for in-kernel NEE plane masking).
     bcs_static: static per-BC dicts for axis-0/1 NEE boundaries; nee_refs:
     matching VMEM refs (A, 8, nz) holding the 5 per-direction shifted
     boundary equilibria phi* (0 marks invalid lateral cells).
-    returns (out (tx, ty, C, nz), velsum_partial scalar).
+    returns velsum_partial (scalar).
     """
     inv_tau = np.float32(1.0 / tau)
     cx, cy = slice(1, 1 + tx), slice(1, 1 + ty)
@@ -124,15 +126,16 @@ def _tile_compute(ft, tau: float, tx: int, ty: int,
     usq = ux * ux + uy * uy + uz * uz
     common = np.float32(1.0) - np.float32(1.5) * usq
 
-    # Pass 2: BGK collide + fluid select. Opposite-direction pairs share
-    # their equilibrium terms: feq_{i,opp} = w rho (common + 4.5 cu^2)
-    # +/- 3 w rho cu — the classic pairwise LBM factorization, ~30% fewer
-    # VPU ops than the naive per-direction form.
-    outs: list = [None] * 19
+    # Pass 2: BGK collide + fluid select, written straight into the
+    # output tile. Opposite-direction pairs share their equilibrium
+    # terms: feq_{i,opp} = w rho (common + 4.5 cu^2) +/- 3 w rho cu — the
+    # classic pairwise LBM factorization, ~30% fewer VPU ops than the
+    # naive per-direction form.
     f0 = vals[0]
     feq0 = rho * np.float32(_W[0]) * common
-    outs[0] = jnp.where(is_fluid, f0 - (f0 - feq0) * inv_tau, f0)
+    ot[:, :, 0, :] = jnp.where(is_fluid, f0 - (f0 - feq0) * inv_tau, f0)
     rho_tau = rho * inv_tau
+    keep = np.float32(1.0) - inv_tau
     for i in range(1, 19):
         o = int(_OPP[i])
         if o < i:
@@ -148,17 +151,15 @@ def _tile_compute(ft, tau: float, tx: int, ty: int,
         w = np.float32(_W[i])
         even = rho_tau * (w * (common + np.float32(4.5) * cu * cu))
         odd = rho_tau * (w * np.float32(3.0)) * cu
-        vi, vo = vals[i], vals[o]
-        keep = np.float32(1.0) - inv_tau
-        post_i = vi * keep + even + odd
-        post_o = vo * keep + even - odd
-        outs[i] = jnp.where(is_fluid, post_i, ft[cx, cy, i, :])
-        outs[o] = jnp.where(is_fluid, post_o, ft[cx, cy, o, :])
+        ot[:, :, i, :] = jnp.where(
+            is_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
+        )
+        ot[:, :, o, :] = jnp.where(
+            is_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
+        )
     # Mask + padding channels pass through unchanged.
     for ch in range(MASK_CH, C):
-        outs.append(ft[cx, cy, ch, :])
-    assert all(o is not None for o in outs)
-    out = jnp.stack(outs, axis=2)  # (tx, ty, C, nz)
+        ot[:, :, ch, :] = ft[cx, cy, ch, :]
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
     # rows' post-NEE contribution is added by the row fix itself).
     count = is_fluid
@@ -170,8 +171,7 @@ def _tile_compute(ft, tau: float, tx: int, ty: int,
             ids = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, nz), 1) \
                 + 1 + tj * ty
         count = count & (ids != bc.c)
-    vs = jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
-    return out, vs
+    return jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
 
 
 def _row_fix(ft, ot_slot, bc, nee, ti, tj, tau: float, tx: int, ty: int):
@@ -407,16 +407,15 @@ def _kernel(
                     cp.start()
                     cp.wait()
         ti, tj = tid // gy, tid % gy
-        out, vs = _tile_compute(
-            ft.at[slot], tau, tx, ty,
-            ti=ti, tj=tj, bcs_static=bcs_static, nee_refs=nee_refs,
-        )
 
         @pl.when(tid >= 2)
         def _():
             out_copy(slot, tid - 2).wait()
 
-        ot[slot] = out
+        vs = _tile_compute(
+            ft.at[slot], ot.at[slot], tau, tx, ty,
+            ti=ti, tj=tj, bcs_static=bcs_static, nee_refs=nee_refs,
+        )
         acc[0] = acc[0] + vs
 
         # NEE consumer-plane rows: recompute only on intersecting tiles.
