@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     runp.add_argument("--resume", default=None, help="checkpoint to resume")
     runp.add_argument("--no-vtk", action="store_true")
     runp.add_argument("--binary-vtk", action="store_true")
+    runp.add_argument("--snapshots", action="store_true",
+                      help="write end-of-run midplane/BC snapshots "
+                           "(meas1.txt, s1_out.txt, vel.csv — the "
+                           "reference's write_once/outtxt outputs)")
     runp.add_argument("--shard", type=int, default=0,
                       help="shard the lattice over N devices (0 = auto off)")
     runp.add_argument("--backend", default="auto",
@@ -139,6 +143,20 @@ def main(argv=None) -> int:
     if not args.no_vtk:
         case_vtk(sim, args.out, sim.t, include_density=spec.vtk_density,
                  binary=args.binary_vtk)
+    if args.snapshots:
+        from lbm_tpu.io.snapshots import (
+            write_bc_csv,
+            write_midplane,
+            write_midplane_fluid,
+        )
+
+        rho, u = sim.macro()
+        u = np.asarray(u)
+        write_midplane(os.path.join(args.out, "meas1.txt"), u)
+        write_midplane_fluid(
+            os.path.join(args.out, "s1_out.txt"), u, spec.mask
+        )
+        write_bc_csv(os.path.join(args.out, "vel.csv"), u, spec.mask)
     return 0
 
 

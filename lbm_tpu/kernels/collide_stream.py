@@ -561,62 +561,6 @@ def _plane_pull_packed(p, nbr_wall_plane, axis: int, c: int):
     return jnp.stack(out)
 
 
-def _fix_consumer_plane_packed(cc, bc, p_src, p_out, t):
-    """Recompute the fused step exactly on one BC consumer plane of the
-    packed state and splice it into the kernel output."""
-    from lbm_tpu.core.lattice import phi
-    from lbm_tpu.engine.step import apply_bc_fixup
-
-    axis, c = bc.axis, bc.consumer_coord
-    dim = _SPATIAL_DIM[axis]
-    pulled = _plane_pull_packed(p_src, bc.nbr_wall_plane, axis, c)
-
-    # Reuse apply_bc_fixup by lifting the plane to a 1-thick slab in
-    # standard (19, x, y, z) layout.
-    src_idx = [slice(None)] * 4
-    src_idx[dim] = c
-    src_plane = p_src[tuple(src_idx)]  # (A, C, B) or (C, A, B)...
-    # Normalize: after removing spatial dim `dim`, channel dim position:
-    ch_pos = 2 if dim in (0, 1) else 2  # p is (x, y, C, z)
-    if dim == 0:
-        src_plane = src_plane.transpose(1, 0, 2)  # (C, y, z)
-    elif dim == 1:
-        src_plane = src_plane.transpose(1, 0, 2)  # (C, x, z)
-    else:  # dim == 3 (z-plane): (x, y, C) -> (C, x, y)
-        src_plane = src_plane.transpose(2, 0, 1)
-    src_f = src_plane[:19]  # (19, A, B)
-
-    bc0 = dataclasses.replace(bc, consumer_coord=0)
-    pulled_slab = jnp.expand_dims(pulled, 1 + axis)
-    src_slab = jnp.expand_dims(src_f, 1 + axis)
-    pulled_slab = apply_bc_fixup(pulled_slab, src_slab, bc0, t)
-    pulled = jnp.squeeze(pulled_slab, 1 + axis)
-
-    rho = jnp.sum(pulled, axis=0)
-    ef = jnp.asarray(_E.T.astype(np.float32))
-    mom = jnp.tensordot(ef, pulled, axes=([1], [0]),
-                        precision=jax.lax.Precision.HIGHEST)
-    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
-    feq = rho[None] * phi(u)
-    post = pulled - (pulled - feq) / cc.tau
-    fluid_pl = jnp.take(cc.fluid, c, axis=axis)
-    newplane = jnp.where(fluid_pl[None], post, src_f)  # (19, A, B)
-
-    # Back to packed plane orientation and splice. All 24 channels are
-    # written (mask/pad channels pass through from src) so the update is
-    # a full contiguous slab along the tiled sublane dim — an unaligned
-    # 19-of-24 channel slice would force XLA into a copy.
-    aux = src_plane[19:]  # (5, A, B) mask + padding channels
-    full = jnp.concatenate([newplane, aux], axis=0)  # (C, A, B)
-    if dim == 0:
-        p_out = p_out.at[c, :, :, :].set(full.transpose(1, 0, 2))
-    elif dim == 1:
-        p_out = p_out.at[:, c, :, :].set(full.transpose(1, 0, 2))
-    else:
-        p_out = p_out.at[:, :, :, c].set(full.transpose(1, 2, 0))
-    return p_out
-
-
 def _build_nee(bc):
     """(A, 8, B) f32 NEE plane data: channels 0..4 hold phi*_d masked by
     validity (phi* > 0 <=> valid; for u-extrapolate BCs a 1.0 marker)."""
@@ -663,9 +607,10 @@ def _valid_bbox(bc, shape_xy, margin: int = 2):
 
 
 def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
-    """Windowed z-plane NEE fixup (same math as _fix_consumer_plane_packed
-    restricted to the bbox window; exact because the written interior's
-    pulls never reach the window border)."""
+    """Windowed z-plane NEE fixup: recompute the fused step exactly on
+    the consumer plane restricted to the bbox window, then splice it into
+    the kernel output (exact because the written interior's pulls never
+    reach the window border)."""
     from lbm_tpu.core.lattice import phi
     from lbm_tpu.engine.step import apply_bc_fixup
 

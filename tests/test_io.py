@@ -123,3 +123,18 @@ def test_cli_list():
     for name in ["lid_driven_cavity", "poiseuille", "bifurcation",
                  "curved_vessel", "coronary"]:
         assert name in r.stdout
+
+
+def test_cli_snapshots(tmp_path):
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "lbm_tpu", "run", "--case", "lid_driven_cavity",
+         "--out", str(out), "--steps", "10", "--time-save", "10",
+         "--no-vtk", "--snapshots", "--backend", "xla", "--opt", "n=16"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for fn in ("meas1.txt", "s1_out.txt", "vel.csv"):
+        assert (out / fn).exists(), fn
+    assert len((out / "meas1.txt").read_text().split()) == 2 * 16 * 16
