@@ -89,6 +89,10 @@ def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
     nz = m_ctr.shape[-1]
 
+    # Per-direction wall tests: hoisting these into 3 pre-rolled whole-
+    # tile masks was measured SLOWER (1216 vs 1817 MLUPS) — the hoisted
+    # masks stay live across the pull loop and spill; the per-direction
+    # roll+compare is cheaper under Mosaic's scheduler.
     def pulled(i):
         ex, ey, ez = (int(v) for v in _E[i])
         sx = slice(1 - ex, 1 - ex + tx)
