@@ -171,13 +171,14 @@ def compact_index(geo: np.ndarray) -> tuple[np.ndarray, int]:
     in z-major / x-fastest order (the reference's z,y,x loop with x inner),
     -1 for DEAD cells; nlattice = live cell count.
     """
-    live = (geo != CellType.DEAD)
-    # z outer, y middle, x inner == C-order over transposed (z, y, x).
-    order = np.transpose(live, (2, 1, 0)).ravel()
-    ids = np.cumsum(order) - 1
-    idx_t = np.where(order, ids, -1).reshape(np.transpose(live, (2, 1, 0)).shape)
-    index = np.transpose(idx_t, (2, 1, 0)).astype(np.int64)
-    return index, int(order.sum())
+    # z outer, y middle, x inner == C-order over the transposed (z, y, x)
+    # view; materialize it once so ravel/cumsum run on contiguous memory
+    # (the strided version cost ~19 s on a 16M-cell grid).
+    live_t = np.ascontiguousarray(np.transpose(geo, (2, 1, 0))) != CellType.DEAD
+    flat = live_t.ravel()
+    ids = np.cumsum(flat, dtype=np.int64) - 1
+    idx_t = np.where(flat, ids, np.int64(-1)).reshape(live_t.shape)
+    return np.transpose(idx_t, (2, 1, 0)), int(flat.sum())
 
 
 __all__ = [
