@@ -35,8 +35,14 @@ def save_geo(path: str, flag: np.ndarray, order: str = "xyz") -> None:
         flat = flag.transpose(2, 0, 1).ravel()
     else:
         raise ValueError(f"unknown geo order {order!r}")
+    # Chunked writes: a single join of a coronary-sized grid (31.5M ints)
+    # would build a ~100 MB string.
     with open(path, "w") as fh:
-        fh.write(" ".join(str(int(v)) for v in flat))
+        chunk = 1 << 20
+        for i in range(0, flat.size, chunk):
+            part = flat[i : i + chunk]
+            fh.write(" ".join(map(str, part.tolist())))
+            fh.write(" " if i + chunk < flat.size else "")
 
 
 def load_bc(path: str, nx: int, nz: int) -> list[np.ndarray]:
