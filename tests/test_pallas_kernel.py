@@ -125,3 +125,24 @@ def test_pallas_plane_multiples_padding():
         f[:, 1:19, 1:19, :], f_ref[:, 1:-1, 1:-1, :],
         rtol=3e-6, atol=1e-7,
     )
+
+
+def test_pallas_backend_in_runner_interpret():
+    """Simulation(backend='pallas') off-TPU runs the kernel in interpret
+    mode through the full runner (padding, packing, residuals, macro) and
+    matches the xla backend."""
+    from lbm_tpu.engine.runner import Simulation
+
+    kw = dict(n=16, max_steps=8, time_save=4)
+    sim = Simulation(get_case("lid_driven_cavity", **kw), backend="pallas")
+    res = sim.run(verbose=False)
+    assert res.steps == 8
+    sim2 = Simulation(get_case("lid_driven_cavity", **kw), backend="xla")
+    res2 = sim2.run(verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(sim.f_standard()), np.asarray(sim2.f_standard()),
+        rtol=3e-6, atol=1e-7,
+    )
+    assert abs(res.residual - res2.residual) < 1e-6
+    rho, u = sim.macro()
+    assert rho.shape == (16, 16, 16)
