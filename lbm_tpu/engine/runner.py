@@ -80,6 +80,12 @@ class Simulation:
             shard_axis = free_axis(spec)
         self.shard_axis = shard_axis
         if backend == "pallas":
+            if sharding is not None:
+                raise ValueError(
+                    "backend='pallas' takes mesh=/shard_axis= for "
+                    "multi-chip runs, not a GSPMD sharding (that is the "
+                    "xla backend's mechanism)"
+                )
             from lbm_tpu.kernels.collide_stream import pad_spec
 
             interpret = jax.default_backend() == "cpu"
