@@ -225,3 +225,18 @@ __all__ = [
     "alpha_shape_surface",
     "median_spacing",
 ]
+
+
+def load_point_cloud_mat(path: str, var: str = "p") -> np.ndarray:
+    """Load a MATLAB point cloud (the MyCrustOpen demo .mat format:
+    variable `p`, (n, 3) doubles — MyCrustOpen/TestMyCrustOpen.m)."""
+    from scipy.io import loadmat
+
+    d = loadmat(path)
+    if var not in d:
+        cand = [k for k in d if not k.startswith("__")]
+        raise KeyError(f"variable {var!r} not in {path} (has {cand})")
+    pts = np.asarray(d[var], np.float64)
+    if pts.ndim != 2 or pts.shape[1] != 3:
+        raise ValueError(f"{path}:{var} is {pts.shape}, expected (n, 3)")
+    return pts

@@ -88,3 +88,18 @@ def test_alpha_shape_volumetric_ball():
 def test_median_spacing():
     s = median_spacing(_sphere_cloud(500))
     assert 0.01 < s < 0.5
+
+
+def test_reconstruct_mycrustopen_demo_cloud(reference_root):
+    """End-to-end on a real MyCrustOpen demo cloud (Foot.mat, 10k points,
+    the reference's own test data: TestMyCrustOpen.m)."""
+    from lbm_tpu.geometry.reconstruct import load_point_cloud_mat
+
+    pts = load_point_cloud_mat(f"{reference_root}/MyCrustOpen/Foot.mat")
+    assert pts.shape == (10010, 3)
+    verts, faces = reconstruct_surface(pts, (48, 48, 48), smooth_iters=4)
+    assert len(faces) > 1000
+    assert np.isfinite(verts).all()
+    occ, origin, spacing = cloud_to_occupancy(pts, (48, 48, 48))
+    # A solid foot: meaningful interior volume.
+    assert occ.sum() > 2000
