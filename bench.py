@@ -38,9 +38,18 @@ def main() -> int:
     run = sim._chunk(args.steps)
     # Warmup call compiles the scan; only steady-state execution is timed.
     # Fetching the per-step residual series forces real completion (the
-    # remote-TPU transport's block_until_ready can return early).
-    sim.f, _, s = run(sim.f, 0)
-    _ = np.asarray(s)
+    # remote-TPU transport's block_until_ready can return early). The
+    # remote compile service is occasionally flaky — retry once.
+    for attempt in (0, 1):
+        try:
+            sim.f, _, s = run(sim.f, 0)
+            _ = np.asarray(s)
+            break
+        except Exception:
+            if attempt:
+                raise
+            sim.reset()
+            time.sleep(5)
 
     t0 = time.perf_counter()
     sim.f, _, s = run(sim.f, args.steps)
