@@ -33,7 +33,10 @@ def main() -> int:
     from lbm_tpu.cases import get_case
     from lbm_tpu.engine.runner import Simulation
 
-    spec = get_case(args.case, n=args.n)
+    try:
+        spec = get_case(args.case, n=args.n)
+    except TypeError:  # case builder without an `n` knob (e.g. coronary)
+        spec = get_case(args.case)
     sim = Simulation(spec, backend=args.backend)
     run = sim._chunk(args.steps)
     # Warmup call compiles the scan; only steady-state execution is timed.
