@@ -52,4 +52,19 @@ def write_bc_csv(path: str, u, mask, labels=(2, 3, 5, 6, 7)) -> None:
             )
 
 
-__all__ = ["write_midplane", "write_midplane_fluid", "write_bc_csv"]
+__all__ = ["write_midplane", "write_midplane_fluid", "write_bc_csv",
+           "write_live_velocities"]
+
+
+def write_live_velocities(path: str, u, mask) -> None:
+    """All live-cell velocities, one z-slab per line (the bifurcation
+    write_vel / scenario3a.txt dump, bifurcation.cu:1076-1092)."""
+    u = np.asarray(u)
+    live = np.asarray(mask) != CellType.DEAD
+    nz = u.shape[3]
+    with open(path, "w") as fh:
+        for z in range(nz):
+            sel = live[:, :, z].T.ravel()  # y outer, x fastest
+            comps = [u[c, :, :, z].T.ravel()[sel] for c in range(3)]
+            row = np.stack(comps, axis=1).ravel()
+            fh.write(" ".join(f"{v:g}" for v in row) + " \n")

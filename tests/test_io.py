@@ -138,3 +138,18 @@ def test_cli_snapshots(tmp_path):
     for fn in ("meas1.txt", "s1_out.txt", "vel.csv"):
         assert (out / fn).exists(), fn
     assert len((out / "meas1.txt").read_text().split()) == 2 * 16 * 16
+
+
+def test_write_live_velocities(tmp_path):
+    from lbm_tpu.io.snapshots import write_live_velocities
+
+    sim = Simulation(get_case("lid_driven_cavity", n=8))
+    rho, u = sim.macro()
+    p = tmp_path / "scenario.txt"
+    write_live_velocities(str(p), u, sim.spec.mask)
+    lines = p.read_text().splitlines()
+    assert len(lines) == 8  # one per z slab (dead slabs are blank)
+    n_live = [int((np.asarray(sim.spec.mask)[:, :, z] != 0).sum())
+              for z in range(8)]
+    for z in (0, 3, 7):
+        assert len(lines[z].split()) == 3 * n_live[z]
