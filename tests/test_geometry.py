@@ -150,3 +150,27 @@ def test_compact_index_order():
     assert n == 3
     # Order is z-major, then y, then x fastest (Poiseulle.cu:259-262).
     assert index[1, 1, 1] == 0 and index[2, 1, 1] == 1 and index[1, 2, 2] == 2
+
+
+def test_geo_save_load_roundtrip_both_orders(tmp_path):
+    rng = np.random.default_rng(5)
+    flag = (rng.random((6, 5, 4)) < 0.4).astype(np.int32)
+    from lbm_tpu.geometry.io import save_geo
+
+    for order in ("xyz", "yxz"):
+        p = str(tmp_path / f"g_{order}.txt")
+        save_geo(p, flag, order=order)
+        back = load_geo(p, flag.shape, order=order)
+        np.testing.assert_array_equal(back, flag)
+
+
+def test_unit_system_derivation():
+    from lbm_tpu.core.units import UnitSystem
+
+    # Reproduce ldc.cu:49's constants from the physical case parameters
+    # (nu = 2.7e-6 m^2/s, CH = 6.55737e-5 m, tau = 0.55).
+    us = UnitSystem.from_viscosity(2.7e-6, 0.0000655737, 0.55)
+    assert abs(us.C_U - 2.4705) < 5e-4
+    assert abs(us.C_pre - 1060.0 * us.C_U**2) < 1e-6
+    assert abs(us.C_T - us.CH / us.C_U) < 1e-12
+    assert abs(us.to_lattice_velocity(0.15) * us.C_U - 0.15) < 1e-9
