@@ -61,6 +61,14 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
+    # Some TPU plugins override JAX_PLATFORMS; honor an explicit platform
+    # request through jax.config before anything initializes a backend.
+    platform = os.environ.get("LBM_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     if args.cmd == "list":
         from lbm_tpu.cases import list_cases
 

@@ -95,7 +95,7 @@ def test_checkpoint_rejects_wrong_case(tmp_path):
 
 def test_cli_end_to_end(tmp_path):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env["LBM_TPU_PLATFORM"] = "cpu"
     out = tmp_path / "out"
     r = subprocess.run(
         [sys.executable, "-m", "lbm_tpu", "run", "--case", "lid_driven_cavity",
@@ -127,11 +127,13 @@ def test_cli_list():
 
 def test_cli_snapshots(tmp_path):
     out = tmp_path / "out"
+    env = dict(os.environ)
+    env["LBM_TPU_PLATFORM"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "lbm_tpu", "run", "--case", "lid_driven_cavity",
          "--out", str(out), "--steps", "10", "--time-save", "10",
          "--no-vtk", "--snapshots", "--backend", "xla", "--opt", "n=16"],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr[-2000:]
