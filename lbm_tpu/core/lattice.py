@@ -71,6 +71,10 @@ D3Q19 = _D3Q19()
 
 _EF = D3Q19.E.astype(np.float32)  # (19, 3)
 _W = D3Q19.W  # (19,)
+# f64 master weights, for the float64 algebraic-identity proof runs
+# (tests/test_reference_parity.py); the runtime path stays fp32.
+_W64 = np.array([1.0 / 3.0] + [1.0 / 18.0] * 6 + [1.0 / 36.0] * 12,
+                dtype=np.float64)
 
 
 def phi(u, dirs=None):
@@ -84,9 +88,15 @@ def phi(u, dirs=None):
 
     u: (3, ...) velocity field. Returns (Q', ...) with Q' = len(dirs) or 19.
     """
-    e = _EF if dirs is None else _EF[np.asarray(dirs)]
-    w = _W if dirs is None else _W[np.asarray(dirs)]
-    u = jnp.asarray(u, jnp.float32)
+    u = jnp.asarray(u)
+    if u.dtype != jnp.float64:  # default fp32 path (reference precision)
+        u = u.astype(jnp.float32)
+    wtab = _W if u.dtype == jnp.float32 else _W64
+    e = D3Q19.E.astype(u.dtype)
+    w = wtab.astype(u.dtype)
+    if dirs is not None:
+        e = e[np.asarray(dirs)]
+        w = w[np.asarray(dirs)]
     # precision pinned: on TPU, dot defaults to bf16 MXU passes; the
     # (Q', 3) contraction must stay fp32 (reference is fp32 throughout).
     cu = jnp.tensordot(
@@ -102,7 +112,8 @@ def feq(rho, u, dirs=None):
 
     rho: (...); u: (3, ...). Returns (Q', ...).
     """
-    return jnp.asarray(rho, jnp.float32)[None] * phi(u, dirs)
+    p = phi(u, dirs)
+    return jnp.asarray(rho, p.dtype)[None] * p
 
 
 def moments(f):
@@ -111,10 +122,12 @@ def moments(f):
     f: (19, ...). Returns (rho (...), u (3, ...)). Matches the moment sums
     at ldc.cu:316-322 (u = sum_i e_i f_i / rho).
     """
-    f = jnp.asarray(f, jnp.float32)
+    f = jnp.asarray(f)
+    if f.dtype != jnp.float64:
+        f = f.astype(jnp.float32)
     rho = jnp.sum(f, axis=0)
     mom = jnp.tensordot(
-        jnp.asarray(_EF.T), f, axes=([1], [0]),
+        jnp.asarray(D3Q19.E.T.astype(f.dtype)), f, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )  # (3, ...)
     return rho, mom / rho

@@ -32,18 +32,24 @@ from lbm_tpu.engine.spec import CaseSpec, PlaneBC
 from lbm_tpu.geometry.mask import CellType
 
 
-def _phi_np(u: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+_W64 = np.array([1.0 / 3.0] + [1.0 / 18.0] * 6 + [1.0 / 36.0] * 12,
+                dtype=np.float64)
+
+
+def _phi_np(u: np.ndarray, dirs: np.ndarray,
+            dtype=np.float32) -> np.ndarray:
     """Host-side phi for precomputing static boundary equilibria.
 
-    u: (3, A, B) -> (D, A, B), fp32 like the runtime path.
+    u: (3, A, B) -> (D, A, B), fp32 like the runtime path (float64 for
+    the algebraic-identity proof runs).
     """
-    e = D3Q19.E[dirs].astype(np.float32)
-    w = D3Q19.W[dirs].astype(np.float32)
-    u = u.astype(np.float32)
+    e = D3Q19.E[dirs].astype(dtype)
+    w = _W64[dirs].astype(dtype)
+    u = u.astype(dtype)
     cu = np.tensordot(e, u, axes=([1], [0]))
     usq = np.sum(u * u, axis=0)
     return (w[:, None, None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
-            ).astype(np.float32)
+            ).astype(dtype)
 
 
 def _lat_axes(axis: int) -> tuple[int, int]:
@@ -92,7 +98,8 @@ class CompiledCase:
     spec: CaseSpec
 
 
-def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
+def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float,
+               dtype=np.float32) -> CompiledBC:
     dirs = D3Q19.dirs_into(bc.axis, bc.normal)
     lat = _lat_axes(bc.axis)
     plane_mask = np.take(mask, bc.coord, axis=bc.axis) == bc.mask_value
@@ -104,13 +111,13 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
         if bc.u_mode == "fixed":
             a, b = plane_mask.shape
             u_star = np.broadcast_to(
-                np.asarray(bc.u_value, np.float32)[:, None, None], (3, a, b)
+                np.asarray(bc.u_value, dtype)[:, None, None], (3, a, b)
             )
         else:
             u_star = bc.u_field
         phi_star = np.stack(
             [
-                _phi_np(_shift_lat(u_star, el), dirs[d : d + 1])[0]
+                _phi_np(_shift_lat(u_star, el), dirs[d : d + 1], dtype)[0]
                 for d, el in enumerate(e_lats)
             ]
         )
@@ -120,7 +127,8 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
             [
                 np.stack(
                     [
-                        _phi_np(_shift_lat(series[p], el), dirs[d : d + 1])[0]
+                        _phi_np(_shift_lat(series[p], el),
+                                dirs[d : d + 1], dtype)[0]
                         for d, el in enumerate(e_lats)
                     ]
                 )
@@ -148,16 +156,22 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float) -> CompiledBC:
         phi_star=None if phi_star is None else jnp.asarray(phi_star),
         phi_star_series=None if phi_series is None else jnp.asarray(phi_series),
         series_stride=int(bc.u_series_stride),
-        omega=float(1.0 - 1.0 / tau),
+        # fp32-compose like the reference's (1.0f - 1.0f/tau)
+        # (ldc.cu:403 etc.), not f64-then-round.
+        omega=float(dtype(1.0) - dtype(1.0) / dtype(tau)),
         nbr_wall_plane=jnp.asarray(nbr_wall_plane),
     )
 
 
-def compile_case(spec: CaseSpec, light: bool = False) -> CompiledCase:
+def compile_case(spec: CaseSpec, light: bool = False,
+                 dtype=np.float32) -> CompiledCase:
     """light=True skips the full (19, nx, ny, nz) neighbor-wall array —
     the Pallas backend derives wall tests from the mask channel in VMEM
     and its plane fixups use the per-BC nbr_wall_plane slices, so the
-    645 MB-at-coronary-scale array never touches the device."""
+    645 MB-at-coronary-scale array never touches the device.
+
+    dtype: runtime precision. float32 (the reference's, default) or
+    float64 for the algebraic-identity proof runs under jax x64."""
     mask = spec.mask
     fluid = mask == CellType.FLUID
     wall = mask == CellType.WALL
@@ -169,8 +183,8 @@ def compile_case(spec: CaseSpec, light: bool = False) -> CompiledCase:
             ex, ey, ez = (int(v) for v in D3Q19.E[i])
             nbr_wall[i] = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
 
-    u0 = spec.u0.astype(np.float32)
-    rho0 = spec.rho0.astype(np.float32)
+    u0 = spec.u0.astype(dtype)
+    rho0 = spec.rho0.astype(dtype)
     nonfluid = ~fluid
     speed0 = np.sqrt(np.sum(u0.astype(np.float64) ** 2, axis=0))
     velsum_offset = float(np.sum(speed0[nonfluid], dtype=np.float64))
@@ -182,7 +196,8 @@ def compile_case(spec: CaseSpec, light: bool = False) -> CompiledCase:
         tau=float(spec.tau),
         fluid=jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
-        bcs=[compile_bc(bc, mask, spec.tau) for bc in spec.boundaries],
+        bcs=[compile_bc(bc, mask, spec.tau, dtype)
+             for bc in spec.boundaries],
         rho0=jnp.asarray(rho0),
         u0=jnp.asarray(u0),
         velsum_offset=velsum_offset,

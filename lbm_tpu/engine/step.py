@@ -41,7 +41,6 @@ from lbm_tpu.engine.compile import CompiledBC, CompiledCase
 
 _E = D3Q19.E
 _OPP = D3Q19.OPP
-_EF = _E.astype(np.float32)
 
 
 def pull_one(fi, e) -> jnp.ndarray:
@@ -63,7 +62,7 @@ def _safe_u(f_plane):
     """moments on a (19, A, B) plane slice with guarded division."""
     rho = jnp.sum(f_plane, axis=0)
     mom = jnp.tensordot(
-        jnp.asarray(_EF.T), f_plane, axes=([1], [0]),
+        jnp.asarray(_E.T.astype(f_plane.dtype)), f_plane, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )
     return rho, mom / jnp.where(rho == 0, 1.0, rho)
@@ -111,6 +110,39 @@ def streamed(f, nbr_wall):
     return jnp.stack(pulled)
 
 
+def make_first_step(cc: CompiledCase) -> Callable:
+    """The reference's literal FIRST step: every neighbour slot — wall
+    and NEE boundary alike — still holds its init feq value
+    (boundary_stream has not run yet when the first `update` launch
+    reads the freshly initialized d_scr, ldc.cu:645-661), so fluid
+    cells pull everything directly: plain rolls, no bounce-back or NEE
+    substitution. Only differs from make_step when an init velocity at
+    a wall/BC cell disagrees with what the fused substitutions
+    reproduce (Poiseuille's rim wall cells, whose init carries the
+    parabola: Poiseulle.cu:295-341); from step 2 onward the fused step
+    is exact. Opt-in for strict transient parity; steady states are
+    identical either way."""
+    fluid3 = cc.fluid[None]
+
+    def first_step(f, t):
+        tau = jnp.asarray(cc.tau, f.dtype)
+        pulled = jnp.stack(
+            [f[0]] + [pull_one(f[i], _E[i]) for i in range(1, D3Q19.Q)]
+        )
+        rho = jnp.sum(pulled, axis=0)
+        mom = jnp.tensordot(
+            jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+        f_eq = rho[None] * phi(u)
+        f_post = pulled - (pulled - f_eq) / tau
+        f_new = jnp.where(fluid3, f_post, f)
+        return f_new, rho, u
+
+    return first_step
+
+
 def make_step(cc: CompiledCase) -> Callable:
     """Build the jittable fused step: (f, t) -> (f', rho, u).
 
@@ -118,21 +150,27 @@ def make_step(cc: CompiledCase) -> Callable:
     cells must be masked with cc.fluid / reconstructed from cc.rho0/u0,
     which `macro_fields` does).
     """
-    inv_tau = 1.0 / cc.tau
     fluid3 = cc.fluid[None]
 
     def step(f, t):
+        tau = jnp.asarray(cc.tau, f.dtype)
         pulled = streamed(f, cc.nbr_wall)
         for bc in cc.bcs:
             pulled = apply_bc_fixup(pulled, f, bc, t)
         rho = jnp.sum(pulled, axis=0)
         mom = jnp.tensordot(
-            jnp.asarray(_EF.T), pulled, axes=([1], [0]),
+            jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
             precision=jax.lax.Precision.HIGHEST,
         )
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        f_post = pulled - (pulled - f_eq) * inv_tau
+        # Divide by tau like the reference (ldc.cu:350-368) rather than
+        # multiplying by a rounded 1/tau: the reciprocal's rounding is a
+        # systematic per-step bias that the steady state amplifies
+        # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
+        # vs the literal transcription). The Pallas kernel keeps the
+        # multiply for VPU throughput; cross-backend tests use rtol.
+        f_post = pulled - (pulled - f_eq) / tau
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 
@@ -150,7 +188,7 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
     elsewhere (boundary cells keep their prescribed init macro forever)."""
     rho = jnp.sum(f, axis=0)
     mom = jnp.tensordot(
-        jnp.asarray(_EF.T), f, axes=([1], [0]),
+        jnp.asarray(_E.T.astype(f.dtype)), f, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
@@ -159,4 +197,5 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
     return rho, u
 
 
-__all__ = ["make_step", "initial_f", "macro_fields", "streamed", "pull_one"]
+__all__ = ["make_step", "make_first_step", "initial_f", "macro_fields",
+           "streamed", "pull_one"]
