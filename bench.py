@@ -59,12 +59,17 @@ def main() -> int:
     _ = np.asarray(s)
     elapsed = time.perf_counter() - t0
 
-    nsites = args.n**3
+    # Site count from the case actually built (a builder without an `n`
+    # knob keeps its default shape — args.n**3 would misreport it); the
+    # reference's NLATTICE convention is the full box (ldc.cu:54,689).
+    shape = tuple(int(s) for s in spec.shape)
+    nsites = int(np.prod(shape))
     mlups = nsites * args.steps / elapsed / 1e6
+    dims = "x".join(str(s) for s in shape)
     print(
         json.dumps(
             {
-                "metric": f"MLUPS (D3Q19 BGK {args.case} {args.n}^3 fp32, 1 chip)",
+                "metric": f"MLUPS (D3Q19 BGK {args.case} {dims} fp32, 1 chip)",
                 "value": round(mlups, 1),
                 "unit": "MLUPS",
                 "vs_baseline": round(mlups / BASELINE_MLUPS, 2),

@@ -59,4 +59,5 @@ def build(
         stag_max=50,
         residual_flavor="velsum",
         vtk_crops=(2, 2, 2),
+        vtk_origin_offset=-1,  # ldc.cu:594: round(NX/2-1)*CH
     )

@@ -121,9 +121,8 @@ def main(argv=None) -> int:
             case_vtk(sim, args.out, k, include_density=spec.vtk_density,
                      binary=args.binary_vtk)
         if args.checkpoint_every and save_count % args.checkpoint_every == 0:
-            ckpt.save(
-                os.path.join(args.out, f"{spec.name}.ckpt.npz"),
-                sim.f_standard(), sim.t, spec.name,
+            ckpt.save_sim(
+                os.path.join(args.out, f"{spec.name}.ckpt.npz"), sim
             )
 
     if args.profile:

@@ -68,16 +68,37 @@ class Simulation:
         shard_axis: int | None = None,
     ):
         spec = case.spec if isinstance(case, CompiledCase) else case
-        if backend == "auto":
-            on_tpu = jax.default_backend() not in ("cpu",)
-            backend = "pallas" if (on_tpu and sharding is None) else "xla"
-        self.backend = backend
-        self.sc = None
-        self.mesh = mesh
         if mesh is not None and shard_axis is None:
             from lbm_tpu.parallel.mesh import free_axis
 
             shard_axis = free_axis(spec)
+        if backend == "auto":
+            on_tpu = jax.default_backend() not in ("cpu",)
+            backend = "pallas" if (on_tpu and sharding is None) else "xla"
+            if backend == "pallas" and mesh is not None and shard_axis == 2:
+                # The packed Pallas layout cannot halo-slice z (lane dim);
+                # fall back to the dense GSPMD/halo path for cases whose
+                # only BC-free axis is z (curved_vessel).
+                backend = "xla"
+        if backend == "pallas" and mesh is not None and shard_axis == 2:
+            raise ValueError(
+                "backend='pallas' cannot shard along z (the packed layout "
+                "keeps z on the 128-lane dim; Mosaic DMA cannot halo-slice "
+                "it). This case's only BC-free axis is z — use "
+                "backend='xla' with mesh=, or backend='auto'."
+            )
+        if backend == "xla" and mesh is not None and sharding is None:
+            # mesh= on the dense backend means GSPMD decomposition: shard
+            # the state along the BC-free axis; jit's SPMD partitioner
+            # turns the rolls into halo collective-permutes.
+            from lbm_tpu.parallel.mesh import lattice_sharding
+
+            sharding = lattice_sharding(
+                axis=shard_axis, mesh=mesh, leading=1
+            )
+        self.backend = backend
+        self.sc = None
+        self.mesh = mesh
         self.shard_axis = shard_axis
         if backend == "pallas":
             if sharding is not None:
@@ -99,6 +120,13 @@ class Simulation:
                 light=True,  # no full nbr_wall array on device
             )
         elif backend == "sparse":
+            if mesh is not None or sharding is not None:
+                raise ValueError(
+                    "backend='sparse' is single-device: the gather/scatter "
+                    "index space has no spatial shard decomposition. Use "
+                    "backend='xla' (GSPMD sharding=) or backend='pallas' "
+                    "(mesh=) for multi-chip runs."
+                )
             from lbm_tpu.engine.sparse import compile_sparse
 
             self.sc = compile_sparse(spec)

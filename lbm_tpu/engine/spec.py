@@ -88,6 +88,11 @@ class CaseSpec:
     #                                       bifurcation.cu:1103)
     vtk_density: bool = False            # also write DENSITY/PRESSURE
     #                                      scalars (coronary.cu:961-988)
+    vtk_origin_offset: int = 0           # ORIGIN = round(n/2 + off)*CH:
+    #                                      0 for poiseuille/bifurcation/
+    #                                      coronary (coronary.cu:958);
+    #                                      -1 for lid (ldc.cu:594 writes
+    #                                      round(NX/2-1)*CH)
 
     def __post_init__(self):
         assert self.mask.shape == tuple(self.shape)

@@ -84,7 +84,9 @@ def case_vtk(
     u = np.where(live[None], u, 0.0) * units.C_U
     crops = spec.vtk_crops
     nx, ny, nz = spec.shape
-    origin = (round(nx / 2) * units.CH, round(ny / 2) * units.CH, 0.0)
+    off = spec.vtk_origin_offset  # ldc.cu:594 vs coronary.cu:958
+    origin = (round(nx / 2 + off) * units.CH,
+              round(ny / 2 + off) * units.CH, 0.0)
     fields: dict[str, np.ndarray] = {}
     if include_density:
         fields["DENSITY"] = np.where(live, rho, 0.0) * units.C_rho

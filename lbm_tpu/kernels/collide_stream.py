@@ -614,7 +614,12 @@ def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
     """Windowed z-plane NEE fixup: recompute the fused step exactly on
     the consumer plane restricted to the bbox window, then splice it into
     the kernel output (exact because the written interior's pulls never
-    reach the window border)."""
+    reach the window border).
+
+    Returns (p_out', velsum_delta): the kernel's velsum counted these
+    plane cells with pre-NEE pulls, so the caller must add
+    sum(|u_fixed|) - sum(|u_kernel|) over the spliced fluid cells to keep
+    residual_flavor='velsum' honest for z-plane BCs."""
     from lbm_tpu.core.lattice import phi
     from lbm_tpu.engine.step import apply_bc_fixup
 
@@ -623,6 +628,22 @@ def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
     sub = p_src[x0:x1, y0:y1, :, c - 1 : c + 2]  # (wx, wy, C, 3)
     nbr_w = bc.nbr_wall_plane[:, x0:x1, y0:y1]
     pulled = _plane_pull_packed(sub, nbr_w, 2, 1)  # (19, wx, wy)
+    fluid_pl = cc.fluid[x0:x1, y0:y1, c]
+
+    def speed_sum(pl):
+        """sum of |u| over the spliced fluid cells (window interior)."""
+        rho_ = jnp.sum(pl, axis=0)
+        ef_ = jnp.asarray(_E.T.astype(np.float32))
+        mom_ = jnp.tensordot(ef_, pl, axes=([1], [0]),
+                             precision=jax.lax.Precision.HIGHEST)
+        u_ = mom_ / jnp.where(rho_ == 0, 1.0, rho_)[None]
+        speed = jnp.sqrt(jnp.sum(u_ * u_, axis=0))
+        inner = jnp.zeros_like(fluid_pl).at[1:-1, 1:-1].set(
+            fluid_pl[1:-1, 1:-1]
+        )
+        return jnp.sum(jnp.where(inner, speed, 0.0))
+
+    vs_before = speed_sum(pulled)
 
     bc0 = dataclasses.replace(
         bc,
@@ -645,14 +666,14 @@ def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     feq = rho[None] * phi(u)
     post = pulled - (pulled - feq) / cc.tau
-    fluid_pl = cc.fluid[x0:x1, y0:y1, c]
+    vs_after = speed_sum(pulled)
     newplane = jnp.where(fluid_pl[None], post, src_plane)
     aux = sub[:, :, 19:, 1].transpose(2, 0, 1)
     full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
     # Write the window interior only (border ring may be wrap-corrupted).
     return p_out.at[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, :, c].set(
         full[1:-1, 1:-1]
-    )
+    ), vs_after - vs_before
 
 
 def make_pallas_step(
@@ -715,7 +736,8 @@ def make_pallas_step(
         for bc, win in zip(fixup_bcs, wins):
             if win is None:
                 continue
-            p_bulk = _fix_z_plane_windowed(cc_pad, bc, win, p, p_bulk, t)
+            p_bulk, dvs = _fix_z_plane_windowed(cc_pad, bc, win, p, p_bulk, t)
+            vs = vs + dvs
         return p_bulk, vs
 
     return step

@@ -132,7 +132,15 @@ def make_pallas_sharded_step(
       init_blocked(p_global_packed) -> blocked sharded device array
       unblock(P) -> global packed padded array
     """
-    assert shard_axis in (0, 1)
+    if shard_axis not in (0, 1):
+        raise ValueError(
+            f"the sharded Pallas path shards axis 0 (x) or 1 (y) only — "
+            f"got shard_axis={shard_axis}. The packed layout keeps z on "
+            f"the 128-lane dimension, so z cannot be halo-sliced (Mosaic "
+            f"DMA alignment). Cases whose only BC-free axis is z (e.g. "
+            f"curved_vessel) must use backend='xla' with a GSPMD "
+            f"sharding/halo step instead."
+        )
     for bc in cc_pad.bcs:
         if bc.axis == shard_axis:
             raise ValueError(

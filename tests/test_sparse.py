@@ -87,3 +87,20 @@ def test_sparse_macro_and_velsum():
         u_scattered[:, live], np.asarray(u_d)[:, live], rtol=3e-5,
         atol=5e-7,
     )
+
+
+def test_sparse_with_mesh_raises():
+    """backend='sparse' cannot shard; silently ignoring mesh= was VERDICT
+    r1 weak #4 — it must fail loudly."""
+    import jax
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh
+
+    from lbm_tpu.cases import get_case
+    from lbm_tpu.engine.runner import Simulation
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("d",))
+    with pytest.raises(ValueError, match="single-device"):
+        Simulation(get_case("lid_driven_cavity", n=16), backend="sparse",
+                   mesh=mesh)
