@@ -54,15 +54,31 @@ _E = D3Q19.E
 _OPP = D3Q19.OPP
 _W = D3Q19.W
 
-C = 24  # channel dim: 19 pdfs + mask + 4 sublane-tile padding
+C = 24  # channels: 19 pdfs + mask + 2 z-shifted masks + 2 sublane padding
 MASK_CH = 19
+MASK_ZP_CH = 20  # mask rolled +1 along z: pull-source mask for e_z = +1
+MASK_ZM_CH = 21  # mask rolled -1 along z: pull-source mask for e_z = -1
+# Negative result (measured, do not retry): replacing the per-direction
+# shifted-mask compare with ONE hoisted per-cell wall-direction BITMASK
+# (i32 bitcast, 18 ANDs) dropped 1849 -> 1065 MLUPS at 256^3 — the
+# hoisted value stays live across the whole pull loop and spills, same
+# failure mode as the 3-pre-rolled-masks experiment (1216).
 
 
 def pack_state(f, mask):
-    """(19, X, Y, Z) f + (X, Y, Z) mask -> packed (X, Y, C, Z)."""
-    m = jnp.asarray(mask, jnp.float32)[None]
-    zeros = jnp.zeros((C - MASK_CH - 1,) + f.shape[1:], jnp.float32)
-    return jnp.concatenate([f, m, zeros], axis=0).transpose(1, 2, 0, 3)
+    """(19, X, Y, Z) f + (X, Y, Z) mask -> packed (X, Y, C, Z).
+
+    Channels 20/21 carry the mask pre-rolled by +/-1 along z, so the
+    kernel's 10 e_z != 0 wall tests become plain (sliced) loads instead
+    of lane rolls — the rolls ride in the (previously zero-padding)
+    channels for free, traffic-wise."""
+    m = jnp.asarray(mask, jnp.float32)
+    mzp = jnp.roll(m, +1, axis=2)
+    mzm = jnp.roll(m, -1, axis=2)
+    zeros = jnp.zeros((C - MASK_ZM_CH - 1,) + f.shape[1:], jnp.float32)
+    return jnp.concatenate(
+        [f, m[None], mzp[None], mzm[None], zeros], axis=0
+    ).transpose(1, 2, 0, 3)
 
 
 def unpack_state(p):
@@ -71,8 +87,9 @@ def unpack_state(p):
 
 
 def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
-                  ti=None, tj=None, bcs_static=(), nee_refs=()):
-    """All-VMEM tile update.
+                  ti=None, tj=None, bcs_static=(), nee_refs=(),
+                  stx: int | None = None, sty: int | None = None):
+    """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (tx+2, ty+2, C, nz) f32 — packed tile with x/y halos.
     ot: ref (tx, ty, C, nz) — output tile, written per channel (a stacked
@@ -82,26 +99,49 @@ def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
     matching VMEM refs (A, 8, nz) holding the 5 per-direction shifted
     boundary equilibria phi* (0 marks invalid lateral cells).
     returns velsum_partial (scalar).
+
+    Why sub-tiles: the DMA tile wants to be LARGE (halo re-read overhead
+    (tx+2)(ty+2)/(tx ty): 1.9x at 4x8 vs 1.27x at 16x16 — pure-copy
+    floors 7.18 vs 5.82 ms/step at 256^3), but Mosaic schedules the
+    compute best on SMALL value shapes (full kernel 4x8 = 8.3 ms vs
+    8x8 = 9.5). Sub-tiling decouples the two: one big DMA, compute
+    swept in the small shape that won the sweep. Sub-tile halos are
+    interior to the big tile's VMEM, so only slicing changes.
     """
     inv_tau = np.float32(1.0 / tau)
-    cx, cy = slice(1, 1 + tx), slice(1, 1 + ty)
+    stx = tx if stx is None else stx
+    sty = ty if sty is None else sty
+    nz = ft.shape[-1]
+    total = jnp.float32(0.0)
+    for ox in range(0, tx, stx):
+        for oy in range(0, ty, sty):
+            total = total + _subtile_compute(
+                ft, ot, inv_tau, ox, oy, stx, sty, tx, ty, nz,
+                ti, tj, bcs_static,
+            )
+    return total
+
+
+def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, tx, ty, nz,
+                     ti, tj, bcs_static):
+    cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     m_ctr = ft[cx, cy, MASK_CH, :]
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
-    nz = m_ctr.shape[-1]
 
-    # Per-direction wall tests: hoisting these into 3 pre-rolled whole-
-    # tile masks was measured SLOWER (1216 vs 1817 MLUPS) — the hoisted
-    # masks stay live across the pull loop and spill; the per-direction
-    # roll+compare is cheaper under Mosaic's scheduler.
+    # Per-direction wall tests: fresh shifted-mask load + compare per
+    # direction (hoisting spills — see the negative results above). The
+    # e_z != 0 directions read the PRE-ROLLED mask channels (20/21), so
+    # only the pdf planes pay a lane roll.
     def pulled(i):
         ex, ey, ez = (int(v) for v in _E[i])
-        sx = slice(1 - ex, 1 - ex + tx)
-        sy = slice(1 - ey, 1 - ey + ty)
+        sx = slice(1 + ox - ex, 1 + ox - ex + stx)
+        sy = slice(1 + oy - ey, 1 + oy - ey + sty)
         piece = ft[sx, sy, i, :]
-        nbr = ft[sx, sy, MASK_CH, :]
         if ez != 0:
             piece = pltpu.roll(piece, shift=ez % nz, axis=2)
-            nbr = pltpu.roll(nbr, shift=ez % nz, axis=2)
+            nbr = ft[sx, sy, MASK_ZP_CH if ez > 0 else MASK_ZM_CH, :]
+        else:
+            nbr = ft[sx, sy, MASK_CH, :]
         own_opp = ft[cx, cy, _OPP[i], :]
         return jnp.where(
             nbr == np.float32(int(CellType.WALL)), own_opp, piece
@@ -130,6 +170,7 @@ def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
     usq = ux * ux + uy * uy + uz * uz
     common = np.float32(1.0) - np.float32(1.5) * usq
 
+    oxs, oys = slice(ox, ox + stx), slice(oy, oy + sty)
     # Pass 2: BGK collide + fluid select, written straight into the
     # output tile. Opposite-direction pairs share their equilibrium
     # terms: feq_{i,opp} = w rho (common + 4.5 cu^2) +/- 3 w rho cu — the
@@ -137,7 +178,9 @@ def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
     # naive per-direction form.
     f0 = vals[0]
     feq0 = rho * np.float32(_W[0]) * common
-    ot[:, :, 0, :] = jnp.where(is_fluid, f0 - (f0 - feq0) * inv_tau, f0)
+    ot[oxs, oys, 0, :] = jnp.where(
+        is_fluid, f0 - (f0 - feq0) * inv_tau, f0
+    )
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     for i in range(1, 19):
@@ -155,25 +198,26 @@ def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
         w = np.float32(_W[i])
         even = rho_tau * (w * (common + np.float32(4.5) * cu * cu))
         odd = rho_tau * (w * np.float32(3.0)) * cu
-        ot[:, :, i, :] = jnp.where(
+        ot[oxs, oys, i, :] = jnp.where(
             is_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
         )
-        ot[:, :, o, :] = jnp.where(
+        ot[oxs, oys, o, :] = jnp.where(
             is_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
         )
-    # Mask + padding channels pass through unchanged.
-    for ch in range(MASK_CH, C):
-        ot[:, :, ch, :] = ft[cx, cy, ch, :]
+    # Mask channels pass through unchanged; the 2 pure-padding channels
+    # (22, 23) are never read by anyone — skip their copy.
+    for ch in range(MASK_CH, MASK_ZM_CH + 1):
+        ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
     # rows' post-NEE contribution is added by the row fix itself).
     count = is_fluid
     for bc in bcs_static:
         if bc.axis == 0:
-            ids = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, nz), 0) \
-                + 1 + ti * tx
+            ids = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 0) \
+                + 1 + ti * tx + ox
         else:
-            ids = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, nz), 1) \
-                + 1 + tj * ty
+            ids = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 1) \
+                + 1 + tj * ty + oy
         count = count & (ids != bc.c)
     return jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
 
@@ -339,7 +383,7 @@ class BCStatic(tuple):
 def _kernel(
     *refs,
     tau: float, tx: int, ty: int, gx: int, gy: int, bcs_static=(),
-    halo_axis=None,
+    halo_axis=None, stx=None, sty=None,
 ):
     nbc = len(bcs_static)
     p_hbm = refs[0]
@@ -419,6 +463,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             ti=ti, tj=tj, bcs_static=bcs_static, nee_refs=nee_refs,
+            stx=stx, sty=sty,
         )
         acc[0] = acc[0] + vs
 
@@ -459,39 +504,49 @@ def _kernel(
     vs_out[0, 0] = acc[0]
 
 
-def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 24.0):
-    """Choose (tx, ty): measured on v5e at 256^3, SMALL tiles win — the
-    kernel is VPU-bound, small tiles schedule/pipeline better, and they
-    compile an order of magnitude faster (sweep: 4x8 = 1366 MLUPS, 8x8 =
-    1348, 16x8 = 1040, 16x16 slower still). Candidates in preference
-    order, subject to divisibility and the VMEM budget."""
+def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
+                prefer_small: bool = False):
+    """Choose (tx, ty, stx, sty): DMA tile + compute sub-tile.
+
+    Measured on v5e at 256^3: the DMA tile wants to be LARGE (halo
+    re-read overhead; pure-copy floors 7.18 ms at 4x8 vs 5.82 ms at
+    16x16) while the compute value shape wants to be SMALL (full kernel
+    4x8 = 8.3 ms vs 8x8 = 9.5 — Mosaic schedules small shapes better).
+    Sub-tiling decouples them; the sweep winner is 16x8 DMA tiles with
+    4x8 compute (2096 MLUPS vs 2016 at plain 4x8; 16x16 DMA regresses
+    to 1809 — the gain saturates at 2x the compute shape). Candidates
+    in preference order, subject to divisibility and the VMEM budget;
+    the sub-tile is fixed at the sweep-winning 4x8."""
     col = C * nz * 4
-    for txc, tyc in ((4, 8), (8, 8), (4, 16), (8, 4), (4, 4), (2, 8),
-                     (2, 4), (2, 2), (1, 2), (1, 1)):
+    cands = ((16, 8), (8, 8), (8, 16), (4, 8), (16, 16), (8, 4),
+             (4, 4), (2, 8), (2, 4), (2, 2), (1, 2), (1, 1))
+    if prefer_small:
+        cands = cands[4:]
+    for txc, tyc in cands:
         if nx % txc or ny % tyc:
             continue
         need = (
             2 * ((txc + 2) * (tyc + 2) + txc * tyc) * col
-            + 30 * txc * tyc * nz * 4
+            + 30 * min(txc, 4) * min(tyc, 8) * nz * 4
         )
         if need <= budget_mb * 1e6:
-            return txc, tyc
-    return 1, 1
+            return txc, tyc, min(txc, 4), min(tyc, 8)
+    return 1, 1, 1, 1
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
-                     "interpret"),
+                     "interpret", "stx", "sty"),
 )
 def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
-                 halo_axis=None, interpret=False):
+                 halo_axis=None, interpret=False, stx=None, sty=None):
     nxp, nyp, c, nz = p.shape
     nx, ny = nxp - 2, nyp - 2
     gx, gy = nx // tx, ny // ty
     kern = functools.partial(
         _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy,
-        bcs_static=bcs_static, halo_axis=halo_axis,
+        bcs_static=bcs_static, halo_axis=halo_axis, stx=stx, sty=sty,
     )
     n_nee = len(nee_and_halos) - (2 if halo_axis is not None else 0)
     scratch = [
@@ -679,6 +734,7 @@ def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
 def make_pallas_step(
     cc_pad, tx: int | None = None, ty: int | None = None,
     interpret: bool = False,
+    stx: int | None = None, sty: int | None = None,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
 
@@ -693,8 +749,16 @@ def make_pallas_step(
     nxp, nyp, nz = cc_pad.shape
     nx, ny = nxp - 2, nyp - 2
     auto = _pick_tiles(nx, ny, nz)
+    if interpret and tx is None and ty is None:
+        # big DMA tiles only pay off on hardware; small tiles keep the
+        # interpreter's unrolled sub-tile loop (and tracing time) short
+        auto = _pick_tiles(nx, ny, nz, prefer_small=True)
     tx = tx if tx is not None else auto[0]
     ty = ty if ty is not None else auto[1]
+    stx = stx if stx is not None else auto[2]
+    sty = sty if sty is not None else auto[3]
+    stx = min(stx, tx)
+    sty = min(sty, ty)
     tau = float(cc_pad.tau)
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
@@ -731,7 +795,7 @@ def make_pallas_step(
                 nee.append(arr)
         p_bulk, vs = _pallas_bulk(
             p, *nee, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
-            interpret=interpret,
+            interpret=interpret, stx=stx, sty=sty,
         )
         for bc, win in zip(fixup_bcs, wins):
             if win is None:

@@ -2,10 +2,10 @@
 
 The manual-collective formulation of the spatial decomposition: each
 device owns a contiguous slab along one lattice axis; per step it
-exchanges one face plane of all 19 populations with each ring neighbor
-over ICI (only the 5 inbound populations per face are strictly needed —
-the full-plane exchange keeps the pull logic uniform and the plane is
-tiny; trimming to 5 is a bandwidth optimization for later rounds).
+exchanges one face plane with each ring neighbor over ICI — only the 5
+populations that stream inward across that face (e_axis = +1 from the
+left neighbour, e_axis = -1 from the right), not all 19: a 3.8x ICI
+traffic cut over the naive full-plane exchange.
 
 Functionally identical to letting GSPMD partition the jnp.roll step
 (parallel/mesh.py); tests/test_parallel.py checks both against the
@@ -36,28 +36,46 @@ _OPP = D3Q19.OPP
 _EF = _E.astype(np.float32)
 
 
+def inbound_dirs(lat_axis: int, sign: int) -> list[int]:
+    """Populations streaming across a face: e[lat_axis] == sign (5 each)."""
+    return [i for i in range(1, D3Q19.Q) if int(_E[i][lat_axis]) == sign]
+
+
 def _exchange_halos(f, axis_name: str, lat_axis: int):
-    """Return (lo, hi) neighbor face planes: lo = left neighbor's last
-    plane (needed by pulls with e_axis = +1), hi = right neighbor's first
-    plane. Ring wrap matches jnp.roll semantics."""
+    """Return (lo, hi): lo = the left neighbor's last plane restricted to
+    the 5 populations with e_axis = +1 (the only ones pulled across that
+    face), hi = the right neighbor's first plane restricted to the 5 with
+    e_axis = -1. Ring wrap matches jnp.roll semantics. Exchanging 5 of 19
+    populations per face cuts ICI bytes 3.8x vs a full-plane exchange."""
     n = jax.lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
     ax = 1 + lat_axis
+    pos = jnp.asarray(inbound_dirs(lat_axis, +1))
+    neg = jnp.asarray(inbound_dirs(lat_axis, -1))
     last = jax.lax.slice_in_dim(f, f.shape[ax] - 1, f.shape[ax], axis=ax)
     first = jax.lax.slice_in_dim(f, 0, 1, axis=ax)
-    lo = jax.lax.ppermute(last, axis_name, fwd)   # from left neighbor
-    hi = jax.lax.ppermute(first, axis_name, bwd)  # from right neighbor
+    lo = jax.lax.ppermute(last[pos], axis_name, fwd)   # from left neighbor
+    hi = jax.lax.ppermute(first[neg], axis_name, bwd)  # from right neighbor
     return lo, hi
 
 
-def _pull_ext(f_ext_i, e, lat_axis: int, nloc: int):
-    """Pull-stream one direction from the halo-extended slab: the sharded
-    axis uses a slice of the extended array, the local axes use rolls."""
+def _pull_ext(f_i, halo_plane, e, lat_axis: int):
+    """Pull-stream one direction: the sharded axis splices the received
+    neighbor plane (when this direction crosses the face), local axes use
+    rolls. halo_plane: the (1, ...)-shaped received plane for THIS
+    direction, or None when e[lat_axis] == 0."""
     shifts = [int(s) for s in e]
     s_ax = shifts[lat_axis]
-    start = 1 - s_ax
-    sliced = jax.lax.slice_in_dim(f_ext_i, start, start + nloc, axis=lat_axis)
+    ax = lat_axis
+    if s_ax == 0:
+        sliced = f_i
+    elif s_ax > 0:  # pull from the left: halo plane enters at index 0
+        body = jax.lax.slice_in_dim(f_i, 0, f_i.shape[ax] - 1, axis=ax)
+        sliced = jnp.concatenate([halo_plane, body], axis=ax)
+    else:  # pull from the right: halo plane enters at the end
+        body = jax.lax.slice_in_dim(f_i, 1, f_i.shape[ax], axis=ax)
+        sliced = jnp.concatenate([body, halo_plane], axis=ax)
     other = [a for a in range(3) if a != lat_axis]
     roll_axes = [a for a in other if shifts[a] != 0]
     if roll_axes:
@@ -110,13 +128,20 @@ def make_halo_step(
         bc_arrays.append(arrs)
         bc_specs.append(specs)
 
+    dirs_pos = inbound_dirs(shard_axis, +1)
+    dirs_neg = inbound_dirs(shard_axis, -1)
+
     def local_step(f, nbr_wall, fluid, t, bc_data):
-        nloc = f.shape[1 + shard_axis]
         lo, hi = _exchange_halos(f, axis_name, shard_axis)
-        f_ext = jnp.concatenate([lo, f, hi], axis=1 + shard_axis)
         pulled = [f[0]]
         for i in range(1, D3Q19.Q):
-            direct = _pull_ext(f_ext[i], _E[i], shard_axis, nloc)
+            if i in dirs_pos:
+                plane = lo[dirs_pos.index(i)]
+            elif i in dirs_neg:
+                plane = hi[dirs_neg.index(i)]
+            else:
+                plane = None
+            direct = _pull_ext(f[i], plane, _E[i], shard_axis)
             pulled.append(jnp.where(nbr_wall[i], f[_OPP[i]], direct))
         pulled = jnp.stack(pulled)
         for bc, arrs in zip(cc.bcs, bc_data):

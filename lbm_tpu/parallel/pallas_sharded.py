@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lbm_tpu.core.lattice import D3Q19
 from lbm_tpu.engine.compile import CompiledCase
 from lbm_tpu.kernels import collide_stream as cs
 
@@ -209,7 +210,8 @@ def make_pallas_sharded_step(
     # Local tile sizes for the block shape.
     loc_nx = L if shard_axis == 0 else nxp - 2
     loc_ny = L if shard_axis == 1 else nyp - 2
-    tx, ty = cs._pick_tiles(loc_nx, loc_ny, nzp)
+    tx, ty, stx, sty = cs._pick_tiles(loc_nx, loc_ny, nzp,
+                                      prefer_small=interpret)
     tau = float(cc_pad.tau)
 
     def local_step(p, t, *nee_and_blk):
@@ -228,12 +230,33 @@ def make_pallas_sharded_step(
         n = jax.lax.axis_size(axis_name)
         fwd = [(i, (i + 1) % n) for i in range(n)]
         bwd = [(i, (i - 1) % n) for i in range(n)]
+        # Exchange only the channels a halo row actually feeds: the 5
+        # populations streaming inward across the face plus the 3 mask
+        # channels (plain + z-prerolled, read by edge-cell wall tests and
+        # the in-kernel NEE row fix) — 8 of C=24, a 3x ICI traffic cut.
+        # Gather/scatter around the ppermute are one-plane XLA ops.
+        mask_chs = [cs.MASK_CH, cs.MASK_ZP_CH, cs.MASK_ZM_CH]
+        ch_lo = jnp.asarray(
+            [i for i in range(1, 19)
+             if int(D3Q19.E[i][shard_axis]) == 1] + mask_chs
+        )
+        ch_hi = jnp.asarray(
+            [i for i in range(1, 19)
+             if int(D3Q19.E[i][shard_axis]) == -1] + mask_chs
+        )
         if shard_axis == 0:
-            lo = jax.lax.ppermute(p[L : L + 1], axis_name, fwd)
-            hi = jax.lax.ppermute(p[1:2], axis_name, bwd)
+            edge_lo, edge_hi = p[L : L + 1], p[1:2]
         else:
-            lo = jax.lax.ppermute(p[:, L : L + 1], axis_name, fwd)
-            hi = jax.lax.ppermute(p[:, 1:2], axis_name, bwd)
+            edge_lo, edge_hi = p[:, L : L + 1], p[:, 1:2]
+        lo_recv = jax.lax.ppermute(
+            edge_lo[:, :, ch_lo, :], axis_name, fwd
+        )
+        hi_recv = jax.lax.ppermute(
+            edge_hi[:, :, ch_hi, :], axis_name, bwd
+        )
+        zero_plane = jnp.zeros_like(edge_lo)
+        lo = zero_plane.at[:, :, ch_lo, :].set(lo_recv)
+        hi = zero_plane.at[:, :, ch_hi, :].set(hi_recv)
         nee_step = []
         for (is_series, _, stride), tab in zip(nee_tabs, nee):
             if is_series:
@@ -247,7 +270,7 @@ def make_pallas_sharded_step(
         p_new, vs = cs._pallas_bulk(
             p, *nee_step, lo, hi, tau=tau, tx=tx, ty=ty,
             bcs_static=bcs_static, halo_axis=shard_axis,
-            interpret=interpret,
+            interpret=interpret, stx=stx, sty=sty,
         )
         if fixup_bcs:
             cc_loc = dataclasses.replace(cc_blk, fluid=fluid_loc)
