@@ -26,8 +26,24 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=20)
     p.add_argument("--case", default="lid_driven_cavity")
     p.add_argument("--backend", default="auto")
+    p.add_argument(
+        "--shard", type=int, default=0, metavar="N",
+        help="shard over the first N devices (1-D mesh along the case's "
+        "BC-free axis; BASELINE configs[5] multi-chip path). 0 = off.",
+    )
     args = p.parse_args()
 
+    # The axon TPU plugin ignores JAX_PLATFORMS; honor an explicit request
+    # (LBM_TPU_PLATFORM=cpu lets --shard N run on a virtual CPU mesh).
+    import os
+
+    platform = os.environ.get("LBM_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    import jax
     import numpy as np
 
     from lbm_tpu.cases import get_case
@@ -37,7 +53,22 @@ def main() -> int:
         spec = get_case(args.case, n=args.n)
     except TypeError:  # case builder without an `n` knob (e.g. coronary)
         spec = get_case(args.case)
-    sim = Simulation(spec, backend=args.backend)
+    mesh = None
+    if args.shard:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            print(
+                json.dumps({
+                    "metric": f"SKIPPED: --shard {args.shard} needs "
+                    f"{args.shard} devices, have {len(devs)}",
+                    "value": 0, "unit": "MLUPS", "vs_baseline": 0,
+                })
+            )
+            return 0
+        mesh = Mesh(np.array(devs[: args.shard]), ("d",))
+    sim = Simulation(spec, backend=args.backend, mesh=mesh)
     run = sim._chunk(args.steps)
     # Warmup call compiles the scan; only steady-state execution is timed.
     # Fetching the per-step residual series forces real completion (the
@@ -66,10 +97,11 @@ def main() -> int:
     nsites = int(np.prod(shape))
     mlups = nsites * args.steps / elapsed / 1e6
     dims = "x".join(str(s) for s in shape)
+    chips = f"{args.shard} chips" if args.shard else "1 chip"
     print(
         json.dumps(
             {
-                "metric": f"MLUPS (D3Q19 BGK {args.case} {dims} fp32, 1 chip)",
+                "metric": f"MLUPS (D3Q19 BGK {args.case} {dims} fp32, {chips})",
                 "value": round(mlups, 1),
                 "unit": "MLUPS",
                 "vs_baseline": round(mlups / BASELINE_MLUPS, 2),

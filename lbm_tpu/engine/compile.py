@@ -164,11 +164,17 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float,
 
 
 def compile_case(spec: CaseSpec, light: bool = False,
-                 dtype=np.float32) -> CompiledCase:
+                 dtype=np.float32,
+                 host_arrays: bool = False) -> CompiledCase:
     """light=True skips the full (19, nx, ny, nz) neighbor-wall array —
     the Pallas backend derives wall tests from the mask channel in VMEM
     and its plane fixups use the per-BC nbr_wall_plane slices, so the
     645 MB-at-coronary-scale array never touches the device.
+
+    host_arrays=True keeps fluid/rho0/u0 as NumPy (the Pallas hot loop
+    never reads them — its velsum comes from the kernel — so at 512^3
+    this frees ~2.3 GB of HBM for the 13 GB packed state; jnp consumers
+    convert lazily on the rare cold paths like macro()).
 
     dtype: runtime precision. float32 (the reference's, default) or
     float64 for the algebraic-identity proof runs under jax x64."""
@@ -194,12 +200,12 @@ def compile_case(spec: CaseSpec, light: bool = False,
         name=spec.name,
         shape=tuple(spec.shape),
         tau=float(spec.tau),
-        fluid=jnp.asarray(fluid),
+        fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype)
              for bc in spec.boundaries],
-        rho0=jnp.asarray(rho0),
-        u0=jnp.asarray(u0),
+        rho0=rho0 if host_arrays else jnp.asarray(rho0),
+        u0=u0 if host_arrays else jnp.asarray(u0),
         velsum_offset=velsum_offset,
         usq_offset=usq_offset,
         spec=spec,

@@ -66,6 +66,7 @@ class Simulation:
         backend: str = "auto",
         mesh=None,
         shard_axis: int | None = None,
+        fuse: int = 1,
     ):
         spec = case.spec if isinstance(case, CompiledCase) else case
         if mesh is not None and shard_axis is None:
@@ -100,6 +101,10 @@ class Simulation:
         self.sc = None
         self.mesh = mesh
         self.shard_axis = shard_axis
+        self._ring = 1
+        self._fuse2 = False
+        self._tile_skip = False
+        self._lowmem = False
         if backend == "pallas":
             if sharding is not None:
                 raise ValueError(
@@ -111,13 +116,45 @@ class Simulation:
 
             interpret = jax.default_backend() == "cpu"
             self._pallas_interpret = interpret
+            # Two fused steps per HBM round-trip (fuse=2) need all BCs
+            # on x/y planes and a single-chip run (z-plane fixups and
+            # the 1-deep sharded halo exchange preclude fusing). It is
+            # OPT-IN for now: with the 1x8 sub-tile the single-step
+            # kernel sits 4% off its pure-DMA floor (5.99 vs 5.76
+            # ms/step at 256^3) while fuse2 is VPU-compute-bound at
+            # ~7.4 — it only wins once per-cell compute drops ~2x
+            # (pure-tile specialization, in progress).
+            fuse2_ok = mesh is None and all(
+                b.axis in (0, 1) for b in spec.boundaries
+            )
+            if fuse == 2 and not fuse2_ok:
+                raise ValueError(
+                    "fuse=2 requires a single-chip run with all NEE "
+                    "boundaries on x/y planes"
+                )
+            self._fuse2 = fuse == 2 and fuse2_ok
+            self._ring = 2 if self._fuse2 else 1
+            # Block-sparse tile skip: worth its SMEM list only when a
+            # meaningful fraction of tiles is all-dead (vessel trees).
+            occ = float((np.asarray(spec.mask) != 0).mean())
+            self._tile_skip = occ < 0.5
+            padded = pad_spec(
+                spec,
+                lane_multiple=1 if interpret else 128,
+                plane_multiples=(1, 1) if mesh is not None else (4, 8),
+                halo=self._ring,
+            )
+            # At 512^3-class sizes the packed state alone is ~13 GB: init
+            # must stream channel-by-channel (packed_initial_lowmem) and
+            # the unused-by-the-hot-loop macro fields stay on the host.
+            self._lowmem = (
+                mesh is None
+                and int(np.prod(padded.shape)) * 24 * 4 > 4e9
+            )
             self.cc = compile_case(
-                pad_spec(
-                    spec,
-                    lane_multiple=1 if interpret else 128,
-                    plane_multiples=(1, 1) if mesh is not None else (4, 8),
-                ),
+                padded,
                 light=True,  # no full nbr_wall array on device
+                host_arrays=self._lowmem,
             )
         elif backend == "sparse":
             if mesh is not None or sharding is not None:
@@ -141,6 +178,7 @@ class Simulation:
         self._chunk_fns: dict[int, Callable] = {}
         self._usq_fn = None
         self._pallas_step = None
+        self._pallas_step2 = None
         self._donate = donate
         self.reset()
 
@@ -150,6 +188,10 @@ class Simulation:
             from lbm_tpu.engine.sparse import initial_f_sparse
 
             f = initial_f_sparse(self.sc)
+        elif self.backend == "pallas" and getattr(self, "_lowmem", False):
+            from lbm_tpu.kernels.collide_stream import packed_initial_lowmem
+
+            f = packed_initial_lowmem(self._padded_spec)
         else:
             f = initial_f(self.cc)
             if self.backend == "pallas":
@@ -176,7 +218,8 @@ class Simulation:
         if self.backend != "pallas":
             return self.f
         nx, ny, nz = self.spec.shape
-        return self._unpacked()[:, 1 : 1 + nx, 1 : 1 + ny, :nz]
+        r = self._ring
+        return self._unpacked()[:, r : r + nx, r : r + ny, :nz]
 
     def set_f_standard(self, f):
         if self.backend == "sparse":
@@ -198,9 +241,10 @@ class Simulation:
 
         nxp, nyp, nzp = self._padded_spec.shape
         nx, ny, nz = self.spec.shape
+        r = self._ring
         f_pad = jnp.pad(
             jnp.asarray(f),
-            ((0, 0), (1, nxp - nx - 1), (1, nyp - ny - 1), (0, nzp - nz)),
+            ((0, 0), (r, nxp - nx - r), (r, nyp - ny - r), (0, nzp - nz)),
         )
         mask = jnp.asarray(np.asarray(self._padded_spec.mask))
         self.f = pack_state(f_pad, mask)
@@ -225,9 +269,10 @@ class Simulation:
             return macro_fields(self.cc, self.f)
         rho, u = macro_fields(self.cc, self._unpacked())
         nx, ny, nz = self.spec.shape
+        r = self._ring
         return (
-            rho[1 : 1 + nx, 1 : 1 + ny, :nz],
-            u[:, 1 : 1 + nx, 1 : 1 + ny, :nz],
+            rho[r : r + nx, r : r + ny, :nz],
+            u[:, r : r + nx, r : r + ny, :nz],
         )
 
     def _unpacked(self):
@@ -280,13 +325,48 @@ class Simulation:
                             make_pallas_step,
                         )
 
-                        self._pallas_step = make_pallas_step(
-                            cc,
+                        kw = dict(
                             interpret=getattr(
                                 self, "_pallas_interpret", False
                             ),
+                            ring=self._ring,
+                            tile_skip=self._tile_skip,
                         )
+                        self._pallas_step = make_pallas_step(cc, **kw)
+                        if self._fuse2:
+                            self._pallas_step2 = make_pallas_step(
+                                cc, fuse=2, **kw
+                            )
                 pstep = self._pallas_step
+
+                if self._fuse2 and n >= 2:
+                    # two fused steps per kernel launch; an odd tail
+                    # step runs the single-step kernel after the scan
+                    pstep2 = self._pallas_step2
+
+                    def body2(carry, _):
+                        p, t = carry
+                        p, vs = pstep2(p, t)
+                        return (p, t + 2), vs + offset
+
+                    npairs = n // 2
+
+                    def run(f, t):
+                        (f, t), s = jax.lax.scan(
+                            body2, (f, t), xs=None, length=npairs,
+                            unroll=2 if npairs % 2 == 0 else 1,
+                        )
+                        s = s.reshape(-1)
+                        if n % 2:
+                            f, vs = pstep(f, t)
+                            t = t + 1
+                            s = jnp.concatenate([s, (vs + offset)[None]])
+                        return f, t, s
+
+                    self._chunk_fns[n] = jax.jit(
+                        run, donate_argnums=(0,) if self._donate else ()
+                    )
+                    return self._chunk_fns[n]
 
                 def body(carry, _):
                     p, t = carry

@@ -86,18 +86,59 @@ def unpack_state(p):
     return p.transpose(2, 0, 1, 3)[:19]
 
 
-def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
-                  ti=None, tj=None, bcs_static=(), nee_refs=(),
-                  stx: int | None = None, sty: int | None = None):
+def packed_initial_lowmem(spec_pad):
+    """Packed feq(rho0, u0) state built one channel at a time.
+
+    The standard init (`pack_state(initial_f(cc), mask)`) materializes
+    the dense (19, X, Y, Z) f alongside the packed (X, Y, C, Z) buffer;
+    at 512^3 the pair is ~23 GB and cannot coexist in one chip's HBM.
+    Here each feq channel is computed on the HOST (same fp32 expression
+    as lattice.phi) and written into a donated device buffer, so device
+    residency peaks at packed + one channel (~13.5 GB at 512^3).
+    """
+    X, Y, Z = (int(s) for s in spec_pad.shape)
+    mask_np = np.asarray(spec_pad.mask, np.float32)
+    rho = np.asarray(spec_pad.rho0, np.float32)
+    u = np.asarray(spec_pad.u0, np.float32)
+    usq = (u * u).sum(axis=0, dtype=np.float32)
+    E = D3Q19.E.astype(np.float32)
+    W = D3Q19.W.astype(np.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def put_ch(p, v, ch):
+        return p.at[:, :, ch, :].set(v)
+
+    p = jnp.zeros((X, Y, C, Z), jnp.float32)
+    for i in range(D3Q19.Q):
+        cu = E[i, 0] * u[0] + E[i, 1] * u[1] + E[i, 2] * u[2]
+        # same op order as phi(): w * (1 + 3cu + 4.5cu^2 - 1.5|u|^2)
+        ph = W[i] * (np.float32(1.0) + np.float32(3.0) * cu
+                     + np.float32(4.5) * cu * cu
+                     - np.float32(1.5) * usq)
+        p = put_ch(p, jnp.asarray(rho * ph), i)
+    p = put_ch(p, jnp.asarray(mask_np), MASK_CH)
+    p = put_ch(p, jnp.asarray(np.roll(mask_np, +1, axis=2)), MASK_ZP_CH)
+    p = put_ch(p, jnp.asarray(np.roll(mask_np, -1, axis=2)), MASK_ZM_CH)
+    return p
+
+
+def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
+                  gx0=None, gy0=None, bcs_static=(),
+                  stx: int | None = None, sty: int | None = None,
+                  vs_win=None, pure_zspan=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
-    ft: ref (tx+2, ty+2, C, nz) f32 — packed tile with x/y halos.
-    ot: ref (tx, ty, C, nz) — output tile, written per channel (a stacked
-    value would materialize an extra tile-sized copy; measured +18%).
-    ti/tj: dynamic tile coordinates (for in-kernel NEE plane masking).
-    bcs_static: static per-BC dicts for axis-0/1 NEE boundaries; nee_refs:
-    matching VMEM refs (A, 8, nz) holding the 5 per-direction shifted
-    boundary equilibria phi* (0 marks invalid lateral cells).
+    ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
+    ot: ref (ex_x, ex_y, C, nz) — output tile, written per channel (a
+    stacked value would materialize an extra tile-sized copy; +18%).
+    ex_x/ex_y: static compute extents (= ot's spatial shape).
+    gx0/gy0: traced GLOBAL coords of ot's (0, 0) cell, used for the NEE
+    consumer-plane velsum exclusion.
+    bcs_static: static per-BC descriptors for axis-0/1 NEE boundaries.
+    vs_win: optional static (rlo, rhi, clo, chi) in ot-local coords —
+    only cells inside the window count toward velsum (the 2-step fused
+    kernel's mid pass computes a 1-cell skirt shared with neighboring
+    tiles, but each cell's speed must be summed exactly once).
     returns velsum_partial (scalar).
 
     Why sub-tiles: the DMA tile wants to be LARGE (halo re-read overhead
@@ -109,21 +150,129 @@ def _tile_compute(ft, ot, tau: float, tx: int, ty: int,
     interior to the big tile's VMEM, so only slicing changes.
     """
     inv_tau = np.float32(1.0 / tau)
-    stx = tx if stx is None else stx
-    sty = ty if sty is None else sty
+    stx = ex_x if stx is None else stx
+    sty = ex_y if sty is None else sty
     nz = ft.shape[-1]
     total = jnp.float32(0.0)
-    for ox in range(0, tx, stx):
-        for oy in range(0, ty, sty):
-            total = total + _subtile_compute(
-                ft, ot, inv_tau, ox, oy, stx, sty, tx, ty, nz,
-                ti, tj, bcs_static,
-            )
+    for ox in range(0, ex_x, stx):
+        for oy in range(0, ex_y, sty):
+            if pure_zspan is not None:
+                total = total + _subtile_compute_pure(
+                    ft, ot, inv_tau, ox, oy,
+                    min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
+                    pure_zspan, vs_win,
+                )
+            else:
+                total = total + _subtile_compute(
+                    ft, ot, inv_tau, ox, oy,
+                    min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
+                    gx0, gy0, bcs_static, vs_win,
+                )
     return total
 
 
-def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, tx, ty, nz,
-                     ti, tj, bcs_static):
+def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
+                          zspan, vs_win):
+    """Fast path for statically-classified PURE tiles (classify_tiles):
+    every column of the tile's input region is the standard z-slab
+    [DEAD.., WALL, FLUID x (zf1-zf0+1), WALL, DEAD..] with one common
+    fluid span zspan=(zf0, zf1). All wall/fluid tests collapse to
+    z-lane iota compares — no mask-channel loads, no bounce-back on the
+    8 in-plane channels (their pull sources are all fluid), and
+    fluid-selects only on the 10 e_z != 0 channels and the final z-lane
+    passthrough."""
+    zf0, zf1 = zspan
+    cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
+    zi = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 2)
+    z_fluid = (zi >= zf0) & (zi <= zf1)
+
+    def pulled(i):
+        ex, ey, ez = (int(v) for v in _E[i])
+        sx = slice(1 + ox - ex, 1 + ox - ex + stx)
+        sy = slice(1 + oy - ey, 1 + oy - ey + sty)
+        piece = ft[sx, sy, i, :]
+        if ez != 0:
+            piece = pltpu.roll(piece, shift=ez % nz, axis=2)
+            # pull source at z -/+ 1 is a wall exactly on the first/last
+            # fluid lane — half-way bounce-back from the cell's own
+            # opposite, no mask read needed
+            src_wall = (zi == zf0) if ez > 0 else (zi == zf1)
+            own_opp = ft[cx, cy, _OPP[i], :]
+            piece = jnp.where(src_wall, own_opp, piece)
+        return piece
+
+    rho = ft[cx, cy, 0, :]
+    mx = jnp.zeros_like(rho)
+    my = jnp.zeros_like(rho)
+    mz = jnp.zeros_like(rho)
+    vals = [rho]
+    for i in range(1, 19):
+        v = pulled(i)
+        vals.append(v)
+        rho = rho + v
+        ex, ey, ez = (int(c) for c in _E[i])
+        if ex:
+            mx = mx + v if ex > 0 else mx - v
+        if ey:
+            my = my + v if ey > 0 else my - v
+        if ez:
+            mz = mz + v if ez > 0 else mz - v
+    inv_rho = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
+    ux, uy, uz = mx * inv_rho, my * inv_rho, mz * inv_rho
+    usq = ux * ux + uy * uy + uz * uz
+    common = np.float32(1.0) - np.float32(1.5) * usq
+
+    oxs, oys = slice(ox, ox + stx), slice(oy, oy + sty)
+    f0 = vals[0]
+    feq0 = rho * np.float32(_W[0]) * common
+    ot[oxs, oys, 0, :] = jnp.where(
+        z_fluid, f0 - (f0 - feq0) * inv_tau, f0
+    )
+    rho_tau = rho * inv_tau
+    keep = np.float32(1.0) - inv_tau
+    for i in range(1, 19):
+        o = int(_OPP[i])
+        if o < i:
+            continue
+        ex, ey, ez = (int(c) for c in _E[i])
+        cu = jnp.zeros_like(ux)
+        if ex:
+            cu = cu + ux if ex > 0 else cu - ux
+        if ey:
+            cu = cu + uy if ey > 0 else cu - uy
+        if ez:
+            cu = cu + uz if ez > 0 else cu - uz
+        w = np.float32(_W[i])
+        even = rho_tau * (w * (common + np.float32(4.5) * cu * cu))
+        odd = rho_tau * (w * np.float32(3.0)) * cu
+        ot[oxs, oys, i, :] = jnp.where(
+            z_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
+        )
+        ot[oxs, oys, o, :] = jnp.where(
+            z_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
+        )
+    for ch in range(MASK_CH, MASK_ZM_CH + 1):
+        ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
+    if vs_win is not None:
+        rlo, rhi, clo, chi = vs_win
+        if (ox >= rhi or ox + stx <= rlo
+                or oy >= chi or oy + sty <= clo):
+            return jnp.float32(0.0)
+    count = z_fluid
+    if vs_win is not None:
+        if not (ox >= rlo and ox + stx <= rhi):
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (stx, sty, nz), 0) + ox
+            count = count & (ridx >= rlo) & (ridx < rhi)
+        if not (oy >= clo and oy + sty <= chi):
+            cidx = jax.lax.broadcasted_iota(
+                jnp.int32, (stx, sty, nz), 1) + oy
+            count = count & (cidx >= clo) & (cidx < chi)
+    return jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
+
+
+def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
+                     gx0, gy0, bcs_static, vs_win):
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     m_ctr = ft[cx, cy, MASK_CH, :]
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
@@ -209,45 +358,64 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, tx, ty, nz,
     for ch in range(MASK_CH, MASK_ZM_CH + 1):
         ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
-    # rows' post-NEE contribution is added by the row fix itself).
+    # rows' post-NEE contribution is added by the row fix itself) and
+    # cells outside the velsum window (2-step mid-pass skirt cells are
+    # owned — and counted — by the neighboring tile).
+    if vs_win is not None:
+        rlo, rhi, clo, chi = vs_win
+        if (ox >= rhi or ox + stx <= rlo
+                or oy >= chi or oy + sty <= clo):
+            return jnp.float32(0.0)  # fully outside (writes already done)
     count = is_fluid
     for bc in bcs_static:
         if bc.axis == 0:
             ids = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 0) \
-                + 1 + ti * tx + ox
+                + gx0 + ox
         else:
             ids = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 1) \
-                + 1 + tj * ty + oy
+                + gy0 + oy
         count = count & (ids != bc.c)
+    if vs_win is not None:
+        # static per-subtile: mask only the dims that straddle the border
+        if not (ox >= rlo and ox + stx <= rhi):
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (stx, sty, nz), 0) + ox
+            count = count & (ridx >= rlo) & (ridx < rhi)
+        if not (oy >= clo and oy + sty <= chi):
+            cidx = jax.lax.broadcasted_iota(
+                jnp.int32, (stx, sty, nz), 1) + oy
+            count = count & (cidx >= clo) & (cidx < chi)
     return jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
 
 
-def _row_fix(ft, ot_slot, bc, nee, ti, tj, tau: float, tx: int, ty: int):
+def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None):
     """Recompute ONE consumer-plane row of a tile with the NEE boundary
     applied, and overwrite it in the output tile. Runs only for tiles
     intersecting the plane (under pl.when in the kernel), so the whole
     NEE machinery is O(N^2) per step.
+
+    r: traced ot-local row index of the consumer plane (ft carries a
+    one-cell halo around ot, so ft row 1+r is the same physical row).
+    lat0: traced GLOBAL lateral coordinate of ot's lateral 0 (indexes
+    the full-extent nee table). vs_lat: optional static (vlo, vhi)
+    ot-local lateral window restricting the returned velsum (the 2-step
+    mid pass owns only its interior columns).
 
     Exactly reproduces the dense fixup (engine/step.apply_bc_fixup +
     collide) on the row: pulls with wall bounce-back, NEE overwrite on
     bc.dirs, moments, BGK, fluid select.
     """
     inv_tau = np.float32(1.0 / tau)
-    axis, c = bc.axis, bc.c
-    if axis == 0:
-        r = c - 1 - ti * tx
-        lat0 = 1 + tj * ty
-        lat_len = ty
-    else:
-        r = c - 1 - tj * ty
-        lat0 = 1 + ti * tx
-        lat_len = tx
+    axis = bc.axis
+    lat_len = ot_slot.shape[1] if axis == 0 else ot_slot.shape[0]
 
     def read(ch, ox, oy, ez):
         if axis == 0:
-            piece = ft[pl.ds(1 + r + ox, 1), 1 + oy : 1 + oy + ty, ch, :]
+            piece = ft[pl.ds(1 + r + ox, 1), 1 + oy : 1 + oy + lat_len,
+                       ch, :]
         else:
-            piece = ft[1 + ox : 1 + ox + tx, pl.ds(1 + r + oy, 1), ch, :]
+            piece = ft[1 + ox : 1 + ox + lat_len, pl.ds(1 + r + oy, 1),
+                       ch, :]
         if ez != 0:
             nz = piece.shape[-1]
             piece = pltpu.roll(piece, shift=ez % nz, axis=2)
@@ -355,14 +523,20 @@ def _row_fix(ft, ot_slot, bc, nee, ti, tj, tau: float, tx: int, ty: int):
         outs.append(jnp.where(is_fluid, v - (v - feq) * inv_tau, srcs[i]))
     for ch in range(MASK_CH, C):
         outs.append(read(ch, 0, 0, 0))
-    row_out = jnp.stack(outs, axis=2)  # (1, ty, C, nz) or (tx, 1, C, nz)
+    row_out = jnp.stack(outs, axis=2)  # (1, L, C, nz) or (L, 1, C, nz)
     if axis == 0:
         ot_slot[pl.ds(r, 1), :, :, :] = row_out
     else:
         ot_slot[:, pl.ds(r, 1), :, :] = row_out
-    return jnp.sum(
-        jnp.where(is_fluid, jnp.sqrt(usq_row), np.float32(0.0))
-    )
+    speed = jnp.where(is_fluid, jnp.sqrt(usq_row), np.float32(0.0))
+    if vs_lat is not None:
+        vlo, vhi = vs_lat
+        li = jax.lax.broadcasted_iota(
+            jnp.int32, speed.shape, 1 if axis == 0 else 0
+        )
+        speed = jnp.where((li >= vlo) & (li < vhi), speed,
+                          np.float32(0.0))
+    return jnp.sum(speed)
 
 
 class BCStatic(tuple):
@@ -382,25 +556,43 @@ class BCStatic(tuple):
 
 def _kernel(
     *refs,
-    tau: float, tx: int, ty: int, gx: int, gy: int, bcs_static=(),
-    halo_axis=None, stx=None, sty=None,
+    tau: float, tx: int, ty: int, gx: int, gy: int, ring: int = 1,
+    bcs_static=(), halo_axis=None, stx=None, sty=None,
+    ntiles: int | None = None, skip: bool = False, in_place: bool = False,
+    n_pure: int | None = None, zspan=(0, -1),
 ):
+    """Single-step kernel. ring: halo-ring width of the packed state (2
+    when the state is shared with the 2-step fused kernel). skip: a
+    leading SMEM operand holds a tile id list — either the block-sparse
+    live list (all-dead tiles are never touched; the output aliases the
+    input, so their content stays valid) or the pure-first processing
+    order of the pure/mixed split. n_pure: with a pure-first list, the
+    first n_pure ordinals take the mask-free fast path
+    (_subtile_compute_pure) with static fluid z-span zspan.
+    ntiles: number of processed tiles (= len(list) if skip)."""
     nbc = len(bcs_static)
     p_hbm = refs[0]
     nee_refs = refs[1 : 1 + nbc]
     rest = refs[1 + nbc :]
+    if skip:
+        tids_ref, rest = rest[0], rest[1:]
     if halo_axis is not None:
         lo_hbm, hi_hbm = rest[0], rest[1]
         (out_hbm, vs_out, ft, ot, acc,
          in_sems, out_sems, halo_sems) = rest[2:]
     else:
         out_hbm, vs_out, ft, ot, acc, in_sems, out_sems = rest
-    ntiles = gx * gy
+    if ntiles is None:
+        ntiles = gx * gy
+
+    def get(p):
+        return tids_ref[p] if skip else p
 
     def in_copy(slot, tid):
         i, j = tid // gy, tid % gy
         return pltpu.make_async_copy(
-            p_hbm.at[pl.ds(i * tx, tx + 2), pl.ds(j * ty, ty + 2)],
+            p_hbm.at[pl.ds(i * tx + ring - 1, tx + 2),
+                     pl.ds(j * ty + ring - 1, ty + 2)],
             ft.at[slot],
             in_sems.at[slot],
         )
@@ -409,12 +601,9 @@ def _kernel(
         i, j = tid // gy, tid % gy
         return pltpu.make_async_copy(
             ot.at[slot],
-            out_hbm.at[pl.ds(1 + i * tx, tx), pl.ds(1 + j * ty, ty)],
+            out_hbm.at[pl.ds(ring + i * tx, tx), pl.ds(ring + j * ty, ty)],
             out_sems.at[slot],
         )
-
-    acc[0] = jnp.float32(0.0)
-    in_copy(0, 0).start()
 
     def halo_copies(slot, tid):
         """Patch the tile's outer halo row from the exchanged neighbor
@@ -442,27 +631,13 @@ def _kernel(
         )
         return (j == 0, lo), (j == gy - 1, hi)
 
-    def process(tid, slot):
-        @pl.when(tid + 1 < ntiles)
-        def _():
-            in_copy(1 - slot, tid + 1).start()
-
-        in_copy(slot, tid).wait()
-        if halo_axis is not None:
-            for pred, cp in halo_copies(slot, tid):
-                @pl.when(pred)
-                def _(cp=cp):
-                    cp.start()
-                    cp.wait()
+    def full_work(tid, slot):
         ti, tj = tid // gy, tid % gy
-
-        @pl.when(tid >= 2)
-        def _():
-            out_copy(slot, tid - 2).wait()
+        gx0, gy0 = ring + ti * tx, ring + tj * ty
 
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
-            ti=ti, tj=tj, bcs_static=bcs_static, nee_refs=nee_refs,
+            gx0=gx0, gy0=gy0, bcs_static=bcs_static,
             stx=stx, sty=sty,
         )
         acc[0] = acc[0] + vs
@@ -470,85 +645,335 @@ def _kernel(
         # NEE consumer-plane rows: recompute only on intersecting tiles.
         for bc_, nee_ in zip(bcs_static, nee_refs):
             if bc_.axis == 0:
-                r_ = bc_.c - 1 - ti * tx
+                r_ = bc_.c - gx0
                 pred = (r_ >= 0) & (r_ < tx)
+                lat0_ = gy0
             else:
-                r_ = bc_.c - 1 - tj * ty
+                r_ = bc_.c - gy0
                 pred = (r_ >= 0) & (r_ < ty)
+                lat0_ = gx0
 
             @pl.when(pred)
-            def _(bc_=bc_, nee_=nee_):
+            def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_):
                 dv = _row_fix(
-                    ft.at[slot], ot.at[slot], bc_, nee_, ti, tj, tau, tx, ty
+                    ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau
                 )
                 acc[0] = acc[0] + dv
 
-        out_copy(slot, tid).start()
+    def pure_work(tid, slot):
+        vs = _tile_compute(
+            ft.at[slot], ot.at[slot], tau, tx, ty,
+            stx=stx, sty=sty, pure_zspan=zspan,
+        )
+        acc[0] = acc[0] + vs
 
+    def work(p, tid, slot):
+        if halo_axis is not None:
+            for pred, cp in halo_copies(slot, tid):
+                @pl.when(pred)
+                def _(cp=cp):
+                    cp.start()
+                    cp.wait()
+        if not n_pure:  # None or 0: every tile takes the general path
+            full_work(tid, slot)
+        elif n_pure == ntiles:
+            pure_work(tid, slot)
+        else:
+            # pure-first order: ordinal p decides the path statically
+            # classified at trace time, branched per tile at run time
+            @pl.when(p < n_pure)
+            def _():
+                pure_work(tid, slot)
+
+            @pl.when(p >= n_pure)
+            def _():
+                full_work(tid, slot)
+
+    acc[0] = jnp.float32(0.0)
+    _drive(ntiles, get, in_copy, out_copy, work, in_place=in_place)
+    vs_out[0, 0] = acc[0]
+
+
+def _drive(ntiles, get, in_copy, out_copy, work, in_place=False):
+    """Double-buffered DMA pipeline.
+
+    relaxed mode (in_place=False, the default): the output goes to a
+    SEPARATE buffer, so input and output DMAs never overlap in memory —
+    out(p) runs concurrently with the next two tiles' compute and the
+    input prefetch, the classic fully-overlapped stream.
+
+    in_place mode: the output buffer ALIASES the input (block-sparse
+    tile skip needs untouched tiles to keep their contents; also halves
+    HBM footprint). Tile p's input halo can overlap tile q's output
+    interior for spatially-adjacent tiles — which, over an arbitrary
+    live-tile list, can be ANY list distance — so ordering is strict:
+      (a) out(p).start is delayed until in(p+1) has LANDED, and
+      (b) in(p+1).start is preceded by out(p-1).wait, so any in(q)
+          starts only after every out(p<=q-2) has fully completed.
+    This serializes output DMAs against the input stream (out(p) only
+    overlaps the tail of work(p)'s successor), costing ~25% on dense
+    grids — use it only when aliasing is required."""
+
+    def process(p, slot):
+        if in_place:
+            # in(p) was waited by the previous iteration (or preamble)
+            @pl.when(p >= 1)
+            def _():
+                out_copy(1 - slot, get(p - 1)).wait()
+
+            @pl.when(p + 1 < ntiles)
+            def _():
+                in_copy(1 - slot, get(p + 1)).start()
+
+            work(p, get(p), slot)
+
+            @pl.when(p + 1 < ntiles)
+            def _():
+                in_copy(1 - slot, get(p + 1)).wait()
+
+            out_copy(slot, get(p)).start()
+        else:
+            # functional output buffer: out never overlaps in, so the
+            # classic fully-overlapped order — out(p) drains during the
+            # next two tiles' compute, in(p+1) during this tile's
+            @pl.when(p + 1 < ntiles)
+            def _():
+                in_copy(1 - slot, get(p + 1)).start()
+
+            in_copy(slot, get(p)).wait()
+
+            @pl.when(p >= 2)
+            def _():
+                out_copy(slot, get(p - 2)).wait()
+
+            work(p, get(p), slot)
+
+            out_copy(slot, get(p)).start()
+
+    in_copy(0, get(0)).start()
+    if in_place:
+        in_copy(0, get(0)).wait()
     npairs = (ntiles + 1) // 2
 
-    def body(p, _):
-        tid = 2 * p
-        process(tid, 0)
+    def body(q, _):
+        p = 2 * q
+        process(p, 0)
 
-        @pl.when(tid + 1 < ntiles)
+        @pl.when(p + 1 < ntiles)
         def _():
-            process(tid + 1, 1)
+            process(p + 1, 1)
 
         return 0
 
     jax.lax.fori_loop(0, npairs, body, 0)
-    if ntiles >= 2:
-        out_copy((ntiles - 2) % 2, ntiles - 2).wait()
-    out_copy((ntiles - 1) % 2, ntiles - 1).wait()
+    if not in_place and ntiles >= 2:
+        out_copy(ntiles % 2, get(ntiles - 2)).wait()
+    out_copy((ntiles - 1) % 2, get(ntiles - 1)).wait()
+
+
+def _kernel2(
+    *refs,
+    tau: float, tx: int, ty: int, gx: int, gy: int,
+    bcs_static=(), stx=None, sty=None,
+    ntiles: int | None = None, skip: bool = False, in_place: bool = False,
+    n_pure: int | None = None, zspan=(0, -1),
+):
+    """TWO fused LBM steps per HBM round-trip (temporal blocking): the
+    input tile carries a 2-cell halo skirt; step 1 computes a mid tile
+    with a 1-cell skirt in VMEM (including its NEE consumer rows), step
+    2 consumes it and writes the interior tile. Cuts HBM traffic per
+    step ~1.7x — the memory-bound LBM's biggest remaining lever.
+    State ring must be 2. Requires all NEE BCs on axes 0/1 (z-plane
+    fixups run outside the kernel and cannot interleave two steps)."""
+    nbc = len(bcs_static)
+    p_hbm = refs[0]
+    nee1 = refs[1 : 1 + nbc]
+    nee2 = refs[1 + nbc : 1 + 2 * nbc]
+    rest = refs[1 + 2 * nbc :]
+    if skip:
+        tids_ref, rest = rest[0], rest[1:]
+    out_hbm, vs_out, ft, mt, ot, acc, in_sems, out_sems = rest
+    if ntiles is None:
+        ntiles = gx * gy
+
+    def get(p):
+        return tids_ref[p] if skip else p
+
+    def in_copy(slot, tid):
+        i, j = tid // gy, tid % gy
+        return pltpu.make_async_copy(
+            p_hbm.at[pl.ds(i * tx, tx + 4), pl.ds(j * ty, ty + 4)],
+            ft.at[slot],
+            in_sems.at[slot],
+        )
+
+    def out_copy(slot, tid):
+        i, j = tid // gy, tid % gy
+        return pltpu.make_async_copy(
+            ot.at[slot],
+            out_hbm.at[pl.ds(2 + i * tx, tx), pl.ds(2 + j * ty, ty)],
+            out_sems.at[slot],
+        )
+
+    def row_fixes(src, dst, nee_refs, rbase_x, rbase_y, nlim, vs_slot,
+                  owned):
+        """NEE consumer rows on `dst` (ot-local coords relative to the
+        (rbase_x, rbase_y) global origin); `owned` restricts the velsum
+        delta to rows/cols this tile owns (mid-pass skirt rows are
+        recomputed for step 2's pulls but counted by their owner)."""
+        for bc_, nee_ in zip(bcs_static, nee_refs):
+            if bc_.axis == 0:
+                r_ = bc_.c - rbase_x
+                n_, lat0_ = nlim[0], rbase_y
+            else:
+                r_ = bc_.c - rbase_y
+                n_, lat0_ = nlim[1], rbase_x
+
+            @pl.when((r_ >= 0) & (r_ < n_))
+            def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_, n_=n_):
+                dv = _row_fix(
+                    src, dst, bc_, nee_, r_, lat0_, tau,
+                    vs_lat=((1, (nlim[1] if bc_.axis == 0 else nlim[0]) - 1)
+                            if owned else None),
+                )
+                if owned:
+                    dv = jnp.where((r_ >= 1) & (r_ < n_ - 1), dv,
+                                   jnp.float32(0.0))
+                acc[vs_slot] = acc[vs_slot] + dv
+
+    def full_work(tid, slot):
+        i, j = tid // gy, tid % gy
+        # -- step 1: ft (tx+4, ty+4) -> mt (tx+2, ty+2), global origin
+        #    of mt's (0,0) is (1 + i*tx, 1 + j*ty)
+        g1x, g1y = 1 + i * tx, 1 + j * ty
+        vs1 = _tile_compute(
+            ft.at[slot], mt, tau, tx + 2, ty + 2,
+            gx0=g1x, gy0=g1y, bcs_static=bcs_static,
+            stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
+        )
+        acc[0] = acc[0] + vs1
+        row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
+                  (tx + 2, ty + 2), 0, owned=True)
+        # -- step 2: mt -> ot (tx, ty), global origin (2 + i*tx, 2 + j*ty)
+        g2x, g2y = 2 + i * tx, 2 + j * ty
+        vs2 = _tile_compute(
+            mt, ot.at[slot], tau, tx, ty,
+            gx0=g2x, gy0=g2y, bcs_static=bcs_static,
+            stx=stx, sty=sty,
+        )
+        acc[1] = acc[1] + vs2
+        row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
+                  owned=False)
+
+    def pure_work(tid, slot):
+        vs1 = _tile_compute(
+            ft.at[slot], mt, tau, tx + 2, ty + 2,
+            stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
+            pure_zspan=zspan,
+        )
+        acc[0] = acc[0] + vs1
+        vs2 = _tile_compute(
+            mt, ot.at[slot], tau, tx, ty,
+            stx=stx, sty=sty, pure_zspan=zspan,
+        )
+        acc[1] = acc[1] + vs2
+
+    def work(p, tid, slot):
+        if not n_pure:
+            full_work(tid, slot)
+        elif n_pure == ntiles:
+            pure_work(tid, slot)
+        else:
+            @pl.when(p < n_pure)
+            def _():
+                pure_work(tid, slot)
+
+            @pl.when(p >= n_pure)
+            def _():
+                full_work(tid, slot)
+
+    acc[0] = jnp.float32(0.0)
+    acc[1] = jnp.float32(0.0)
+    _drive(ntiles, get, in_copy, out_copy, work, in_place=in_place)
     vs_out[0, 0] = acc[0]
+    vs_out[0, 1] = acc[1]
 
 
 def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
-                prefer_small: bool = False):
+                prefer_small: bool = False, fuse: int = 1):
     """Choose (tx, ty, stx, sty): DMA tile + compute sub-tile.
 
     Measured on v5e at 256^3: the DMA tile wants to be LARGE (halo
-    re-read overhead; pure-copy floors 7.18 ms at 4x8 vs 5.82 ms at
-    16x16) while the compute value shape wants to be SMALL (full kernel
-    4x8 = 8.3 ms vs 8x8 = 9.5 — Mosaic schedules small shapes better).
-    Sub-tiling decouples them; the sweep winner is 16x8 DMA tiles with
-    4x8 compute (2096 MLUPS vs 2016 at plain 4x8; 16x16 DMA regresses
-    to 1809 — the gain saturates at 2x the compute shape). Candidates
-    in preference order, subject to divisibility and the VMEM budget;
-    the sub-tile is fixed at the sweep-winning 4x8."""
+    re-read overhead; pure-copy floors 6.08 ms at 16x8 vs 5.76 at
+    16x16) while the compute value shape wants to be NARROW — a (1, 8,
+    nz) f32 sub-tile value is 2 vregs, so the 19 pulled populations live
+    in ~38 vregs and nothing spills; at 4x8 (8 vregs each) the pull set
+    alone needs 152 of the 64 vregs and the spill traffic contends with
+    the stream DMA for VMEM bandwidth. Sweep: 16x16@1x8 = 5.99 ms/step
+    (2803 MLUPS, 0.23 ms over the pure-DMA floor) vs 16x8@4x8 = 7.95,
+    16x16@4x8 = 9.25. Candidates in preference order, subject to
+    divisibility and the VMEM budget."""
     col = C * nz * 4
-    cands = ((16, 8), (8, 8), (8, 16), (4, 8), (16, 16), (8, 4),
+    cands = ((16, 16), (16, 8), (8, 16), (8, 8), (4, 8), (8, 4),
              (4, 4), (2, 8), (2, 4), (2, 2), (1, 2), (1, 1))
     if prefer_small:
         cands = cands[4:]
+    h = 2 * fuse  # total halo skirt of the in-DMA tile
     for txc, tyc in cands:
         if nx % txc or ny % tyc:
             continue
         need = (
-            2 * ((txc + 2) * (tyc + 2) + txc * tyc) * col
-            + 30 * min(txc, 4) * min(tyc, 8) * nz * 4
+            2 * ((txc + h) * (tyc + h) + txc * tyc) * col
+            + (0 if fuse == 1 else (txc + 2) * (tyc + 2) * col)
+            + 30 * min(txc, 1) * min(tyc, 8) * nz * 4
         )
         if need <= budget_mb * 1e6:
-            return txc, tyc, min(txc, 4), min(tyc, 8)
+            if prefer_small:
+                # interpret mode: no vector registers to spill, and each
+                # sub-tile is another unrolled trace — use whole tiles
+                return txc, tyc, txc, tyc
+            return txc, tyc, 1, min(tyc, 8)
     return 1, 1, 1, 1
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
-                     "interpret", "stx", "sty"),
+                     "interpret", "stx", "sty", "ring", "n_live",
+                     "in_place", "n_pure", "zspan"),
 )
-def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
-                 halo_axis=None, interpret=False, stx=None, sty=None):
+def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
+                 halo_axis=None, interpret=False, stx=None, sty=None,
+                 ring=1, n_live=None, in_place=None, n_pure=None, zspan=(0, -1)):
+    """extra = [*nee_tables][, tile id list][, lo, hi].
+
+    The tile id list (SMEM) drives two distinct features:
+      - block-sparse skip: n_live < total tiles — untouched tiles must
+        keep their static contents, so the output must ALIAS the input;
+      - pure/mixed split: pure-first full-coverage order with
+        n_pure/zspan set (classify_tiles) — the first n_pure ordinals
+        take the mask-free fast path.
+
+    in_place aliasing also halves the HBM footprint, but its race-free
+    DMA ordering (_drive) serializes output DMAs (~25% slower on dense
+    grids), so dense runs default to a functional output."""
     nxp, nyp, c, nz = p.shape
-    nx, ny = nxp - 2, nyp - 2
+    nx, ny = nxp - 2 * ring, nyp - 2 * ring
     gx, gy = nx // tx, ny // ty
+    skip = n_live is not None
+    sparse = skip and n_live < gx * gy
+    if in_place is None:
+        in_place = sparse
+    if sparse and not in_place:
+        raise ValueError("tile skip requires the in-place aliased output")
     kern = functools.partial(
-        _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy,
+        _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, ring=ring,
         bcs_static=bcs_static, halo_axis=halo_axis, stx=stx, sty=sty,
+        ntiles=n_live, skip=skip, in_place=in_place,
+        n_pure=n_pure, zspan=zspan,
     )
-    n_nee = len(nee_and_halos) - (2 if halo_axis is not None else 0)
+    n_nee = (len(extra) - (2 if halo_axis is not None else 0)
+             - (1 if skip else 0))
     scratch = [
         pltpu.VMEM((2, tx + 2, ty + 2, C, nz), jnp.float32),
         pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
@@ -566,6 +991,7 @@ def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
         + [pl.BlockSpec(memory_space=pl.ANY)]
         * (2 if halo_axis is not None else 0),
         out_specs=[
@@ -573,6 +999,7 @@ def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=scratch,
+        input_output_aliases={0: 0} if in_place else {},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # The default 16 MB scoped-vmem cap under-counts reuse of the
@@ -581,8 +1008,63 @@ def _pallas_bulk(p, *nee_and_halos, tau, tx, ty, bcs_static=(),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(p, *nee_and_halos)
+    )(p, *extra)
     return out, vs[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
+                     "stx", "sty", "n_live", "n_pure", "zspan"),
+)
+def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
+                  interpret=False, stx=None, sty=None, n_live=None,
+                  n_pure=None, zspan=(0, -1)):
+    """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
+    [, tile id list]. State ring must be 2. n_pure/zspan: pure/mixed
+    split as in _pallas_bulk. Returns (p'', (vs1, vs2))."""
+    nxp, nyp, c, nz = p.shape
+    nx, ny = nxp - 4, nyp - 4
+    gx, gy = nx // tx, ny // ty
+    skip = n_live is not None
+    sparse = skip and n_live < gx * gy
+    kern = functools.partial(
+        _kernel2, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy,
+        bcs_static=bcs_static, stx=stx, sty=sty,
+        ntiles=n_live, skip=skip, in_place=sparse,
+        n_pure=n_pure, zspan=zspan,
+    )
+    n_nee = len(extra) - (1 if skip else 0)
+    scratch = [
+        pltpu.VMEM((2, tx + 4, ty + 4, C, nz), jnp.float32),
+        pltpu.VMEM((tx + 2, ty + 2, C, nz), jnp.float32),
+        pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
+        pltpu.SMEM((2,), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out, vs = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct(p.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0),
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases={0: 0} if sparse else {},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p, *extra)
+    return out, vs[0]
 
 
 # ---------------------------------------------------------------------------
@@ -665,11 +1147,14 @@ def _valid_bbox(bc, shape_xy, margin: int = 2):
     return x0, x1, y0, y1
 
 
-def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
+def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t):
     """Windowed z-plane NEE fixup: recompute the fused step exactly on
     the consumer plane restricted to the bbox window, then splice it into
     the kernel output (exact because the written interior's pulls never
     reach the window border).
+
+    sub: the PRE-STEP state slab p[x0:x1, y0:y1, :, c-1:c+2] — sliced
+    by the caller BEFORE the (input-aliased) kernel call destroys p.
 
     Returns (p_out', velsum_delta): the kernel's velsum counted these
     plane cells with pre-NEE pulls, so the caller must add
@@ -680,7 +1165,6 @@ def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
 
     x0, x1, y0, y1 = win
     c = bc.consumer_coord
-    sub = p_src[x0:x1, y0:y1, :, c - 1 : c + 2]  # (wx, wy, C, 3)
     nbr_w = bc.nbr_wall_plane[:, x0:x1, y0:y1]
     pulled = _plane_pull_packed(sub, nbr_w, 2, 1)  # (19, wx, wy)
     fluid_pl = cc.fluid[x0:x1, y0:y1, c]
@@ -731,38 +1215,152 @@ def _fix_z_plane_windowed(cc, bc, win, p_src, p_out, t):
     ), vs_after - vs_before
 
 
+def live_tile_ids(mask_padded, tx: int, ty: int, ring: int = 1):
+    """Static block-sparse tile list: ids (row-major over the (gx, gy)
+    grid) of tiles containing at least one live (non-DEAD) cell. The
+    TPU-native replacement for the reference's per-cell sparse
+    compaction (Poiseulle.cu:257-271): per-cell gathers serialize on
+    TPU sublanes, but whole dead TILES can be skipped outright — their
+    contents are static, and the kernel's output aliases its input, so
+    skipped tiles simply persist."""
+    m = np.asarray(mask_padded) != int(CellType.DEAD)
+    nxp, nyp = m.shape[0], m.shape[1]
+    nx, ny = nxp - 2 * ring, nyp - 2 * ring
+    gx, gy = nx // tx, ny // ty
+    ids = []
+    for i in range(gx):
+        for j in range(gy):
+            blk = m[ring + i * tx : ring + (i + 1) * tx,
+                    ring + j * ty : ring + (j + 1) * ty]
+            if blk.any():
+                ids.append(i * gy + j)
+    return np.asarray(ids, np.int32)
+
+
+def classify_tiles(mask_padded, tx: int, ty: int, ring: int = 1,
+                   fuse: int = 1):
+    """Static pure/mixed tile classification for the fast-path split.
+
+    A tile is PURE when every column (x, y) of its kernel INPUT region
+    (interior + the fuse-dependent halo skirt) has the standard z-slab
+    pattern [DEAD.., WALL, FLUID span, WALL, DEAD..] with one
+    common fluid span — then all wall tests are z-lane iota compares and
+    whole mask machinery drops out (_subtile_compute_pure). Everything
+    else (lateral walls, NEE boundary planes, vessel geometry, lane-
+    structure oddities) is MIXED and takes the general path.
+
+    Returns (order, n_pure, zspan): `order` is the row-major tile id list
+    reordered pure-first (int32), n_pure the count of pure tiles, zspan
+    the common fluid z-span (meaningless if n_pure == 0).
+    """
+    m = np.asarray(mask_padded)
+    nxp, nyp, nzp = m.shape
+    nx, ny = nxp - 2 * ring, nyp - 2 * ring
+    gx, gy = nx // tx, ny // ty
+    F = int(CellType.FLUID)
+    W = int(CellType.WALL)
+    fluid = m == F
+    any_f = fluid.any(axis=2)
+    nf = fluid.sum(axis=2)
+    first_f = np.where(any_f, fluid.argmax(axis=2), -1)
+    last_f = np.where(
+        any_f, nzp - 1 - fluid[:, :, ::-1].argmax(axis=2), -2
+    )
+
+    def at_z(z):
+        return np.take_along_axis(
+            m, np.clip(z, 0, nzp - 1)[..., None], axis=2
+        )[..., 0]
+
+    # Cells beyond the WALL caps may carry any non-fluid label (DEAD,
+    # -1 ghosts, lane padding): fluid never pulls from them (distance
+    # > 1) and their own update is a passthrough on both paths.
+    std = (
+        any_f
+        & (first_f >= 1) & (last_f <= nzp - 2)
+        & (at_z(first_f - 1) == W)      # wall right below the span
+        & (at_z(last_f + 1) == W)       # wall right above the span
+        & (nf == last_f - first_f + 1)  # contiguous fluid, none outside
+    )
+    if std.any():
+        spans = first_f[std] * nzp + last_f[std]
+        vals, cnts = np.unique(spans, return_counts=True)
+        win = int(vals[np.argmax(cnts)])
+        zf0, zf1 = win // nzp, win % nzp
+        std = std & (first_f == zf0) & (last_f == zf1)
+        zspan = (int(zf0), int(zf1))
+    else:
+        zspan = (0, -1)
+    # input region of tile (i, j): ring-1+fuse-1 == ring - 2 + fuse ...
+    # _kernel reads [i*tx + ring - 1, ...+tx+2); _kernel2 (ring=2) reads
+    # [i*tx, ...+tx+4) — both are [i*tx + ring - fuse, ...+tx+2*fuse)
+    skirt = fuse
+    x0s = ring - skirt
+    pure = np.zeros(gx * gy, bool)
+    for i in range(gx):
+        for j in range(gy):
+            blk = std[x0s + i * tx : x0s + i * tx + tx + 2 * skirt,
+                      x0s + j * ty : x0s + j * ty + ty + 2 * skirt]
+            pure[i * gy + j] = bool(blk.all())
+    ids = np.arange(gx * gy, dtype=np.int32)
+    order = np.concatenate([ids[pure], ids[~pure]]).astype(np.int32)
+    return order, int(pure.sum()), zspan
+
+
 def make_pallas_step(
     cc_pad, tx: int | None = None, ty: int | None = None,
     interpret: bool = False,
     stx: int | None = None, sty: int | None = None,
+    ring: int = 1, fuse: int = 1, tile_skip: bool = False,
+    pure_split: bool = True,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
 
-    cc_pad: CompiledCase built from pad_spec(spec, lane_multiple=...); all
-    coordinates padded. Returns step(p, t) -> (p', velsum_fluid) where p
-    is the packed (X+2, Y+2, C, Z) state (see pack_state).
+    cc_pad: CompiledCase built from pad_spec(spec, lane_multiple=...,
+    halo=ring); all coordinates padded. Returns step(p, t) ->
+    (p', velsum) where p is the packed (X+2r, Y+2r, C, Z) state (see
+    pack_state). fuse=2 advances TWO steps per call (requires ring=2
+    and no z-plane BCs) and returns velsum as a (2,) vector. tile_skip
+    skips all-dead tiles (block-sparse geometries; see live_tile_ids).
+    pure_split routes statically-all-standard tiles through the
+    mask-free fast path (classify_tiles / _subtile_compute_pure).
 
     NEE boundaries on x/y planes run INSIDE the kernel (plane-row masks +
     VMEM phi* tables); z-plane boundaries (coronary sub-outlets) fall back
     to the XLA consumer-plane fixup.
     """
     nxp, nyp, nz = cc_pad.shape
-    nx, ny = nxp - 2, nyp - 2
-    auto = _pick_tiles(nx, ny, nz)
-    if interpret and tx is None and ty is None:
-        # big DMA tiles only pay off on hardware; small tiles keep the
-        # interpreter's unrolled sub-tile loop (and tracing time) short
-        auto = _pick_tiles(nx, ny, nz, prefer_small=True)
+    nx, ny = nxp - 2 * ring, nyp - 2 * ring
+    prefer_small = interpret and tx is None and ty is None
+    # big DMA tiles only pay off on hardware; small tiles keep the
+    # interpreter's unrolled sub-tile loop (and tracing time) short
+    auto = _pick_tiles(nx, ny, nz, prefer_small=prefer_small, fuse=fuse)
     tx = tx if tx is not None else auto[0]
     ty = ty if ty is not None else auto[1]
-    stx = stx if stx is not None else auto[2]
-    sty = sty if sty is not None else auto[3]
+    if interpret:
+        # no vector registers to spill off-TPU, and every sub-tile is
+        # another unrolled trace — default to whole-tile compute
+        stx = stx if stx is not None else tx
+        sty = sty if sty is not None else ty
+    else:
+        stx = stx if stx is not None else auto[2]
+        sty = sty if sty is not None else auto[3]
     stx = min(stx, tx)
     sty = min(sty, ty)
     tau = float(cc_pad.tau)
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
+    if fuse == 2:
+        if ring != 2:
+            raise ValueError("fuse=2 needs a ring-2 padded state "
+                             "(pad_spec(halo=2))")
+        if fixup_bcs:
+            raise ValueError(
+                "fuse=2 cannot interleave the out-of-kernel z-plane NEE "
+                "fixups between the two fused steps — use fuse=1 for "
+                "cases with z-axis boundaries"
+            )
     bcs_static = tuple(
         BCStatic.make(
             bc.axis, bc.consumer_coord, bc.dirs,
@@ -778,11 +1376,27 @@ def make_pallas_step(
         else:
             nee_static.append(("static", _build_nee(bc), 1))
 
+    tids = None
+    n_live = None
+    n_pure = None
+    zspan = (0, -1)
+    if tile_skip:
+        tids = jnp.asarray(live_tile_ids(
+            cc_pad.spec.mask, tx, ty, ring=ring))
+        n_live = int(tids.shape[0])
+    elif pure_split:
+        order, np_, zspan = classify_tiles(
+            cc_pad.spec.mask, tx, ty, ring=ring, fuse=fuse)
+        if np_ > 0:
+            tids = jnp.asarray(order)
+            n_live = int(order.shape[0])
+            n_pure = np_
+
     wins = [
         _valid_bbox(bc, (nxp, nyp)) for bc in fixup_bcs
     ]
 
-    def step(p, t):
+    def nee_at(t):
         nee = []
         for kind, arr, stride in nee_static:
             if kind == "series":
@@ -793,37 +1407,70 @@ def make_pallas_step(
                 )
             else:
                 nee.append(arr)
+        return nee
+
+    if fuse == 2:
+        def step(p, t):
+            extra = nee_at(t) + nee_at(t + 1)
+            if tids is not None:
+                extra.append(tids)
+            return _pallas_bulk2(
+                p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
+                interpret=interpret, stx=stx, sty=sty, n_live=n_live,
+                n_pure=n_pure, zspan=zspan,
+            )
+
+        return step
+
+    def step(p, t):
+        extra = nee_at(t)
+        if tids is not None:
+            extra.append(tids)
+        # z-BC slabs must be sliced from the PRE-step state before the
+        # input-aliased kernel call overwrites it.
+        subs = [
+            p[w[0]:w[1], w[2]:w[3], :,
+              bc.consumer_coord - 1 : bc.consumer_coord + 2]
+            for bc, w in zip(fixup_bcs, wins) if w is not None
+        ]
         p_bulk, vs = _pallas_bulk(
-            p, *nee, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
-            interpret=interpret, stx=stx, sty=sty,
+            p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
+            interpret=interpret, stx=stx, sty=sty, ring=ring,
+            n_live=n_live, n_pure=n_pure, zspan=zspan,
         )
+        k = 0
         for bc, win in zip(fixup_bcs, wins):
             if win is None:
                 continue
-            p_bulk, dvs = _fix_z_plane_windowed(cc_pad, bc, win, p, p_bulk, t)
+            p_bulk, dvs = _fix_z_plane_windowed(
+                cc_pad, bc, win, subs[k], p_bulk, t)
+            k += 1
             vs = vs + dvs
         return p_bulk, vs
 
     return step
 
 
-def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1)):
+def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1),
+             halo: int = 1):
     """A copy of a CaseSpec with the lattice halo-padded in x and y (mask
-    gets DEAD rings, init fields zero/one rings, BC coords shift by +1,
-    lateral plane fields pad accordingly). If `lane_multiple` > 1, the z
-    extent pads AT THE END with dead cells up to that multiple — Mosaic
-    requires the lane dimension be 128-aligned. `plane_multiples` rounds
-    the x/y interiors up the same way so awkward extents (e.g. the
+    gets DEAD rings, init fields zero/one rings, BC coords shift by
+    +halo, lateral plane fields pad accordingly). halo=2 is the 2-step
+    fused kernel's ring. If `lane_multiple` > 1, the z extent pads AT
+    THE END with dead cells up to that multiple — Mosaic requires the
+    lane dimension be 128-aligned. `plane_multiples` rounds the x/y
+    interiors up the same way so awkward extents (e.g. the
     bifurcation's prime ny=83) still get efficient kernel tiles. Every
     case keeps its borders non-fluid, so trailing dead layers are inert
     (same argument as the halo rings)."""
     import copy
     import dataclasses as dc
 
+    h = halo
     xpad = (-spec.shape[0]) % plane_multiples[0]
     ypad = (-spec.shape[1]) % plane_multiples[1]
     zpad = (-spec.shape[2]) % lane_multiple
-    spatial = ((1, 1 + xpad), (1, 1 + ypad), (0, zpad))
+    spatial = ((h, h + xpad), (h, h + ypad), (0, zpad))
     mask = np.pad(np.asarray(spec.mask), spatial)
     rho0 = np.pad(np.asarray(spec.rho0), spatial, constant_values=1.0)
     u0 = np.pad(np.asarray(spec.u0), ((0, 0),) + spatial)
@@ -832,7 +1479,7 @@ def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1)):
     def pad_lat(arr, axis, lead):
         lat = [a for a in range(3) if a != axis]
         pads = [(0, 0)] * lead + [
-            ((1, 1 + endpad[lat[k]]) if lat[k] in (0, 1)
+            ((h, h + endpad[lat[k]]) if lat[k] in (0, 1)
              else (0, zpad)) for k in range(2)
         ]
         return np.pad(arr, pads)
@@ -840,7 +1487,7 @@ def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1)):
     bcs = []
     for bc in spec.boundaries:
         new = copy.copy(bc)
-        new.coord = bc.coord + (1 if bc.axis in (0, 1) else 0)
+        new.coord = bc.coord + (h if bc.axis in (0, 1) else 0)
         if bc.u_field is not None:
             new.u_field = pad_lat(bc.u_field, bc.axis, 1)
         if bc.u_series is not None:
@@ -850,8 +1497,8 @@ def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1)):
     return dc.replace(
         spec,
         shape=(
-            spec.shape[0] + 2 + xpad,
-            spec.shape[1] + 2 + ypad,
+            spec.shape[0] + 2 * h + xpad,
+            spec.shape[1] + 2 * h + ypad,
             spec.shape[2] + zpad,
         ),
         mask=mask,
@@ -865,7 +1512,9 @@ __all__ = [
     "make_pallas_step",
     "pack_state",
     "unpack_state",
+    "packed_initial_lowmem",
     "pad_spec",
+    "live_tile_ids",
     "C",
     "MASK_CH",
 ]

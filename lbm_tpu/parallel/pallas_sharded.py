@@ -271,6 +271,9 @@ def make_pallas_sharded_step(
             p, *nee_step, lo, hi, tau=tau, tx=tx, ty=ty,
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
+            # the z-plane fixups below re-read the pre-step p; keep the
+            # functional (non-aliased) output on the sharded path
+            in_place=False,
         )
         if fixup_bcs:
             cc_loc = dataclasses.replace(cc_blk, fluid=fluid_loc)

@@ -127,6 +127,162 @@ def test_pallas_plane_multiples_padding():
     )
 
 
+@pytest.mark.parametrize("case_name,kwargs", [
+    ("lid_driven_cavity", dict(n=16)),
+    ("poiseuille", dict(n=16)),
+])
+def test_pallas_fuse2_matches_dense(case_name, kwargs):
+    """Two temporally-fused steps per kernel call (ring-2 state) must
+    reproduce the dense engine bit-for-bit-ish, including the NEE
+    consumer rows recomputed in VMEM between the fused steps."""
+    spec = pad_spec(get_case(case_name, **kwargs), halo=2)
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    nsteps = 4
+    f_ref = _dense_run(cc, f0, nsteps)
+    step = jax.jit(make_pallas_step(cc, interpret=True, ring=2, fuse=2))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(0, nsteps, 2):
+        p, vs = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(2, -2), slice(2, -2), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+    assert vs.shape == (2,) and bool(jnp.isfinite(vs).all())
+
+
+def test_pallas_fuse2_velsum_per_step():
+    """The (vs1, vs2) pair must equal the dense per-step fluid |u| sums."""
+    spec = pad_spec(get_case("lid_driven_cavity", n=16), halo=2)
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    step_d = make_step(cc)
+    fluid = np.asarray(cc.fluid)
+    refs = []
+    f = f0
+    for t in range(2):
+        f, rho, u = step_d(f, jnp.int32(t))
+        refs.append(float(
+            np.sum(np.sqrt(np.sum(np.asarray(u) ** 2, axis=0))[fluid])
+        ))
+    step = make_pallas_step(cc, interpret=True, ring=2, fuse=2)
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    _, vs = step(p, jnp.int32(0))
+    vs = np.asarray(vs)
+    for got, want in zip(vs, refs):
+        assert abs(got - want) / want < 1e-5, (vs, refs)
+
+
+@pytest.mark.parametrize("fuse", [1, 2])
+def test_pallas_pure_split_matches_dense(fuse):
+    """Pure/mixed tile split (classify_tiles): interior tiles take the
+    mask-free fast path (z-lane iota wall tests, no mask loads); the
+    result must equal the dense engine on a grid large enough that pure
+    tiles actually exist (n=24 with 4x8 tiles -> interior is pure)."""
+    from lbm_tpu.kernels.collide_stream import classify_tiles
+
+    ring = fuse
+    spec = pad_spec(get_case("lid_driven_cavity", n=24), halo=ring)
+    cc = compile_case(spec)
+    order, n_pure, zspan = classify_tiles(
+        np.asarray(spec.mask), 4, 8, ring=ring, fuse=fuse)
+    assert 0 < n_pure < len(order)   # both paths exercised
+    assert zspan == (2, 21)
+    f0 = initial_f(cc)
+    nsteps = 4
+    f_ref = _dense_run(cc, f0, nsteps)
+    step = jax.jit(make_pallas_step(cc, interpret=True, ring=ring,
+                                    fuse=fuse, tx=4, ty=8))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(0, nsteps, fuse):
+        p, vs = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(ring, -ring), slice(ring, -ring),
+                slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_packed_initial_lowmem_matches_standard():
+    """The channel-streamed large-grid init (host feq, donated buffer
+    updates) must reproduce pack_state(initial_f(cc)) exactly — same
+    fp32 expression, different materialization order."""
+    from lbm_tpu.kernels.collide_stream import packed_initial_lowmem
+
+    spec = pad_spec(get_case("poiseuille", n=12), halo=2)
+    cc = compile_case(spec)
+    want = np.asarray(pack_state(
+        initial_f(cc), jnp.asarray(np.asarray(spec.mask))))
+    got = np.asarray(packed_initial_lowmem(spec))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_tile_skip_matches_dense():
+    """Block-sparse tile skip on the coronary tree (the TPU-native
+    answer to the reference's sparse compaction, Poiseulle.cu:257-271):
+    all-dead tiles are never touched — the in-place aliased output keeps
+    them valid — and live-tile physics is unchanged."""
+    from lbm_tpu.kernels.collide_stream import live_tile_ids
+
+    spec = pad_spec(get_case("coronary", shape=(32, 24, 40), radius=5))
+    cc = compile_case(spec)
+    tids = live_tile_ids(spec.mask, 4, 8, ring=1)
+    gx, gy = (spec.shape[0] - 2) // 4, (spec.shape[1] - 2) // 8
+    assert 0 < len(tids) <= gx * gy
+    f0 = initial_f(cc)
+    nsteps = 3
+    f_ref = _dense_run(cc, f0, nsteps)
+    f, _ = _pallas_run(cc, f0, nsteps, tile_skip=True, tx=4, ty=8)
+    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_pallas_fuse2_skip_series_curved_vessel():
+    """fuse2 + tile skip + a time-SERIES NEE inlet together: the fused
+    pair must index the phi* series at t AND t+1 (curved vessel's
+    pulsatile inlet), with the in-place aliased live-tile list."""
+    spec = pad_spec(get_case("curved_vessel", n=24, nphase=4,
+                             period_steps=8), halo=2)
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    nsteps = 4
+    f_ref = _dense_run(cc, f0, nsteps)
+    step = jax.jit(make_pallas_step(cc, interpret=True, ring=2, fuse=2,
+                                    tile_skip=True))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(0, nsteps, 2):
+        p, vs = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(2, -2), slice(2, -2), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_runner_fuse2_odd_chunk():
+    """An odd chunk length runs (n//2) fused pairs + one single step on
+    the ring-2 state; residual series must match the xla backend's."""
+    from lbm_tpu.engine.runner import Simulation
+
+    kw = dict(n=16, max_steps=7, time_save=7)
+    sim = Simulation(get_case("lid_driven_cavity", **kw), backend="pallas",
+                     fuse=2)
+    assert sim._fuse2 and sim._ring == 2
+    res = sim.run(verbose=False)
+    assert res.steps == 7
+    sim2 = Simulation(get_case("lid_driven_cavity", **kw), backend="xla")
+    res2 = sim2.run(verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(sim.f_standard()), np.asarray(sim2.f_standard()),
+        rtol=3e-6, atol=1e-7,
+    )
+    assert abs(res.residual - res2.residual) < 1e-6
+
+
 def test_pallas_backend_in_runner_interpret():
     """Simulation(backend='pallas') off-TPU runs the kernel in interpret
     mode through the full runner (padding, packing, residuals, macro) and

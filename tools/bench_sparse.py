@@ -11,7 +11,11 @@ Prints one line per config: backend, shape, occupancy, ms/step, MLUPS
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -73,14 +77,24 @@ def main():
         total = 512**3
         live = int((np.asarray(spec.mask) != CellType.DEAD).sum())
         occ = live / total
-        sim = Simulation(spec, backend="sparse")
-        dt = time_chunk(sim, max(20, args.steps // 5))
-        print(
-            f"512^3 stretch occ={occ:.3f} sparse(1 chip): "
-            f"{dt*1e3:.2f} ms/step, {live/dt/1e6:.0f} MLUPS(live), "
-            f"{total/dt/1e6:.0f} MLUPS(box)",
-            flush=True,
-        )
+        for backend in ("pallas", "sparse"):
+            # pallas at 512^3 relies on the in-place aliased kernel: the
+            # single 13 GB packed buffer fits one 16 GB chip, and the
+            # block-sparse tile skip (auto at occ<50%) touches only the
+            # ~6% of tiles containing the tree.
+            try:
+                sim = Simulation(spec, backend=backend)
+                dt = time_chunk(sim, max(20, args.steps // 5))
+                print(
+                    f"512^3 stretch occ={occ:.3f} {backend}(1 chip): "
+                    f"{dt*1e3:.2f} ms/step, {live/dt/1e6:.0f} MLUPS(live), "
+                    f"{total/dt/1e6:.0f} MLUPS(box)",
+                    flush=True,
+                )
+                del sim
+            except Exception as e:  # noqa: BLE001
+                print(f"512^3 {backend}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

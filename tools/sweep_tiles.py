@@ -10,7 +10,11 @@ Usage: python tools/sweep_tiles.py [--n 256] [--steps 100] [--tiles 4x8,8x8,...]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
