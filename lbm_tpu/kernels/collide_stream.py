@@ -559,16 +559,18 @@ def _kernel(
     tau: float, tx: int, ty: int, gx: int, gy: int, ring: int = 1,
     bcs_static=(), halo_axis=None, stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
-    n_pure: int | None = None, zspan=(0, -1),
+    pure: bool = False, zspan=(0, -1), has_prev: bool = False,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
-    leading SMEM operand holds a tile id list — either the block-sparse
-    live list (all-dead tiles are never touched; the output aliases the
-    input, so their content stays valid) or the pure-first processing
-    order of the pure/mixed split. n_pure: with a pure-first list, the
-    first n_pure ordinals take the mask-free fast path
-    (_subtile_compute_pure) with static fluid z-span zspan.
+    leading SMEM operand holds a tile id list — the block-sparse live
+    list (all-dead tiles are never touched; the output aliases the
+    input, so their content stays valid) or one side of the pure/mixed
+    split. pure: EVERY tile of this call is standard (classify_tiles) —
+    trace only the mask-free fast path (_subtile_compute_pure) with
+    static fluid z-span zspan. has_prev: an extra (ignored) operand
+    carries the companion call's output, aliased onto this call's
+    output so both writes land in one buffer.
     ntiles: number of processed tiles (= len(list) if skip)."""
     nbc = len(bcs_static)
     p_hbm = refs[0]
@@ -576,6 +578,8 @@ def _kernel(
     rest = refs[1 + nbc :]
     if skip:
         tids_ref, rest = rest[0], rest[1:]
+    if has_prev:
+        rest = rest[1:]  # companion output: alias target only
     if halo_axis is not None:
         lo_hbm, hi_hbm = rest[0], rest[1]
         (out_hbm, vs_out, ft, ot, acc,
@@ -674,20 +678,10 @@ def _kernel(
                 def _(cp=cp):
                     cp.start()
                     cp.wait()
-        if not n_pure:  # None or 0: every tile takes the general path
-            full_work(tid, slot)
-        elif n_pure == ntiles:
+        if pure:
             pure_work(tid, slot)
         else:
-            # pure-first order: ordinal p decides the path statically
-            # classified at trace time, branched per tile at run time
-            @pl.when(p < n_pure)
-            def _():
-                pure_work(tid, slot)
-
-            @pl.when(p >= n_pure)
-            def _():
-                full_work(tid, slot)
+            full_work(tid, slot)
 
     acc[0] = jnp.float32(0.0)
     _drive(ntiles, get, in_copy, out_copy, work, in_place=in_place)
@@ -776,7 +770,7 @@ def _kernel2(
     tau: float, tx: int, ty: int, gx: int, gy: int,
     bcs_static=(), stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
-    n_pure: int | None = None, zspan=(0, -1),
+    pure: bool = False, zspan=(0, -1), has_prev: bool = False,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -784,7 +778,8 @@ def _kernel2(
     2 consumes it and writes the interior tile. Cuts HBM traffic per
     step ~1.7x — the memory-bound LBM's biggest remaining lever.
     State ring must be 2. Requires all NEE BCs on axes 0/1 (z-plane
-    fixups run outside the kernel and cannot interleave two steps)."""
+    fixups run outside the kernel and cannot interleave two steps).
+    skip/pure/zspan/has_prev as in _kernel."""
     nbc = len(bcs_static)
     p_hbm = refs[0]
     nee1 = refs[1 : 1 + nbc]
@@ -792,6 +787,8 @@ def _kernel2(
     rest = refs[1 + 2 * nbc :]
     if skip:
         tids_ref, rest = rest[0], rest[1:]
+    if has_prev:
+        rest = rest[1:]  # companion output: alias target only
     out_hbm, vs_out, ft, mt, ot, acc, in_sems, out_sems = rest
     if ntiles is None:
         ntiles = gx * gy
@@ -879,18 +876,10 @@ def _kernel2(
         acc[1] = acc[1] + vs2
 
     def work(p, tid, slot):
-        if not n_pure:
-            full_work(tid, slot)
-        elif n_pure == ntiles:
+        if pure:
             pure_work(tid, slot)
         else:
-            @pl.when(p < n_pure)
-            def _():
-                pure_work(tid, slot)
-
-            @pl.when(p >= n_pure)
-            def _():
-                full_work(tid, slot)
+            full_work(tid, slot)
 
     acc[0] = jnp.float32(0.0)
     acc[1] = jnp.float32(0.0)
@@ -940,19 +929,22 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
                      "interpret", "stx", "sty", "ring", "n_live",
-                     "in_place", "n_pure", "zspan"),
+                     "in_place", "pure", "zspan", "has_prev"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
-                 ring=1, n_live=None, in_place=None, n_pure=None, zspan=(0, -1)):
-    """extra = [*nee_tables][, tile id list][, lo, hi].
+                 ring=1, n_live=None, in_place=None, pure=False,
+                 zspan=(0, -1), has_prev=False):
+    """extra = [*nee_tables][, tile id list][, prev_out][, lo, hi].
 
     The tile id list (SMEM) drives two distinct features:
       - block-sparse skip: n_live < total tiles — untouched tiles must
         keep their static contents, so the output must ALIAS the input;
-      - pure/mixed split: pure-first full-coverage order with
-        n_pure/zspan set (classify_tiles) — the first n_pure ordinals
-        take the mask-free fast path.
+      - pure/mixed split: each call covers ONE side's tile list; the
+        pure call traces only the mask-free fast path (pure/zspan from
+        classify_tiles), the mixed call passes its companion's output
+        as prev_out (has_prev) so the two calls' disjoint tile writes
+        land in one aliased buffer.
 
     in_place aliasing also halves the HBM footprint, but its race-free
     DMA ordering (_drive) serializes output DMAs (~25% slower on dense
@@ -961,7 +953,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     nx, ny = nxp - 2 * ring, nyp - 2 * ring
     gx, gy = nx // tx, ny // ty
     skip = n_live is not None
-    sparse = skip and n_live < gx * gy
+    sparse = skip and n_live < gx * gy and not (pure or has_prev)
     if in_place is None:
         in_place = sparse
     if sparse and not in_place:
@@ -970,10 +962,10 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, ring=ring,
         bcs_static=bcs_static, halo_axis=halo_axis, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=in_place,
-        n_pure=n_pure, zspan=zspan,
+        pure=pure, zspan=zspan, has_prev=has_prev,
     )
     n_nee = (len(extra) - (2 if halo_axis is not None else 0)
-             - (1 if skip else 0))
+             - (1 if skip else 0) - (1 if has_prev else 0))
     scratch = [
         pltpu.VMEM((2, tx + 2, ty + 2, C, nz), jnp.float32),
         pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
@@ -983,6 +975,12 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     ]
     if halo_axis is not None:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if in_place:
+        aliases = {0: 0}
+    elif has_prev:
+        aliases = {1 + n_nee + (1 if skip else 0): 0}
+    else:
+        aliases = {}
     out, vs = pl.pallas_call(
         kern,
         out_shape=[
@@ -992,6 +990,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_prev else 0)
         + [pl.BlockSpec(memory_space=pl.ANY)]
         * (2 if halo_axis is not None else 0),
         out_specs=[
@@ -999,7 +998,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=scratch,
-        input_output_aliases={0: 0} if in_place else {},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # The default 16 MB scoped-vmem cap under-counts reuse of the
@@ -1015,26 +1014,27 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
-                     "stx", "sty", "n_live", "n_pure", "zspan"),
+                     "stx", "sty", "n_live", "pure", "zspan", "has_prev"),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
-                  n_pure=None, zspan=(0, -1)):
+                  pure=False, zspan=(0, -1), has_prev=False):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
-    [, tile id list]. State ring must be 2. n_pure/zspan: pure/mixed
-    split as in _pallas_bulk. Returns (p'', (vs1, vs2))."""
+    [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
+    has_prev: pure/mixed split as in _pallas_bulk. Returns
+    (p'', (vs1, vs2))."""
     nxp, nyp, c, nz = p.shape
     nx, ny = nxp - 4, nyp - 4
     gx, gy = nx // tx, ny // ty
     skip = n_live is not None
-    sparse = skip and n_live < gx * gy
+    sparse = skip and n_live < gx * gy and not (pure or has_prev)
     kern = functools.partial(
         _kernel2, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy,
         bcs_static=bcs_static, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=sparse,
-        n_pure=n_pure, zspan=zspan,
+        pure=pure, zspan=zspan, has_prev=has_prev,
     )
-    n_nee = len(extra) - (1 if skip else 0)
+    n_nee = len(extra) - (1 if skip else 0) - (1 if has_prev else 0)
     scratch = [
         pltpu.VMEM((2, tx + 4, ty + 4, C, nz), jnp.float32),
         pltpu.VMEM((tx + 2, ty + 2, C, nz), jnp.float32),
@@ -1051,13 +1051,18 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0),
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_prev else 0),
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=scratch,
-        input_output_aliases={0: 0} if sparse else {},
+        input_output_aliases=(
+            {0: 0} if sparse
+            else {1 + n_nee + (1 if skip else 0): 0} if has_prev
+            else {}
+        ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1312,7 +1317,7 @@ def make_pallas_step(
     interpret: bool = False,
     stx: int | None = None, sty: int | None = None,
     ring: int = 1, fuse: int = 1, tile_skip: bool = False,
-    pure_split: bool = True,
+    pure_split: bool = False,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
 
@@ -1324,6 +1329,11 @@ def make_pallas_step(
     skips all-dead tiles (block-sparse geometries; see live_tile_ids).
     pure_split routes statically-all-standard tiles through the
     mask-free fast path (classify_tiles / _subtile_compute_pure).
+    OPT-IN: measured on v5e at 256^3, the in-ONE-kernel two-path branch
+    regresses f1 from 5.99 to 12.68 ms/step (Mosaic schedules the
+    doubled branchy body poorly) and compiles ~20 min — the split only
+    pays as TWO separate pallas_calls over disjoint tile lists, which
+    is future work for the compute-bound fuse=2 path.
 
     NEE boundaries on x/y planes run INSIDE the kernel (plane-row masks +
     VMEM phi* tables); z-plane boundaries (coronary sub-outlets) fall back
@@ -1378,8 +1388,7 @@ def make_pallas_step(
 
     tids = None
     n_live = None
-    n_pure = None
-    zspan = (0, -1)
+    split = None  # (pure_ids, mixed_ids, zspan): two-call pure/mixed
     if tile_skip:
         tids = jnp.asarray(live_tile_ids(
             cc_pad.spec.mask, tx, ty, ring=ring))
@@ -1387,10 +1396,9 @@ def make_pallas_step(
     elif pure_split:
         order, np_, zspan = classify_tiles(
             cc_pad.spec.mask, tx, ty, ring=ring, fuse=fuse)
-        if np_ > 0:
-            tids = jnp.asarray(order)
-            n_live = int(order.shape[0])
-            n_pure = np_
+        if 0 < np_ < len(order):
+            split = (jnp.asarray(order[:np_]),
+                     jnp.asarray(order[np_:]), zspan)
 
     wins = [
         _valid_bbox(bc, (nxp, nyp)) for bc in fixup_bcs
@@ -1412,12 +1420,25 @@ def make_pallas_step(
     if fuse == 2:
         def step(p, t):
             extra = nee_at(t) + nee_at(t + 1)
+            if split is not None:
+                pure_ids, mixed_ids, zs = split
+                out_a, vs_a = _pallas_bulk2(
+                    p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
+                    interpret=interpret, stx=stx, sty=sty,
+                    n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
+                )
+                out, vs_b = _pallas_bulk2(
+                    p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
+                    bcs_static=bcs_static, interpret=interpret,
+                    stx=stx, sty=sty, n_live=int(mixed_ids.shape[0]),
+                    has_prev=True,
+                )
+                return out, vs_a + vs_b
             if tids is not None:
                 extra.append(tids)
             return _pallas_bulk2(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, n_live=n_live,
-                n_pure=n_pure, zspan=zspan,
             )
 
         return step
@@ -1433,11 +1454,26 @@ def make_pallas_step(
               bc.consumer_coord - 1 : bc.consumer_coord + 2]
             for bc, w in zip(fixup_bcs, wins) if w is not None
         ]
-        p_bulk, vs = _pallas_bulk(
-            p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
-            interpret=interpret, stx=stx, sty=sty, ring=ring,
-            n_live=n_live, n_pure=n_pure, zspan=zspan,
-        )
+        if split is not None:
+            pure_ids, mixed_ids, zs = split
+            out_a, vs_a = _pallas_bulk(
+                p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
+                interpret=interpret, stx=stx, sty=sty, ring=ring,
+                n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
+            )
+            p_bulk, vs_b = _pallas_bulk(
+                p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
+                bcs_static=bcs_static, interpret=interpret,
+                stx=stx, sty=sty, ring=ring,
+                n_live=int(mixed_ids.shape[0]), has_prev=True,
+            )
+            vs = vs_a + vs_b
+        else:
+            p_bulk, vs = _pallas_bulk(
+                p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
+                interpret=interpret, stx=stx, sty=sty, ring=ring,
+                n_live=n_live,
+            )
         k = 0
         for bc, win in zip(fixup_bcs, wins):
             if win is None:

@@ -193,7 +193,8 @@ def test_pallas_pure_split_matches_dense(fuse):
     nsteps = 4
     f_ref = _dense_run(cc, f0, nsteps)
     step = jax.jit(make_pallas_step(cc, interpret=True, ring=ring,
-                                    fuse=fuse, tx=4, ty=8))
+                                    fuse=fuse, tx=4, ty=8,
+                                    pure_split=True))
     p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
     for t in range(0, nsteps, fuse):
         p, vs = step(p, jnp.int32(t))

@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tiles", default="16x8")
     ap.add_argument("--variants", default="f1,f2")
+    ap.add_argument("--no-pure", action="store_true",
+                    help="disable the pure/mixed tile split")
     args = ap.parse_args()
 
     from lbm_tpu.cases import get_case
@@ -115,7 +117,8 @@ def main():
                     try:
                         step = cs.make_pallas_step(
                             cc, tx=tx, ty=ty, ring=ring, fuse=fuse,
-                            stx=stx, sty=sty)
+                            stx=stx, sty=sty,
+                            pure_split=not args.no_pure)
                         dt = time_scan(step, p0, args.steps, fuse)
                         print(f"{name} {tile}: {dt*1e3:.2f} ms/step, "
                               f"{n3/dt/1e6:.0f} MLUPS", flush=True)
