@@ -134,10 +134,11 @@ class Simulation:
                 )
             self._fuse2 = fuse == 2 and fuse2_ok
             self._ring = 2 if self._fuse2 else 1
-            # Block-sparse tile skip: worth its SMEM list only when a
-            # meaningful fraction of tiles is all-dead (vessel trees).
-            occ = float((np.asarray(spec.mask) != 0).mean())
-            self._tile_skip = occ < 0.5
+            # Block-sparse tile skip: make_pallas_step decides from the
+            # LIVE TILE fraction at the chosen tile size (cell occupancy
+            # alone misleads — a 1% tree can still touch most all-z
+            # tile columns).
+            self._tile_skip = "auto" if mesh is None else False
             padded = pad_spec(
                 spec,
                 lane_multiple=1 if interpret else 128,
@@ -331,6 +332,9 @@ class Simulation:
                             ),
                             ring=self._ring,
                             tile_skip=self._tile_skip,
+                            # two full-size buffers don't fit at
+                            # 512^3-class sizes: alias in place
+                            in_place=True if self._lowmem else None,
                         )
                         self._pallas_step = make_pallas_step(cc, **kw)
                         if self._fuse2:

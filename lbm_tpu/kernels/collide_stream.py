@@ -54,15 +54,36 @@ _E = D3Q19.E
 _OPP = D3Q19.OPP
 _W = D3Q19.W
 
-C = 24  # channels: 19 pdfs + mask + 2 z-shifted masks + 2 sublane padding
+C = 24  # channels: 19 pdfs + mask + 2 z-shifted masks + bits + padding
 MASK_CH = 19
 MASK_ZP_CH = 20  # mask rolled +1 along z: pull-source mask for e_z = +1
 MASK_ZM_CH = 21  # mask rolled -1 along z: pull-source mask for e_z = -1
-# Negative result (measured, do not retry): replacing the per-direction
-# shifted-mask compare with ONE hoisted per-cell wall-direction BITMASK
-# (i32 bitcast, 18 ANDs) dropped 1849 -> 1065 MLUPS at 256^3 — the
-# hoisted value stays live across the whole pull loop and spills, same
-# failure mode as the 3-pre-rolled-masks experiment (1216).
+BITS_CH = 22     # per-direction neighbor-wall bitmask (wall_bits)
+# History: the hoisted wall-direction BITMASK (channel 22, 18 ANDs in
+# place of 18 shifted-mask loads+compares) FAILED in round 1 at the
+# then-default 4x8 sub-tile (1849 -> 1065 MLUPS: the 8-vreg hoisted
+# value spilled, like the 3-pre-rolled-masks experiment at 1216) and
+# was retried after the 1x8 sub-tile change made it a resident 2-vreg
+# value (`bits=` flag on the kernel builders for A/B).
+
+
+def wall_bits(mask):
+    """(X, Y, Z) mask -> float32-bitcast i32 channel: bit i set iff the
+    pull source of direction i (cell x - e_i, z-wrapped like the
+    kernel's lane roll) is a WALL. One load + 18 integer ANDs replace
+    the 18 shifted mask loads + fp compares in the pull loop — the
+    neighbor-wall pattern is static, so it rides in the (previously
+    padding) channel 22 for free."""
+    from lbm_tpu.core.lattice import D3Q19
+
+    wall = np.asarray(mask) == int(CellType.WALL)
+    bits = np.zeros(wall.shape, np.uint32)
+    for i in range(1, D3Q19.Q):
+        ex, ey, ez = (int(v) for v in D3Q19.E[i])
+        bits |= np.uint32(1 << i) * np.roll(
+            wall, shift=(ex, ey, ez), axis=(0, 1, 2)
+        ).astype(np.uint32)
+    return bits.view(np.float32)
 
 
 def pack_state(f, mask):
@@ -71,13 +92,15 @@ def pack_state(f, mask):
     Channels 20/21 carry the mask pre-rolled by +/-1 along z, so the
     kernel's 10 e_z != 0 wall tests become plain (sliced) loads instead
     of lane rolls — the rolls ride in the (previously zero-padding)
-    channels for free, traffic-wise."""
+    channels for free, traffic-wise. Channel 22 carries the static
+    neighbor-wall bitmask (wall_bits)."""
     m = jnp.asarray(mask, jnp.float32)
     mzp = jnp.roll(m, +1, axis=2)
     mzm = jnp.roll(m, -1, axis=2)
-    zeros = jnp.zeros((C - MASK_ZM_CH - 1,) + f.shape[1:], jnp.float32)
+    wb = jnp.asarray(wall_bits(np.asarray(mask)))
+    zeros = jnp.zeros((C - BITS_CH - 1,) + f.shape[1:], jnp.float32)
     return jnp.concatenate(
-        [f, m[None], mzp[None], mzm[None], zeros], axis=0
+        [f, m[None], mzp[None], mzm[None], wb[None], zeros], axis=0
     ).transpose(1, 2, 0, 3)
 
 
@@ -119,13 +142,14 @@ def packed_initial_lowmem(spec_pad):
     p = put_ch(p, jnp.asarray(mask_np), MASK_CH)
     p = put_ch(p, jnp.asarray(np.roll(mask_np, +1, axis=2)), MASK_ZP_CH)
     p = put_ch(p, jnp.asarray(np.roll(mask_np, -1, axis=2)), MASK_ZM_CH)
+    p = put_ch(p, jnp.asarray(wall_bits(spec_pad.mask)), BITS_CH)
     return p
 
 
 def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   gx0=None, gy0=None, bcs_static=(),
                   stx: int | None = None, sty: int | None = None,
-                  vs_win=None, pure_zspan=None):
+                  vs_win=None, pure_zspan=None, bits=True):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -166,7 +190,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                 total = total + _subtile_compute(
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
-                    gx0, gy0, bcs_static, vs_win,
+                    gx0, gy0, bcs_static, vs_win, bits=bits,
                 )
     return total
 
@@ -251,7 +275,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         ot[oxs, oys, o, :] = jnp.where(
             z_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
         )
-    for ch in range(MASK_CH, MASK_ZM_CH + 1):
+    for ch in range(MASK_CH, BITS_CH + 1):
         ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
     if vs_win is not None:
         rlo, rhi, clo, chi = vs_win
@@ -272,15 +296,24 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
-                     gx0, gy0, bcs_static, vs_win):
+                     gx0, gy0, bcs_static, vs_win, bits=True):
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     m_ctr = ft[cx, cy, MASK_CH, :]
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
 
-    # Per-direction wall tests: fresh shifted-mask load + compare per
-    # direction (hoisting spills — see the negative results above). The
-    # e_z != 0 directions read the PRE-ROLLED mask channels (20/21), so
-    # only the pdf planes pay a lane roll.
+    # Per-direction wall tests. bits=True: ONE hoisted i32 bitmask
+    # (channel 22, wall_bits; 2 vregs at the 1x8 sub-tile so it stays
+    # resident) + an AND per direction — replaces 18 shifted mask loads
+    # and fp compares. The round-1 form of this experiment spilled at
+    # the then-default 4x8 sub-tile (8-vreg hoisted value, 1849->1065)
+    # — narrow sub-tiles changed the verdict. bits=False: per-direction
+    # shifted-mask load + compare; e_z != 0 reads the PRE-ROLLED mask
+    # channels (20/21), so only the pdf planes pay a lane roll.
+    if bits:
+        mb = jax.lax.bitcast_convert_type(
+            ft[cx, cy, BITS_CH, :], jnp.int32
+        )
+
     def pulled(i):
         ex, ey, ez = (int(v) for v in _E[i])
         sx = slice(1 + ox - ex, 1 + ox - ex + stx)
@@ -288,13 +321,16 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         piece = ft[sx, sy, i, :]
         if ez != 0:
             piece = pltpu.roll(piece, shift=ez % nz, axis=2)
+        own_opp = ft[cx, cy, _OPP[i], :]
+        if bits:
+            src_wall = (mb & np.int32(1 << i)) != 0
+        elif ez != 0:
             nbr = ft[sx, sy, MASK_ZP_CH if ez > 0 else MASK_ZM_CH, :]
+            src_wall = nbr == np.float32(int(CellType.WALL))
         else:
             nbr = ft[sx, sy, MASK_CH, :]
-        own_opp = ft[cx, cy, _OPP[i], :]
-        return jnp.where(
-            nbr == np.float32(int(CellType.WALL)), own_opp, piece
-        )
+            src_wall = nbr == np.float32(int(CellType.WALL))
+        return jnp.where(src_wall, own_opp, piece)
 
     # Pass 1: moments (VPU adds; a 19x3 contraction needs no MXU). Pulled
     # values are kept live in VMEM for the collide pass.
@@ -353,9 +389,9 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         ot[oxs, oys, o, :] = jnp.where(
             is_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
         )
-    # Mask channels pass through unchanged; the 2 pure-padding channels
-    # (22, 23) are never read by anyone — skip their copy.
-    for ch in range(MASK_CH, MASK_ZM_CH + 1):
+    # Mask + bitmask channels pass through unchanged; the pure-padding
+    # channel 23 is never read by anyone — skip its copy.
+    for ch in range(MASK_CH, BITS_CH + 1):
         ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
     # rows' post-NEE contribution is added by the row fix itself) and
@@ -560,6 +596,7 @@ def _kernel(
     bcs_static=(), halo_axis=None, stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
+    bits: bool = True,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -642,7 +679,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
-            stx=stx, sty=sty,
+            stx=stx, sty=sty, bits=bits,
         )
         acc[0] = acc[0] + vs
 
@@ -771,6 +808,7 @@ def _kernel2(
     bcs_static=(), stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
+    bits: bool = True,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -847,6 +885,7 @@ def _kernel2(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             gx0=g1x, gy0=g1y, bcs_static=bcs_static,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
+            bits=bits,
         )
         acc[0] = acc[0] + vs1
         row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
@@ -856,7 +895,7 @@ def _kernel2(
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
             gx0=g2x, gy0=g2y, bcs_static=bcs_static,
-            stx=stx, sty=sty,
+            stx=stx, sty=sty, bits=bits,
         )
         acc[1] = acc[1] + vs2
         row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
@@ -929,12 +968,12 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
                      "interpret", "stx", "sty", "ring", "n_live",
-                     "in_place", "pure", "zspan", "has_prev"),
+                     "in_place", "pure", "zspan", "has_prev", "bits"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
-                 zspan=(0, -1), has_prev=False):
+                 zspan=(0, -1), has_prev=False, bits=True):
     """extra = [*nee_tables][, tile id list][, prev_out][, lo, hi].
 
     The tile id list (SMEM) drives two distinct features:
@@ -962,7 +1001,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, ring=ring,
         bcs_static=bcs_static, halo_axis=halo_axis, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=in_place,
-        pure=pure, zspan=zspan, has_prev=has_prev,
+        pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
     )
     n_nee = (len(extra) - (2 if halo_axis is not None else 0)
              - (1 if skip else 0) - (1 if has_prev else 0))
@@ -1014,11 +1053,11 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
-                     "stx", "sty", "n_live", "pure", "zspan", "has_prev"),
+                     "stx", "sty", "n_live", "pure", "zspan", "has_prev", "bits"),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
-                  pure=False, zspan=(0, -1), has_prev=False):
+                  pure=False, zspan=(0, -1), has_prev=False, bits=True):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
     [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
     has_prev: pure/mixed split as in _pallas_bulk. Returns
@@ -1032,7 +1071,7 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         _kernel2, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy,
         bcs_static=bcs_static, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=sparse,
-        pure=pure, zspan=zspan, has_prev=has_prev,
+        pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
     )
     n_nee = len(extra) - (1 if skip else 0) - (1 if has_prev else 0)
     scratch = [
@@ -1316,8 +1355,9 @@ def make_pallas_step(
     cc_pad, tx: int | None = None, ty: int | None = None,
     interpret: bool = False,
     stx: int | None = None, sty: int | None = None,
-    ring: int = 1, fuse: int = 1, tile_skip: bool = False,
-    pure_split: bool = False,
+    ring: int = 1, fuse: int = 1, tile_skip=False,
+    pure_split: bool = False, bits: bool = True,
+    in_place: bool | None = None,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
 
@@ -1326,7 +1366,15 @@ def make_pallas_step(
     (p', velsum) where p is the packed (X+2r, Y+2r, C, Z) state (see
     pack_state). fuse=2 advances TWO steps per call (requires ring=2
     and no z-plane BCs) and returns velsum as a (2,) vector. tile_skip
-    skips all-dead tiles (block-sparse geometries; see live_tile_ids).
+    skips all-dead tiles (block-sparse geometries; see live_tile_ids):
+    True forces it, "auto" enables it when the LIVE TILE fraction is
+    <60% (a tile spans all z, so a 1% cell-occupancy tree can still
+    touch most tiles — measured at 288x288x372: 1.3% cells but enough
+    live tiles that forced skip ran 19.7 ms/step vs 18.1 dense, while
+    128^3 at 34% live tiles gained 3.10 -> 2.43) or when in_place
+    already pays the strict DMA ordering anyway. in_place=True aliases
+    the output onto the input even without skipping — REQUIRED at
+    512^3-class sizes where two 13 GB buffers don't fit one chip.
     pure_split routes statically-all-standard tiles through the
     mask-free fast path (classify_tiles / _subtile_compute_pure).
     OPT-IN: measured on v5e at 256^3, the in-ONE-kernel two-path branch
@@ -1361,6 +1409,11 @@ def make_pallas_step(
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
+    if in_place and (fuse == 2 or pure_split):
+        raise ValueError(
+            "in_place aliasing is only wired on the single-call fuse=1 "
+            "path (512^3-class memory fits)"
+        )
     if fuse == 2:
         if ring != 2:
             raise ValueError("fuse=2 needs a ring-2 padded state "
@@ -1389,6 +1442,14 @@ def make_pallas_step(
     tids = None
     n_live = None
     split = None  # (pure_ids, mixed_ids, zspan): two-call pure/mixed
+    if tile_skip == "auto":
+        ids_np = live_tile_ids(cc_pad.spec.mask, tx, ty, ring=ring)
+        total_tiles = (nx // tx) * (ny // ty)
+        frac = len(ids_np) / max(total_tiles, 1)
+        # skip pays its strict in-place DMA ordering only when enough
+        # tiles actually drop out — or when in_place is forced anyway
+        # (then the ordering cost is already paid and the list is free)
+        tile_skip = frac < 0.6 or (bool(in_place) and frac < 1.0)
     if tile_skip:
         tids = jnp.asarray(live_tile_ids(
             cc_pad.spec.mask, tx, ty, ring=ring))
@@ -1431,7 +1492,7 @@ def make_pallas_step(
                     p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                     bcs_static=bcs_static, interpret=interpret,
                     stx=stx, sty=sty, n_live=int(mixed_ids.shape[0]),
-                    has_prev=True,
+                    has_prev=True, bits=bits,
                 )
                 return out, vs_a + vs_b
             if tids is not None:
@@ -1439,6 +1500,7 @@ def make_pallas_step(
             return _pallas_bulk2(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, n_live=n_live,
+                bits=bits,
             )
 
         return step
@@ -1465,14 +1527,15 @@ def make_pallas_step(
                 p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                 bcs_static=bcs_static, interpret=interpret,
                 stx=stx, sty=sty, ring=ring,
-                n_live=int(mixed_ids.shape[0]), has_prev=True,
+                n_live=int(mixed_ids.shape[0]), has_prev=True, bits=bits,
             )
             vs = vs_a + vs_b
         else:
             p_bulk, vs = _pallas_bulk(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
-                n_live=n_live,
+                n_live=n_live, bits=bits,
+                in_place=True if in_place else None,
             )
         k = 0
         for bc, win in zip(fixup_bcs, wins):
@@ -1547,6 +1610,7 @@ def pad_spec(spec, lane_multiple: int = 1, plane_multiples=(1, 1),
 __all__ = [
     "make_pallas_step",
     "pack_state",
+    "wall_bits",
     "unpack_state",
     "packed_initial_lowmem",
     "pad_spec",

@@ -70,8 +70,12 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tiles", default="16x8")
     ap.add_argument("--variants", default="f1,f2")
-    ap.add_argument("--no-pure", action="store_true",
-                    help="disable the pure/mixed tile split")
+    ap.add_argument("--pure", action="store_true",
+                    help="enable the two-call pure/mixed tile split "
+                    "(measured slower on the DMA-bound f1; see "
+                    "make_pallas_step docstring)")
+    ap.add_argument("--no-bits", action="store_true",
+                    help="disable the channel-22 wall bitmask")
     args = ap.parse_args()
 
     from lbm_tpu.cases import get_case
@@ -118,7 +122,8 @@ def main():
                         step = cs.make_pallas_step(
                             cc, tx=tx, ty=ty, ring=ring, fuse=fuse,
                             stx=stx, sty=sty,
-                            pure_split=not args.no_pure)
+                            pure_split=args.pure,
+                            bits=not args.no_bits)
                         dt = time_scan(step, p0, args.steps, fuse)
                         print(f"{name} {tile}: {dt*1e3:.2f} ms/step, "
                               f"{n3/dt/1e6:.0f} MLUPS", flush=True)
