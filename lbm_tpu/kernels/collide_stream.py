@@ -123,7 +123,6 @@ def packed_initial_lowmem(spec_pad):
     mask_np = np.asarray(spec_pad.mask, np.float32)
     rho = np.asarray(spec_pad.rho0, np.float32)
     u = np.asarray(spec_pad.u0, np.float32)
-    usq = (u * u).sum(axis=0, dtype=np.float32)
     E = D3Q19.E.astype(np.float32)
     W = D3Q19.W.astype(np.float32)
 
@@ -131,17 +130,63 @@ def packed_initial_lowmem(spec_pad):
     def put_ch(p, v, ch):
         return p.at[:, :, ch, :].set(v)
 
-    p = jnp.zeros((X, Y, C, Z), jnp.float32)
-    for i in range(D3Q19.Q):
-        cu = E[i, 0] * u[0] + E[i, 1] * u[1] + E[i, 2] * u[2]
+    def host_feq(i, rho_w, u_w, usq_w):
+        cu = (E[i, 0] * u_w[0] + E[i, 1] * u_w[1] + E[i, 2] * u_w[2])
         # same op order as phi(): w * (1 + 3cu + 4.5cu^2 - 1.5|u|^2)
         ph = W[i] * (np.float32(1.0) + np.float32(3.0) * cu
                      + np.float32(4.5) * cu * cu
-                     - np.float32(1.5) * usq)
-        p = put_ch(p, jnp.asarray(rho * ph), i)
-    p = put_ch(p, jnp.asarray(mask_np), MASK_CH)
-    p = put_ch(p, jnp.asarray(np.roll(mask_np, +1, axis=2)), MASK_ZP_CH)
-    p = put_ch(p, jnp.asarray(np.roll(mask_np, -1, axis=2)), MASK_ZM_CH)
+                     - np.float32(1.5) * usq_w)
+        return rho_w * ph
+
+    p = jnp.zeros((X, Y, C, Z), jnp.float32)
+    nzu = np.any(u != 0.0, axis=0)
+    if nzu.mean() < 0.01:
+        # Most cells start at rest, where feq_i = W_i * rho exactly
+        # (phi's bracket is 1.0): fill on DEVICE from one rho transfer,
+        # then patch the nonzero-u bounding box from host values. At
+        # 512^3 the naive 19-channel host stream took 13.3 min over the
+        # axon tunnel (~16 MB/s effective); this path moves ~1 GB.
+        rho_dev = jnp.asarray(rho)
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnums=(3,))
+        def put_scaled(p, r, w, ch):
+            return p.at[:, :, ch, :].set(w * r)
+
+        for i in range(D3Q19.Q):
+            p = put_scaled(p, rho_dev, np.float32(W[i]), i)
+        del rho_dev
+        if nzu.any():
+            xs, ys, zs = np.nonzero(nzu)
+            x0, x1 = int(xs.min()), int(xs.max()) + 1
+            y0, y1 = int(ys.min()), int(ys.max()) + 1
+            # lane-align the z window (unaligned lane slices of a
+            # multi-GB array provoke layout-changing copies)
+            blk = 128 if Z % 128 == 0 else Z
+            z0 = (int(zs.min()) // blk) * blk
+            z1 = min(-(-(int(zs.max()) + 1) // blk) * blk, Z)
+            uw = u[:, x0:x1, y0:y1, z0:z1]
+            usq_w = (uw * uw).sum(axis=0, dtype=np.float32)
+            rho_w = rho[x0:x1, y0:y1, z0:z1]
+            val = np.stack(
+                [host_feq(i, rho_w, uw, usq_w)
+                 for i in range(D3Q19.Q)], axis=2,
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def put_win(p, v):
+                return p.at[x0:x1, y0:y1, :19, z0:z1].set(v)
+
+            p = put_win(p, jnp.asarray(val))
+    else:
+        usq = (u * u).sum(axis=0, dtype=np.float32)
+        for i in range(D3Q19.Q):
+            p = put_ch(p, jnp.asarray(host_feq(i, rho, u, usq)), i)
+    m_dev = jnp.asarray(mask_np)
+    p = put_ch(p, m_dev, MASK_CH)
+    p = put_ch(p, jnp.roll(m_dev, +1, axis=2), MASK_ZP_CH)
+    p = put_ch(p, jnp.roll(m_dev, -1, axis=2), MASK_ZM_CH)
+    del m_dev
     p = put_ch(p, jnp.asarray(wall_bits(spec_pad.mask)), BITS_CH)
     return p
 
@@ -1191,7 +1236,8 @@ def _valid_bbox(bc, shape_xy, margin: int = 2):
     return x0, x1, y0, y1
 
 
-def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t):
+def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
+                          interpret=False, splice=True):
     """Windowed z-plane NEE fixup: recompute the fused step exactly on
     the consumer plane restricted to the bbox window, then splice it into
     the kernel output (exact because the written interior's pulls never
@@ -1251,9 +1297,15 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t):
     post = pulled - (pulled - feq) / cc.tau
     vs_after = speed_sum(pulled)
     newplane = jnp.where(fluid_pl[None], post, src_plane)
+    # Write the window interior only (border ring may be wrap-corrupted).
+    # Channels >= 19 (mask/bits) are static and already correct in p_out.
+    if splice:
+        return _splice_z_plane_inplace(
+            p_out, newplane.transpose(1, 2, 0)[1:-1, 1:-1],
+            x0=x0 + 1, y0=y0 + 1, c=c, interpret=interpret,
+        ), vs_after - vs_before
     aux = sub[:, :, 19:, 1].transpose(2, 0, 1)
     full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
-    # Write the window interior only (border ring may be wrap-corrupted).
     return p_out.at[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, :, c].set(
         full[1:-1, 1:-1]
     ), vs_after - vs_before
@@ -1279,6 +1331,109 @@ def live_tile_ids(mask_padded, tx: int, ty: int, ring: int = 1):
             if blk.any():
                 ids.append(i * gy + j)
     return np.asarray(ids, np.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("x0", "y0", "c", "interpret"),
+)
+def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
+    """Write val (wx, wy, 19) into p[x0:x0+wx, y0:y0+wy, :19, c]
+    IN PLACE via an aliased read-modify-write Pallas kernel.
+
+    A `p.at[...].set(...)` here copies the ENTIRE multi-GB state per
+    boundary per step — measured 16 of the coronary run's 19.7 ms/step
+    went to three such splices. This kernel aliases its output onto p
+    and touches only the lane block containing plane c (~MBs)."""
+    wx, wy, _ = val.shape
+    nzp = p.shape[-1]
+    blk = 128 if nzp % 128 == 0 else nzp
+    cblk, coff = (c // blk) * blk, c % blk
+    L = min(blk, nzp - cblk)
+    BX = max(1, min(wx, (4 << 20) // max(wy * C * L * 4, 1)))
+    chunks = [(k, min(BX, wx - k)) for k in range(0, wx, BX)]
+
+    def kern(p_hbm, val_ref, out_hbm, buf, sem_in, sem_out):
+        for off, bx in chunks:
+            cp = pltpu.make_async_copy(
+                p_hbm.at[pl.ds(x0 + off, bx), pl.ds(y0, wy), :,
+                         pl.ds(cblk, L)],
+                buf.at[pl.ds(0, bx)],
+                sem_in,
+            )
+            cp.start()
+            cp.wait()
+            li = jax.lax.broadcasted_iota(jnp.int32, (bx, wy, 19, L), 3)
+            v = val_ref[pl.ds(off, bx), :, :][..., None]
+            buf[pl.ds(0, bx), :, :19, :] = jnp.where(
+                li == coff, v, buf[pl.ds(0, bx), :, :19, :]
+            )
+            cp = pltpu.make_async_copy(
+                buf.at[pl.ds(0, bx)],
+                out_hbm.at[pl.ds(x0 + off, bx), pl.ds(y0, wy), :,
+                           pl.ds(cblk, L)],
+                sem_out,
+            )
+            cp.start()
+            cp.wait()
+
+    (out,) = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct(p.shape, jnp.float32)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((BX, wy, C, L), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(p, val)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("x0", "y0", "wx", "wy", "c", "interpret"),
+)
+def _extract_z_slab(p, *, x0, y0, wx, wy, c, interpret=False):
+    """p[x0:x0+wx, y0:y0+wy, :, c-1:c+2] without an XLA lane-dim slice
+    of the full state: at 512^3, layout assignment answered that slice
+    with a TRANSPOSED full copy of the 13 GB state inside the step loop
+    (copy.*.remat4, {1,0,3,2} layout, 15.2 GB with padding) — the HBM
+    OOM. Instead one HBM-to-HBM DMA moves the 128-aligned lane block(s)
+    covering [c-1, c+1] (Mosaic requires lane-aligned DMA slices), and
+    the 3-lane slice happens in XLA on the few-MB result."""
+    nzp = int(p.shape[-1])
+    blk = 128 if nzp % 128 == 0 else nzp
+    b0 = ((c - 1) // blk) * blk
+    b1 = min(-(-(c + 2) // blk) * blk, nzp)
+    L = b1 - b0
+
+    def kern(p_hbm, out_ref, sem):
+        cp = pltpu.make_async_copy(
+            p_hbm.at[pl.ds(x0, wx), pl.ds(y0, wy), :, pl.ds(b0, L)],
+            out_ref,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    (out,) = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((wx, wy, C, L), jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(p)
+    lo = (c - 1) - b0
+    return out[:, :, :, lo : lo + 3]
 
 
 def classify_tiles(mask_padded, tx: int, ty: int, ring: int = 1,
@@ -1391,8 +1546,12 @@ def make_pallas_step(
     nx, ny = nxp - 2 * ring, nyp - 2 * ring
     prefer_small = interpret and tx is None and ty is None
     # big DMA tiles only pay off on hardware; small tiles keep the
-    # interpreter's unrolled sub-tile loop (and tracing time) short
-    auto = _pick_tiles(nx, ny, nz, prefer_small=prefer_small, fuse=fuse)
+    # interpreter's unrolled sub-tile loop (and tracing time) short.
+    # At nz >= 512 Mosaic's scoped-vmem stack accounting runs ~4x the
+    # declared scratch (measured 113 MB against a 30 MB scratch at
+    # 16x8, over the 100 MB cap) — halve the tile budget there.
+    auto = _pick_tiles(nx, ny, nz, prefer_small=prefer_small, fuse=fuse,
+                       budget_mb=20.0 if nz >= 512 else 40.0)
     tx = tx if tx is not None else auto[0]
     ty = ty if ty is not None else auto[1]
     if interpret:
@@ -1509,11 +1668,14 @@ def make_pallas_step(
         extra = nee_at(t)
         if tids is not None:
             extra.append(tids)
-        # z-BC slabs must be sliced from the PRE-step state before the
-        # input-aliased kernel call overwrites it.
+        # z-BC slabs must be extracted from the PRE-step state before
+        # the input-aliased kernel call overwrites it (and via a DMA
+        # kernel, not an XLA lane slice — see _extract_z_slab).
         subs = [
-            p[w[0]:w[1], w[2]:w[3], :,
-              bc.consumer_coord - 1 : bc.consumer_coord + 2]
+            _extract_z_slab(
+                p, x0=w[0], y0=w[2], wx=w[1] - w[0], wy=w[3] - w[2],
+                c=bc.consumer_coord, interpret=interpret,
+            )
             for bc, w in zip(fixup_bcs, wins) if w is not None
         ]
         if split is not None:
@@ -1542,7 +1704,8 @@ def make_pallas_step(
             if win is None:
                 continue
             p_bulk, dvs = _fix_z_plane_windowed(
-                cc_pad, bc, win, subs[k], p_bulk, t)
+                cc_pad, bc, win, subs[k], p_bulk, t,
+                interpret=interpret)
             k += 1
             vs = vs + dvs
         return p_bulk, vs

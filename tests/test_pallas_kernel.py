@@ -218,6 +218,13 @@ def test_packed_initial_lowmem_matches_standard():
         initial_f(cc), jnp.asarray(np.asarray(spec.mask))))
     got = np.asarray(packed_initial_lowmem(spec))
     np.testing.assert_array_equal(got, want)
+    # sparse-velocity fast path (device W_i*rho fill + window patch)
+    spec = pad_spec(get_case("coronary", shape=(24, 20, 32), radius=4))
+    cc = compile_case(spec)
+    want = np.asarray(pack_state(
+        initial_f(cc), jnp.asarray(np.asarray(spec.mask))))
+    got = np.asarray(packed_initial_lowmem(spec))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_pallas_tile_skip_matches_dense():
