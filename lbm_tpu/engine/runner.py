@@ -180,6 +180,7 @@ class Simulation:
         self._usq_fn = None
         self._pallas_step = None
         self._pallas_step2 = None
+        self._tile_shrink = 0
         self._donate = donate
         self.reset()
 
@@ -299,6 +300,41 @@ class Simulation:
 
     # -- jitted chunk -----------------------------------------------------
     def _chunk(self, n: int) -> Callable:
+        """Jitted n-step chunk, guarded by the tile step-down ladder.
+
+        Mosaic's scoped-vmem stack accounting is ~3.9x the declared
+        scratch but not exactly predictable; if a compile overflows the
+        127 MB cap (round 2 shipped exactly this failure at 256^3), drop
+        to the next-smaller viable DMA tile and rebuild rather than
+        crash. Compile failures happen before execution, so donated
+        inputs are still intact on retry."""
+        if self.backend != "pallas" or self.mesh is not None:
+            return self._build_chunk(n)
+
+        def guarded(f, t):
+            while True:
+                try:
+                    return self._build_chunk(n)(f, t)
+                except Exception as e:
+                    s = str(e)
+                    oom = "vmem" in s and (
+                        "Scoped allocation" in s or "Ran out of memory" in s
+                    )
+                    if not oom or self._tile_shrink >= 4:
+                        raise
+                    self._tile_shrink += 1
+                    print(
+                        "[lbm_tpu] scoped-VMEM compile OOM; retrying at "
+                        f"tile-ladder position {self._tile_shrink}",
+                        flush=True,
+                    )
+                    self._pallas_step = None
+                    self._pallas_step2 = None
+                    self._chunk_fns.clear()
+
+        return guarded
+
+    def _build_chunk(self, n: int) -> Callable:
         if n not in self._chunk_fns:
             cc = self.cc
             offset = jnp.float32(
@@ -335,6 +371,7 @@ class Simulation:
                             # two full-size buffers don't fit at
                             # 512^3-class sizes: alias in place
                             in_place=True if self._lowmem else None,
+                            tile_shrink=self._tile_shrink,
                         )
                         self._pallas_step = make_pallas_step(cc, **kw)
                         if self._fuse2:

@@ -972,8 +972,16 @@ def _kernel2(
     vs_out[0, 1] = acc[1]
 
 
-def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
-                prefer_small: bool = False, fuse: int = 1):
+# Scoped-vmem ceiling handed to Mosaic (v5e VMEM is 128 MB). Mosaic's
+# stack accounting runs ~3.8x the declared scratch (round-2 measurement:
+# 109.36M scoped against 28.8 MB declared at 256^3 16x16), so the
+# declared-scratch budget below is _VMEM_LIMIT / _STACK_FACTOR.
+_VMEM_LIMIT = 127 * 1024 * 1024
+_STACK_FACTOR = 3.9
+
+
+def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
+                prefer_small: bool = False, fuse: int = 1, skip: int = 0):
     """Choose (tx, ty, stx, sty): DMA tile + compute sub-tile.
 
     Measured on v5e at 256^3: the DMA tile wants to be LARGE (halo
@@ -985,7 +993,12 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
     the stream DMA for VMEM bandwidth. Sweep: 16x16@1x8 = 5.99 ms/step
     (2803 MLUPS, 0.23 ms over the pure-DMA floor) vs 16x8@4x8 = 7.95,
     16x16@4x8 = 9.25. Candidates in preference order, subject to
-    divisibility and the VMEM budget."""
+    divisibility and the VMEM budget; `skip` drops the first `skip`
+    otherwise-viable candidates (the compile-OOM step-down ladder —
+    Mosaic's stack estimate is not exactly predictable, so Simulation
+    retries down the ladder when a compile exceeds _VMEM_LIMIT)."""
+    if budget_mb is None:
+        budget_mb = _VMEM_LIMIT / _STACK_FACTOR / 1e6
     col = C * nz * 4
     cands = ((16, 16), (16, 8), (8, 16), (8, 8), (4, 8), (8, 4),
              (4, 4), (2, 8), (2, 4), (2, 2), (1, 2), (1, 1))
@@ -1001,6 +1014,9 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float = 40.0,
             + 30 * min(txc, 1) * min(tyc, 8) * nz * 4
         )
         if need <= budget_mb * 1e6:
+            if skip > 0:
+                skip -= 1
+                continue
             if prefer_small:
                 # interpret mode: no vector registers to spill, and each
                 # sub-tile is another unrolled trace — use whole tiles
@@ -1086,9 +1102,13 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # The default 16 MB scoped-vmem cap under-counts reuse of the
-            # kernel's stack temporaries; the real high-water mark fits
-            # comfortably (v5e has 128 MB of VMEM).
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # kernel's stack temporaries; run close to the hardware limit
+            # (v5e has 128 MB of VMEM). Mosaic's stack accounting runs
+            # ~3.8x the declared scratch (measured: 109.36M scoped for a
+            # 28.8 MB-scratch 16x16 tile at 256^3) — _pick_tiles budgets
+            # for that, and Simulation steps the tile ladder down on a
+            # scoped-vmem compile OOM.
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(p, *extra)
@@ -1149,7 +1169,7 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(p, *extra)
@@ -1512,7 +1532,7 @@ def make_pallas_step(
     stx: int | None = None, sty: int | None = None,
     ring: int = 1, fuse: int = 1, tile_skip=False,
     pure_split: bool = False, bits: bool = True,
-    in_place: bool | None = None,
+    in_place: bool | None = None, tile_shrink: int = 0,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
 
@@ -1547,11 +1567,11 @@ def make_pallas_step(
     prefer_small = interpret and tx is None and ty is None
     # big DMA tiles only pay off on hardware; small tiles keep the
     # interpreter's unrolled sub-tile loop (and tracing time) short.
-    # At nz >= 512 Mosaic's scoped-vmem stack accounting runs ~4x the
-    # declared scratch (measured 113 MB against a 30 MB scratch at
-    # 16x8, over the 100 MB cap) — halve the tile budget there.
+    # The budget default accounts for Mosaic's ~3.9x stack-over-scratch
+    # accounting at every size (_VMEM_LIMIT/_STACK_FACTOR); tile_shrink
+    # steps down the candidate ladder when a compile still overflows.
     auto = _pick_tiles(nx, ny, nz, prefer_small=prefer_small, fuse=fuse,
-                       budget_mb=20.0 if nz >= 512 else 40.0)
+                       skip=tile_shrink)
     tx = tx if tx is not None else auto[0]
     ty = ty if ty is not None else auto[1]
     if interpret:
