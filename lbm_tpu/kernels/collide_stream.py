@@ -194,7 +194,7 @@ def packed_initial_lowmem(spec_pad):
 def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   gx0=None, gy0=None, bcs_static=(),
                   stx: int | None = None, sty: int | None = None,
-                  vs_win=None, pure_zspan=None, bits=True):
+                  vs_win=None, pure_zspan=None, bits=False):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -341,17 +341,18 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
-                     gx0, gy0, bcs_static, vs_win, bits=True):
+                     gx0, gy0, bcs_static, vs_win, bits=False):
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     m_ctr = ft[cx, cy, MASK_CH, :]
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
 
     # Per-direction wall tests. bits=True: ONE hoisted i32 bitmask
-    # (channel 22, wall_bits; 2 vregs at the 1x8 sub-tile so it stays
-    # resident) + an AND per direction — replaces 18 shifted mask loads
-    # and fp compares. The round-1 form of this experiment spilled at
-    # the then-default 4x8 sub-tile (8-vreg hoisted value, 1849->1065)
-    # — narrow sub-tiles changed the verdict. bits=False: per-direction
+    # (channel 22, wall_bits) + an AND per direction — replaces 18
+    # shifted mask loads and fp compares. Measured DEAD LAST both
+    # rounds: 4x8 sub-tile 1849->1065 MLUPS (round 1, vreg spills),
+    # 1x8 sub-tile 6.02->12.24 ms/step at 256^3 16x16 (round 2/3 —
+    # Mosaic schedules the int bitcast+AND chain far worse than the
+    # fp compares it replaces). Default OFF. bits=False: per-direction
     # shifted-mask load + compare; e_z != 0 reads the PRE-ROLLED mask
     # channels (20/21), so only the pdf planes pay a lane roll.
     if bits:
@@ -641,7 +642,7 @@ def _kernel(
     bcs_static=(), halo_axis=None, stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
-    bits: bool = True,
+    bits: bool = False,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -853,7 +854,7 @@ def _kernel2(
     bcs_static=(), stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
-    bits: bool = True,
+    bits: bool = False,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -1034,7 +1035,7 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
-                 zspan=(0, -1), has_prev=False, bits=True):
+                 zspan=(0, -1), has_prev=False, bits=False):
     """extra = [*nee_tables][, tile id list][, prev_out][, lo, hi].
 
     The tile id list (SMEM) drives two distinct features:
@@ -1122,7 +1123,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
-                  pure=False, zspan=(0, -1), has_prev=False, bits=True):
+                  pure=False, zspan=(0, -1), has_prev=False, bits=False):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
     [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
     has_prev: pure/mixed split as in _pallas_bulk. Returns
@@ -1531,7 +1532,7 @@ def make_pallas_step(
     interpret: bool = False,
     stx: int | None = None, sty: int | None = None,
     ring: int = 1, fuse: int = 1, tile_skip=False,
-    pure_split: bool = False, bits: bool = True,
+    pure_split: bool = False, bits: bool = False,
     in_place: bool | None = None, tile_shrink: int = 0,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
