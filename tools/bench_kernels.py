@@ -74,8 +74,9 @@ def main():
                     help="enable the two-call pure/mixed tile split "
                     "(measured slower on the DMA-bound f1; see "
                     "make_pallas_step docstring)")
-    ap.add_argument("--no-bits", action="store_true",
-                    help="disable the channel-22 wall bitmask")
+    ap.add_argument("--bits", action="store_true",
+                    help="enable the channel-22 wall bitmask (measured "
+                    "2x slower at 256^3; default off like the kernel)")
     args = ap.parse_args()
 
     from lbm_tpu.cases import get_case
@@ -123,7 +124,7 @@ def main():
                             cc, tx=tx, ty=ty, ring=ring, fuse=fuse,
                             stx=stx, sty=sty,
                             pure_split=args.pure,
-                            bits=not args.no_bits)
+                            bits=args.bits)
                         dt = time_scan(step, p0, args.steps, fuse)
                         print(f"{name} {tile}: {dt*1e3:.2f} ms/step, "
                               f"{n3/dt/1e6:.0f} MLUPS", flush=True)

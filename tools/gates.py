@@ -1,0 +1,105 @@
+"""Run the driver gates exactly as the round driver does — fail loudly.
+
+Rounds 1 and 2 each ended with one gate red because the last commits of
+the round were never re-verified end-to-end (VERDICT r2, "Next round"
+item 2). This script is the institutional fix: run it (or `make gates`)
+as the FINAL act before the end-of-round snapshot commit.
+
+Gates (each in a fresh subprocess with a driver-clean environment,
+i.e. XLA_FLAGS / JAX_PLATFORMS unset):
+  1. bench     — `python bench.py` on the real chip; rc 0 + one JSON line
+                 with value >= --min-mlups (default 2000).
+  2. multichip — `__graft_entry__.dryrun_multichip(8)`: full training
+                 step jitted over an 8-device virtual mesh, one step run.
+  3. entry     — `__graft_entry__.entry()` jit-compiles on the real chip.
+
+Usage: python tools/gates.py [--min-mlups 2000] [--skip entry ...]
+Exit code: 0 iff every gate passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GATES = {
+    "bench": [sys.executable, "bench.py"],
+    "multichip": [
+        sys.executable, "-c",
+        "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')",
+    ],
+    "entry": [
+        sys.executable, "-c",
+        "import jax, __graft_entry__ as g\n"
+        "fn, args = g.entry(); jax.jit(fn).lower(*args).compile(); "
+        "print('OK')",
+    ],
+}
+
+# The real-TPU gates ride the remote compile service whose latency is
+# erratic (seconds to minutes for the same kernel) — budget generously.
+TIMEOUTS = {"bench": 900, "multichip": 600, "entry": 600}
+
+
+def run_gate(name: str, cmd: list[str], min_mlups: float) -> tuple[bool, str]:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "LBM_TPU_PLATFORM")}
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            cmd, cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=TIMEOUTS[name],
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"TIMEOUT after {TIMEOUTS[name]}s"
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
+        return False, f"rc={proc.returncode} ({dt:.0f}s)\n  " + "\n  ".join(tail)
+    if name == "bench":
+        line = next(
+            (ln for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")), None)
+        if line is None:
+            return False, f"no JSON line in output ({dt:.0f}s)"
+        rec = json.loads(line)
+        if rec.get("value", 0) < min_mlups:
+            return False, (
+                f"{rec['value']} {rec.get('unit', '')} < required "
+                f"{min_mlups} ({dt:.0f}s)")
+        return True, f"{rec['value']} {rec.get('unit', '')} ({dt:.0f}s)"
+    return True, f"OK ({dt:.0f}s)"
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--min-mlups", type=float, default=2000.0,
+                   help="bench gate also fails below this (catch perf "
+                   "regressions, not just crashes; r2 measured 2865)")
+    p.add_argument("--skip", nargs="*", default=[], choices=list(GATES))
+    args = p.parse_args()
+
+    failed = []
+    for name, cmd in GATES.items():
+        if name in args.skip:
+            print(f"[gates] {name:<9} SKIPPED")
+            continue
+        ok, msg = run_gate(name, cmd, args.min_mlups)
+        print(f"[gates] {name:<9} {'PASS' if ok else 'FAIL'}  {msg}")
+        if not ok:
+            failed.append(name)
+    if failed:
+        print(f"[gates] RED: {', '.join(failed)} — do NOT snapshot.")
+        return 1
+    print("[gates] ALL GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
