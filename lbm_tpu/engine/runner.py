@@ -32,12 +32,23 @@ from lbm_tpu.engine.step import initial_f, macro_fields, make_step
 
 @dataclasses.dataclass
 class RunResult:
+    """mlups follows the reference's NLATTICE convention — site count =
+    non-DEAD cells, the number every solver prints next to "#LATTICE"
+    (sparse solvers compact to exactly these sites, Poiseulle.cu:940-1050;
+    for the dense lid cavity the whole box is non-dead so it coincides
+    with ldc.cu:54,689). The other two conventions are reported
+    explicitly: mlups_live counts fluid cells only (physics throughput),
+    mlups_box the full padded box (raw-grid throughput, bench.py's
+    number for the dense cavity)."""
+
     steps: int
     residual: float
     residual_history: list
     elapsed_s: float
     mlups: float
     converged: bool
+    mlups_live: float = 0.0
+    mlups_box: float = 0.0
 
 
 def _interior_region(shape):
@@ -530,14 +541,17 @@ class Simulation:
 
         elapsed = time.perf_counter() - t_start
         steps = self.t - steps_done_at_start
-        mlups = n_fluid * steps / max(elapsed, 1e-12) / 1e6
+        rate = steps / max(elapsed, 1e-12) / 1e6
+        n_lattice = int((np.asarray(self.spec.mask) != 0).sum())
         return RunResult(
             steps=steps,
             residual=residual,
             residual_history=history,
             elapsed_s=elapsed,
-            mlups=mlups,
+            mlups=n_lattice * rate,
             converged=converged,
+            mlups_live=n_fluid * rate,
+            mlups_box=int(np.prod(self.spec.shape)) * rate,
         )
 
 

@@ -52,8 +52,63 @@ def write_bc_csv(path: str, u, mask, labels=(2, 3, 5, 6, 7)) -> None:
             )
 
 
+def read_midplane(path: str, shape_xy, mask=None, axis: int = 2,
+                  ncomp: int = 2):
+    """Ingest a measured midplane profile file in the meas1.txt layout
+    (ncomp full-plane scans, x fastest within each y row) back into
+    (ncomp, nx, ny) arrays — the reference's measured-data ingest
+    (bifurcation.cu:255-291 read_vel, the commented measurements.txt
+    loop), which zeroes every non-fluid cell when a mask is given
+    (`h_geo[ind] == 4` gate). Round-trips write_midplane_fluid."""
+    nx, ny = shape_xy
+    with open(path) as fh:
+        vals = np.array(fh.read().split(), dtype=np.float64)
+    if vals.size != ncomp * nx * ny:
+        raise ValueError(
+            f"{path}: expected {ncomp}x{nx}x{ny}={ncomp*nx*ny} values, "
+            f"got {vals.size}"
+        )
+    planes = vals.reshape(ncomp, ny, nx).transpose(0, 2, 1)  # (c, x, y)
+    if mask is not None:
+        m = np.asarray(mask)
+        fl = np.take(m, m.shape[axis] // 2, axis=axis) == CellType.FLUID
+        planes = np.where(fl[None], planes, 0.0)
+    return planes
+
+
+def compare_midplane(measured, computed, fluid=None):
+    """Error statistics between a measured midplane profile (read_midplane)
+    and a computed one, over fluid cells: the quantitative form of the
+    reference's visual write_once-vs-measurement comparison
+    (bifurcation.cu:1055-1074 + the read_vel ingest it pairs with).
+
+    Returns dict(l2_rel, linf, rmse, corr, n): relative L2, max abs
+    error, RMSE, Pearson correlation, cell count."""
+    a = np.asarray(measured, np.float64)
+    b = np.asarray(computed, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    if fluid is not None:
+        sel = np.broadcast_to(np.asarray(fluid, bool)[None], a.shape)
+        a, b = a[sel], b[sel]
+    else:
+        a, b = a.ravel(), b.ravel()
+    diff = a - b
+    denom = float(np.linalg.norm(a))
+    corr = 0.0
+    if a.size > 1 and a.std() > 0 and b.std() > 0:
+        corr = float(np.corrcoef(a, b)[0, 1])
+    return {
+        "l2_rel": float(np.linalg.norm(diff)) / (denom if denom else 1.0),
+        "linf": float(np.abs(diff).max(initial=0.0)),
+        "rmse": float(np.sqrt(np.mean(diff**2))) if diff.size else 0.0,
+        "corr": corr,
+        "n": int(a.size),
+    }
+
+
 __all__ = ["write_midplane", "write_midplane_fluid", "write_bc_csv",
-           "write_live_velocities"]
+           "write_live_velocities", "read_midplane", "compare_midplane"]
 
 
 def write_live_velocities(path: str, u, mask) -> None:

@@ -155,3 +155,37 @@ def test_write_live_velocities(tmp_path):
               for z in range(8)]
     for z in (0, 3, 7):
         assert len(lines[z].split()) == 3 * n_live[z]
+
+
+def test_midplane_ingest_roundtrip(tmp_path):
+    """read_midplane inverts write_midplane_fluid (the reference's
+    measured-data ingest, bifurcation.cu:255-291) and compare_midplane
+    reports zero error against the run it came from."""
+    from lbm_tpu.geometry.mask import CellType
+    from lbm_tpu.io.snapshots import (
+        compare_midplane,
+        read_midplane,
+        write_midplane_fluid,
+    )
+
+    sim = Simulation(get_case("lid_driven_cavity", n=8))
+    sim.f, _, _ = sim._chunk(20)(sim.f, np.int32(0))
+    rho, u = sim.macro()
+    u = np.asarray(u)
+    mask = np.asarray(sim.spec.mask)
+    p = tmp_path / "meas1.txt"
+    write_midplane_fluid(str(p), u, mask)
+    planes = read_midplane(str(p), u.shape[1:3], mask=mask)
+    fl = mask[:, :, mask.shape[2] // 2] == CellType.FLUID
+    # write_midplane_fluid writes (uy, ux); %g costs ~6 digits
+    np.testing.assert_allclose(
+        planes[0][fl], u[1][:, :, u.shape[3] // 2][fl],
+        rtol=2e-5, atol=1e-12)
+    stats = compare_midplane(
+        planes, np.stack([np.where(fl, u[1][:, :, u.shape[3] // 2], 0.0),
+                          np.where(fl, u[0][:, :, u.shape[3] // 2], 0.0)]),
+        fluid=fl)
+    assert stats["l2_rel"] < 1e-4 and stats["corr"] > 0.999
+    # a perturbed "measurement" must register a nonzero error
+    stats2 = compare_midplane(planes * 1.1, planes, fluid=fl)
+    assert 0.05 < stats2["l2_rel"] < 0.2
