@@ -26,6 +26,9 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=20)
     p.add_argument("--case", default="lid_driven_cavity")
     p.add_argument("--backend", default="auto")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="pdf STORAGE dtype on the pallas backend "
+                   "(compute is fp32 either way); bf16 halves HBM bytes")
     p.add_argument(
         "--shard", type=int, default=0, metavar="N",
         help="shard over the first N devices (1-D mesh along the case's "
@@ -68,7 +71,8 @@ def main() -> int:
             )
             return 0
         mesh = Mesh(np.array(devs[: args.shard]), ("d",))
-    sim = Simulation(spec, backend=args.backend, mesh=mesh)
+    sim = Simulation(spec, backend=args.backend, mesh=mesh,
+                     store_dtype=args.dtype)
     run = sim._chunk(args.steps)
     # Warmup call compiles the scan; only steady-state execution is timed.
     # Fetching the per-step residual series forces real completion (the
@@ -101,7 +105,9 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"MLUPS (D3Q19 BGK {args.case} {dims} fp32, {chips})",
+                "metric": f"MLUPS (D3Q19 BGK {args.case} {dims} "
+                f"{'bf16-store' if args.dtype == 'bf16' else 'fp32'}, "
+                f"{chips})",
                 "value": round(mlups, 1),
                 "unit": "MLUPS",
                 "vs_baseline": round(mlups / BASELINE_MLUPS, 2),

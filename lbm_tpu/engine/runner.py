@@ -78,6 +78,7 @@ class Simulation:
         mesh=None,
         shard_axis: int | None = None,
         fuse: int = 1,
+        store_dtype=None,
     ):
         spec = case.spec if isinstance(case, CompiledCase) else case
         if mesh is not None and shard_axis is None:
@@ -116,6 +117,29 @@ class Simulation:
         self._fuse2 = False
         self._tile_skip = False
         self._lowmem = False
+        # bf16 pdf STORAGE (compute stays fp32 in-kernel): halves the
+        # HBM bytes of the DMA-bound hot loop. Opt-in; fp32 default
+        # (thesis section 4.4 is fp32). Accuracy deltas: docs/PARITY.md.
+        if store_dtype in (None, "f32", "fp32", "float32"):
+            store_dtype = jnp.float32
+        elif store_dtype in ("bf16", "bfloat16"):
+            store_dtype = jnp.bfloat16
+        store_dtype = jnp.dtype(store_dtype)
+        if store_dtype not in (jnp.dtype(jnp.float32),
+                               jnp.dtype(jnp.bfloat16)):
+            raise ValueError(f"store_dtype must be f32 or bf16, got "
+                             f"{store_dtype}")
+        if store_dtype == jnp.dtype(jnp.bfloat16) and backend != "pallas":
+            raise ValueError(
+                "store_dtype='bf16' is a packed-Pallas-state feature; "
+                "the dense/sparse backends keep fp32 state"
+            )
+        if store_dtype == jnp.dtype(jnp.bfloat16) and mesh is not None:
+            raise ValueError(
+                "store_dtype='bf16' is single-chip for now (the sharded "
+                "z-fixup path computes in the storage dtype)"
+            )
+        self._store_dtype = store_dtype
         if backend == "pallas":
             if sharding is not None:
                 raise ValueError(
@@ -204,14 +228,15 @@ class Simulation:
         elif self.backend == "pallas" and getattr(self, "_lowmem", False):
             from lbm_tpu.kernels.collide_stream import packed_initial_lowmem
 
-            f = packed_initial_lowmem(self._padded_spec)
+            f = packed_initial_lowmem(
+                self._padded_spec, dtype=self._store_dtype)
         else:
             f = initial_f(self.cc)
             if self.backend == "pallas":
                 from lbm_tpu.kernels.collide_stream import pack_state
 
                 mask = jnp.asarray(np.asarray(self._padded_spec.mask))
-                f = pack_state(f, mask)
+                f = pack_state(f, mask, dtype=self._store_dtype)
                 if self.mesh is not None:
                     f = self._sharded()[1](f)  # init_blocked
             elif self.sharding is not None:
@@ -260,7 +285,7 @@ class Simulation:
             ((0, 0), (r, nxp - nx - r), (r, nyp - ny - r), (0, nzp - nz)),
         )
         mask = jnp.asarray(np.asarray(self._padded_spec.mask))
-        self.f = pack_state(f_pad, mask)
+        self.f = pack_state(f_pad, mask, dtype=self._store_dtype)
         if self.mesh is not None:
             self.f = self._sharded()[1](self.f)
 

@@ -86,30 +86,40 @@ def wall_bits(mask):
     return bits.view(np.float32)
 
 
-def pack_state(f, mask):
+def pack_state(f, mask, dtype=jnp.float32):
     """(19, X, Y, Z) f + (X, Y, Z) mask -> packed (X, Y, C, Z).
 
     Channels 20/21 carry the mask pre-rolled by +/-1 along z, so the
     kernel's 10 e_z != 0 wall tests become plain (sliced) loads instead
     of lane rolls — the rolls ride in the (previously zero-padding)
     channels for free, traffic-wise. Channel 22 carries the static
-    neighbor-wall bitmask (wall_bits)."""
+    neighbor-wall bitmask (wall_bits).
+
+    dtype=jnp.bfloat16 stores the pdfs (and exact-small-int mask
+    channels) at half the HBM bytes — the kernel computes in fp32 either
+    way (loads widen, stores narrow). The f32-bitcast wall_bits channel
+    cannot survive the narrowing and is zeroed; the bits=True kernel
+    path requires f32 storage (it is also measured slower — see
+    _subtile_compute)."""
     m = jnp.asarray(mask, jnp.float32)
     mzp = jnp.roll(m, +1, axis=2)
     mzm = jnp.roll(m, -1, axis=2)
-    wb = jnp.asarray(wall_bits(np.asarray(mask)))
+    if dtype == jnp.float32:
+        wb = jnp.asarray(wall_bits(np.asarray(mask)))
+    else:
+        wb = jnp.zeros_like(m)
     zeros = jnp.zeros((C - BITS_CH - 1,) + f.shape[1:], jnp.float32)
     return jnp.concatenate(
         [f, m[None], mzp[None], mzm[None], wb[None], zeros], axis=0
-    ).transpose(1, 2, 0, 3)
+    ).transpose(1, 2, 0, 3).astype(dtype)
 
 
 def unpack_state(p):
-    """Packed (X, Y, C, Z) -> (19, X, Y, Z)."""
-    return p.transpose(2, 0, 1, 3)[:19]
+    """Packed (X, Y, C, Z) -> (19, X, Y, Z) f32."""
+    return p.transpose(2, 0, 1, 3)[:19].astype(jnp.float32)
 
 
-def packed_initial_lowmem(spec_pad):
+def packed_initial_lowmem(spec_pad, dtype=jnp.float32):
     """Packed feq(rho0, u0) state built one channel at a time.
 
     The standard init (`pack_state(initial_f(cc), mask)`) materializes
@@ -128,7 +138,7 @@ def packed_initial_lowmem(spec_pad):
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
     def put_ch(p, v, ch):
-        return p.at[:, :, ch, :].set(v)
+        return p.at[:, :, ch, :].set(v.astype(p.dtype))
 
     def host_feq(i, rho_w, u_w, usq_w):
         cu = (E[i, 0] * u_w[0] + E[i, 1] * u_w[1] + E[i, 2] * u_w[2])
@@ -138,7 +148,7 @@ def packed_initial_lowmem(spec_pad):
                      - np.float32(1.5) * usq_w)
         return rho_w * ph
 
-    p = jnp.zeros((X, Y, C, Z), jnp.float32)
+    p = jnp.zeros((X, Y, C, Z), dtype)
     nzu = np.any(u != 0.0, axis=0)
     if nzu.mean() < 0.01:
         # Most cells start at rest, where feq_i = W_i * rho exactly
@@ -151,7 +161,7 @@ def packed_initial_lowmem(spec_pad):
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnums=(3,))
         def put_scaled(p, r, w, ch):
-            return p.at[:, :, ch, :].set(w * r)
+            return p.at[:, :, ch, :].set((w * r).astype(p.dtype))
 
         for i in range(D3Q19.Q):
             p = put_scaled(p, rho_dev, np.float32(W[i]), i)
@@ -175,7 +185,8 @@ def packed_initial_lowmem(spec_pad):
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def put_win(p, v):
-                return p.at[x0:x1, y0:y1, :19, z0:z1].set(v)
+                return p.at[x0:x1, y0:y1, :19, z0:z1].set(
+                    v.astype(p.dtype))
 
             p = put_win(p, jnp.asarray(val))
     else:
@@ -187,14 +198,16 @@ def packed_initial_lowmem(spec_pad):
     p = put_ch(p, jnp.roll(m_dev, +1, axis=2), MASK_ZP_CH)
     p = put_ch(p, jnp.roll(m_dev, -1, axis=2), MASK_ZM_CH)
     del m_dev
-    p = put_ch(p, jnp.asarray(wall_bits(spec_pad.mask)), BITS_CH)
+    if dtype == jnp.float32:  # f32-bitcast bitmask; zeros in bf16 mode
+        p = put_ch(p, jnp.asarray(wall_bits(spec_pad.mask)), BITS_CH)
     return p
 
 
 def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   gx0=None, gy0=None, bcs_static=(),
                   stx: int | None = None, sty: int | None = None,
-                  vs_win=None, pure_zspan=None, bits=False):
+                  vs_win=None, pure_zspan=None, bits=False,
+                  vs_scr=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -229,19 +242,37 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                 total = total + _subtile_compute_pure(
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
-                    pure_zspan, vs_win,
+                    pure_zspan, vs_win, vs_scr=vs_scr,
                 )
             else:
                 total = total + _subtile_compute(
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     gx0, gy0, bcs_static, vs_win, bits=bits,
+                    vs_scr=vs_scr,
                 )
     return total
 
 
+def _vs_sum(contrib, vs_scr):
+    """Reduce a (a, b, nz) velsum contribution to a scalar.
+
+    With bf16 storage the sliced operands inherit nonzero sublane
+    layout offsets from the (16, 128)-tiled scratch, and Mosaic rejects
+    float ADD multi_reductions whose reduced dims carry offsets
+    ("shape_invariant_numerics ... must have zero offsets", observed at
+    256^3). Bouncing the value through a small f32 VMEM scratch and
+    reducing the offset-0 read-back sidesteps the constraint; f32
+    storage keeps the direct reduction."""
+    if vs_scr is None:
+        return jnp.sum(contrib)
+    a, b, _ = contrib.shape
+    vs_scr[0:a, 0:b, :] = contrib
+    return jnp.sum(vs_scr[0:a, 0:b, :])
+
+
 def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
-                          zspan, vs_win):
+                          zspan, vs_win, vs_scr=None):
     """Fast path for statically-classified PURE tiles (classify_tiles):
     every column of the tile's input region is the standard z-slab
     [DEAD.., WALL, FLUID x (zf1-zf0+1), WALL, DEAD..] with one common
@@ -251,6 +282,8 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     fluid-selects only on the 10 e_z != 0 channels and the final z-lane
     passthrough."""
     zf0, zf1 = zspan
+    odt = ot.dtype  # bf16 storage: widen loads, narrow stores (see
+    # _subtile_compute; no-ops for f32)
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     zi = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 2)
     z_fluid = (zi >= zf0) & (zi <= zf1)
@@ -259,7 +292,9 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         ex, ey, ez = (int(v) for v in _E[i])
         sx = slice(1 + ox - ex, 1 + ox - ex + stx)
         sy = slice(1 + oy - ey, 1 + oy - ey + sty)
-        piece = ft[sx, sy, i, :]
+        # Widen BEFORE any z roll: Mosaic has no sub-32-bit dynamic
+        # rotate, so bf16 storage must come up to f32 first.
+        piece = ft[sx, sy, i, :].astype(jnp.float32)
         if ez != 0:
             piece = pltpu.roll(piece, shift=ez % nz, axis=2)
             # pull source at z -/+ 1 is a wall exactly on the first/last
@@ -268,9 +303,9 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             src_wall = (zi == zf0) if ez > 0 else (zi == zf1)
             own_opp = ft[cx, cy, _OPP[i], :]
             piece = jnp.where(src_wall, own_opp, piece)
-        return piece
+        return piece.astype(jnp.float32)
 
-    rho = ft[cx, cy, 0, :]
+    rho = ft[cx, cy, 0, :].astype(jnp.float32)
     mx = jnp.zeros_like(rho)
     my = jnp.zeros_like(rho)
     mz = jnp.zeros_like(rho)
@@ -296,7 +331,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     feq0 = rho * np.float32(_W[0]) * common
     ot[oxs, oys, 0, :] = jnp.where(
         z_fluid, f0 - (f0 - feq0) * inv_tau, f0
-    )
+    ).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     for i in range(1, 19):
@@ -316,12 +351,12 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         odd = rho_tau * (w * np.float32(3.0)) * cu
         ot[oxs, oys, i, :] = jnp.where(
             z_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
-        )
+        ).astype(odt)
         ot[oxs, oys, o, :] = jnp.where(
             z_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
-        )
+        ).astype(odt)
     for ch in range(MASK_CH, BITS_CH + 1):
-        ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
+        ot[oxs, oys, ch, :] = ft[cx, cy, ch, :].astype(odt)
     if vs_win is not None:
         rlo, rhi, clo, chi = vs_win
         if (ox >= rhi or ox + stx <= rlo
@@ -337,13 +372,25 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             cidx = jax.lax.broadcasted_iota(
                 jnp.int32, (stx, sty, nz), 1) + oy
             count = count & (cidx >= clo) & (cidx < chi)
-    return jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
+    return _vs_sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)),
+                   vs_scr)
 
 
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
-                     gx0, gy0, bcs_static, vs_win, bits=False):
+                     gx0, gy0, bcs_static, vs_win, bits=False,
+                     vs_scr=None):
+    # Storage may be bf16 (pack_state dtype=): every pdf load widens to
+    # fp32 (_f32), collision runs in fp32, stores narrow to ot's dtype
+    # (_st). Both casts are no-ops for f32 storage. Mask-channel values
+    # are exact small integers in either dtype, so wall/fluid tests
+    # compare in the storage dtype directly.
+    odt = ot.dtype
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
-    m_ctr = ft[cx, cy, MASK_CH, :]
+    # Mask channels widen to f32 BEFORE comparing (exact small ints in
+    # either dtype): a bool born from a bf16 compare carries a 16-bit
+    # vector layout that Mosaic cannot mix into the f32 selects and the
+    # velsum multi_reduction (observed compile failure at 256^3).
+    m_ctr = ft[cx, cy, MASK_CH, :].astype(jnp.float32)
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
 
     # Per-direction wall tests. bits=True: ONE hoisted i32 bitmask
@@ -364,23 +411,26 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         ex, ey, ez = (int(v) for v in _E[i])
         sx = slice(1 + ox - ex, 1 + ox - ex + stx)
         sy = slice(1 + oy - ey, 1 + oy - ey + sty)
-        piece = ft[sx, sy, i, :]
+        # Widen BEFORE any z roll: Mosaic has no sub-32-bit dynamic
+        # rotate, so bf16 storage must come up to f32 first.
+        piece = ft[sx, sy, i, :].astype(jnp.float32)
         if ez != 0:
             piece = pltpu.roll(piece, shift=ez % nz, axis=2)
         own_opp = ft[cx, cy, _OPP[i], :]
         if bits:
             src_wall = (mb & np.int32(1 << i)) != 0
         elif ez != 0:
-            nbr = ft[sx, sy, MASK_ZP_CH if ez > 0 else MASK_ZM_CH, :]
+            nbr = ft[sx, sy, MASK_ZP_CH if ez > 0 else MASK_ZM_CH,
+                     :].astype(jnp.float32)
             src_wall = nbr == np.float32(int(CellType.WALL))
         else:
-            nbr = ft[sx, sy, MASK_CH, :]
+            nbr = ft[sx, sy, MASK_CH, :].astype(jnp.float32)
             src_wall = nbr == np.float32(int(CellType.WALL))
-        return jnp.where(src_wall, own_opp, piece)
+        return jnp.where(src_wall, own_opp, piece).astype(jnp.float32)
 
     # Pass 1: moments (VPU adds; a 19x3 contraction needs no MXU). Pulled
     # values are kept live in VMEM for the collide pass.
-    rho = ft[cx, cy, 0, :]
+    rho = ft[cx, cy, 0, :].astype(jnp.float32)
     mx = jnp.zeros_like(rho)
     my = jnp.zeros_like(rho)
     mz = jnp.zeros_like(rho)
@@ -411,7 +461,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     feq0 = rho * np.float32(_W[0]) * common
     ot[oxs, oys, 0, :] = jnp.where(
         is_fluid, f0 - (f0 - feq0) * inv_tau, f0
-    )
+    ).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     for i in range(1, 19):
@@ -431,14 +481,14 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         odd = rho_tau * (w * np.float32(3.0)) * cu
         ot[oxs, oys, i, :] = jnp.where(
             is_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
-        )
+        ).astype(odt)
         ot[oxs, oys, o, :] = jnp.where(
             is_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
-        )
+        ).astype(odt)
     # Mask + bitmask channels pass through unchanged; the pure-padding
     # channel 23 is never read by anyone — skip its copy.
     for ch in range(MASK_CH, BITS_CH + 1):
-        ot[oxs, oys, ch, :] = ft[cx, cy, ch, :]
+        ot[oxs, oys, ch, :] = ft[cx, cy, ch, :].astype(odt)
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
     # rows' post-NEE contribution is added by the row fix itself) and
     # cells outside the velsum window (2-step mid-pass skirt cells are
@@ -467,10 +517,12 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             cidx = jax.lax.broadcasted_iota(
                 jnp.int32, (stx, sty, nz), 1) + oy
             count = count & (cidx >= clo) & (cidx < chi)
-    return jnp.sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)))
+    return _vs_sum(jnp.where(count, jnp.sqrt(usq), np.float32(0.0)),
+                   vs_scr)
 
 
-def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None):
+def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
+             vs_scr=None):
     """Recompute ONE consumer-plane row of a tile with the NEE boundary
     applied, and overwrite it in the output tile. Runs only for tiles
     intersecting the plane (under pl.when in the kernel), so the whole
@@ -489,6 +541,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None):
     """
     inv_tau = np.float32(1.0 / tau)
     axis = bc.axis
+    odt = ot_slot.dtype  # bf16 storage: widen loads, narrow the store
     lat_len = ot_slot.shape[1] if axis == 0 else ot_slot.shape[0]
 
     def read(ch, ox, oy, ez):
@@ -498,6 +551,8 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None):
         else:
             piece = ft[1 + ox : 1 + ox + lat_len, pl.ds(1 + r + oy, 1),
                        ch, :]
+        piece = piece.astype(jnp.float32)  # widen BEFORE the roll:
+        # Mosaic has no sub-32-bit dynamic rotate (bf16 storage)
         if ez != 0:
             nz = piece.shape[-1]
             piece = pltpu.roll(piece, shift=ez % nz, axis=2)
@@ -605,8 +660,8 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None):
         outs.append(jnp.where(is_fluid, v - (v - feq) * inv_tau, srcs[i]))
     for ch in range(MASK_CH, C):
         outs.append(read(ch, 0, 0, 0))
-    row_out = jnp.stack(outs, axis=2)  # (1, L, C, nz) or (L, 1, C, nz)
-    if axis == 0:
+    row_out = jnp.stack(outs, axis=2).astype(odt)
+    if axis == 0:  # (1, L, C, nz) or (L, 1, C, nz)
         ot_slot[pl.ds(r, 1), :, :, :] = row_out
     else:
         ot_slot[:, pl.ds(r, 1), :, :] = row_out
@@ -618,7 +673,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None):
         )
         speed = jnp.where((li >= vlo) & (li < vhi), speed,
                           np.float32(0.0))
-    return jnp.sum(speed)
+    return _vs_sum(speed, vs_scr)
 
 
 class BCStatic(tuple):
@@ -642,7 +697,7 @@ def _kernel(
     bcs_static=(), halo_axis=None, stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
-    bits: bool = False,
+    bits: bool = False, bounce: bool = False,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -663,10 +718,17 @@ def _kernel(
         tids_ref, rest = rest[0], rest[1:]
     if has_prev:
         rest = rest[1:]  # companion output: alias target only
+    vs_scr = None
     if halo_axis is not None:
         lo_hbm, hi_hbm = rest[0], rest[1]
         (out_hbm, vs_out, ft, ot, acc,
          in_sems, out_sems, halo_sems) = rest[2:]
+    elif bounce:
+        # bf16 storage: velsum contributions bounce through a small f32
+        # VMEM scratch so the ADD multi_reduction sees zero layout
+        # offsets (see _subtile_compute).
+        (out_hbm, vs_out, ft, ot, vs_scr, acc,
+         in_sems, out_sems) = rest
     else:
         out_hbm, vs_out, ft, ot, acc, in_sems, out_sems = rest
     if ntiles is None:
@@ -747,7 +809,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
-            stx=stx, sty=sty, bits=bits,
+            stx=stx, sty=sty, bits=bits, vs_scr=vs_scr,
         )
         acc[0] = acc[0] + vs
 
@@ -765,14 +827,15 @@ def _kernel(
             @pl.when(pred)
             def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_):
                 dv = _row_fix(
-                    ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau
+                    ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau,
+                    vs_scr=vs_scr,
                 )
                 acc[0] = acc[0] + dv
 
     def pure_work(tid, slot):
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
-            stx=stx, sty=sty, pure_zspan=zspan,
+            stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
         )
         acc[0] = acc[0] + vs
 
@@ -898,7 +961,7 @@ def _kernel2(
     bcs_static=(), stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
-    bits: bool = False,
+    bits: bool = False, bounce: bool = False,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -917,7 +980,11 @@ def _kernel2(
         tids_ref, rest = rest[0], rest[1:]
     if has_prev:
         rest = rest[1:]  # companion output: alias target only
-    out_hbm, vs_out, ft, mt, ot, acc, in_sems, out_sems = rest
+    vs_scr = None
+    if bounce:  # bf16 storage: f32 velsum bounce scratch (_kernel)
+        out_hbm, vs_out, ft, mt, ot, vs_scr, acc, in_sems, out_sems = rest
+    else:
+        out_hbm, vs_out, ft, mt, ot, acc, in_sems, out_sems = rest
     if ntiles is None:
         ntiles = gx * gy
 
@@ -960,6 +1027,7 @@ def _kernel2(
                     src, dst, bc_, nee_, r_, lat0_, tau,
                     vs_lat=((1, (nlim[1] if bc_.axis == 0 else nlim[0]) - 1)
                             if owned else None),
+                    vs_scr=vs_scr,
                 )
                 if owned:
                     dv = jnp.where((r_ >= 1) & (r_ < n_ - 1), dv,
@@ -975,7 +1043,7 @@ def _kernel2(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             gx0=g1x, gy0=g1y, bcs_static=bcs_static,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
-            bits=bits,
+            bits=bits, vs_scr=vs_scr,
         )
         acc[0] = acc[0] + vs1
         row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
@@ -985,7 +1053,7 @@ def _kernel2(
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
             gx0=g2x, gy0=g2y, bcs_static=bcs_static,
-            stx=stx, sty=sty, bits=bits,
+            stx=stx, sty=sty, bits=bits, vs_scr=vs_scr,
         )
         acc[1] = acc[1] + vs2
         row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
@@ -995,12 +1063,12 @@ def _kernel2(
         vs1 = _tile_compute(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
-            pure_zspan=zspan,
+            pure_zspan=zspan, vs_scr=vs_scr,
         )
         acc[0] = acc[0] + vs1
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
-            stx=stx, sty=sty, pure_zspan=zspan,
+            stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
         )
         acc[1] = acc[1] + vs2
 
@@ -1042,13 +1110,18 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
     otherwise-viable candidates (the compile-OOM step-down ladder —
     Mosaic's stack estimate is not exactly predictable, so Simulation
     retries down the ladder when a compile exceeds _VMEM_LIMIT)."""
+    if prefer_small:
+        # interpret mode: no vector registers to spill off-TPU, and the
+        # interpreter pays a fixed Python dispatch cost PER OP — one
+        # whole-grid tile minimizes the op count (measured: the fast
+        # suite's interpret kernel tests dominate at small tiles).
+        # Tests that exercise the tile pipeline pass explicit tx/ty.
+        return nx, ny, nx, ny
     if budget_mb is None:
         budget_mb = _VMEM_LIMIT / _STACK_FACTOR / 1e6
     col = C * nz * 4
     cands = ((16, 16), (16, 8), (8, 16), (8, 8), (4, 8), (8, 4),
              (4, 4), (2, 8), (2, 4), (2, 2), (1, 2), (1, 1))
-    if prefer_small:
-        cands = cands[4:]
     h = 2 * fuse  # total halo skirt of the in-DMA tile
     for txc, tyc in cands:
         if nx % txc or ny % tyc:
@@ -1062,10 +1135,6 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
             if skip > 0:
                 skip -= 1
                 continue
-            if prefer_small:
-                # interpret mode: no vector registers to spill, and each
-                # sub-tile is another unrolled trace — use whole tiles
-                return txc, tyc, txc, tyc
             return txc, tyc, 1, min(tyc, 8)
     return 1, 1, 1, 1
 
@@ -1103,21 +1172,30 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         in_place = sparse
     if sparse and not in_place:
         raise ValueError("tile skip requires the in-place aliased output")
+    bounce = p.dtype != jnp.float32 and halo_axis is None
     kern = functools.partial(
         _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, ring=ring,
         bcs_static=bcs_static, halo_axis=halo_axis, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=in_place,
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
+        bounce=bounce,
     )
+    if bits and p.dtype != jnp.float32:
+        raise ValueError(
+            "bits=True needs f32 storage (channel 22 is an f32-bitcast "
+            "i32 bitmask; bf16 narrowing destroys it)"
+        )
     n_nee = (len(extra) - (2 if halo_axis is not None else 0)
              - (1 if skip else 0) - (1 if has_prev else 0))
     scratch = [
-        pltpu.VMEM((2, tx + 2, ty + 2, C, nz), jnp.float32),
-        pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
+        pltpu.VMEM((2, tx + 2, ty + 2, C, nz), p.dtype),
+        pltpu.VMEM((2, tx, ty, C, nz), p.dtype),
         pltpu.SMEM((1,), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if bounce:  # f32 velsum bounce scratch, between ot and acc
+        scratch.insert(2, pltpu.VMEM((tx, ty, nz), jnp.float32))
     if halo_axis is not None:
         # (slot, top/bottom ring row) — the split tile-input DMAs
         scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
@@ -1130,7 +1208,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     out, vs = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct(p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -1183,20 +1261,28 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         bcs_static=bcs_static, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=sparse,
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
+        bounce=p.dtype != jnp.float32,
     )
+    if bits and p.dtype != jnp.float32:
+        raise ValueError("bits=True needs f32 storage (see _pallas_bulk)")
     n_nee = len(extra) - (1 if skip else 0) - (1 if has_prev else 0)
+    bounce = p.dtype != jnp.float32
     scratch = [
-        pltpu.VMEM((2, tx + 4, ty + 4, C, nz), jnp.float32),
+        pltpu.VMEM((2, tx + 4, ty + 4, C, nz), p.dtype),
+        # The mid tile never touches HBM: keep it fp32 so the fused pair
+        # pays only ONE narrowing rounding per two steps in bf16 mode.
         pltpu.VMEM((tx + 2, ty + 2, C, nz), jnp.float32),
-        pltpu.VMEM((2, tx, ty, C, nz), jnp.float32),
+        pltpu.VMEM((2, tx, ty, C, nz), p.dtype),
         pltpu.SMEM((2,), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if bounce:  # f32 velsum bounce scratch (mid-tile extents), before acc
+        scratch.insert(3, pltpu.VMEM((tx + 2, ty + 2, nz), jnp.float32))
     out, vs = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct(p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -1373,7 +1459,7 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     aux = sub[:, :, 19:, 1].transpose(2, 0, 1)
     full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
     return p_out.at[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, :, c].set(
-        full[1:-1, 1:-1]
+        full[1:-1, 1:-1].astype(p_out.dtype)
     ), vs_after - vs_before
 
 
@@ -1430,7 +1516,7 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
             cp.start()
             cp.wait()
             li = jax.lax.broadcasted_iota(jnp.int32, (bx, wy, 19, L), 3)
-            v = val_ref[pl.ds(off, bx), :, :][..., None]
+            v = val_ref[pl.ds(off, bx), :, :][..., None].astype(buf.dtype)
             buf[pl.ds(0, bx), :, :19, :] = jnp.where(
                 li == coff, v, buf[pl.ds(0, bx), :, :19, :]
             )
@@ -1445,14 +1531,14 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
 
     (out,) = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct(p.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype)],
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((BX, wy, C, L), jnp.float32),
+            pltpu.VMEM((BX, wy, C, L), p.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -1492,14 +1578,14 @@ def _extract_z_slab(p, *, x0, y0, wx, wy, c, interpret=False):
 
     (out,) = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((wx, wy, C, L), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((wx, wy, C, L), p.dtype)],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(p)
     lo = (c - 1) - b0
-    return out[:, :, :, lo : lo + 3]
+    return out[:, :, :, lo : lo + 3].astype(jnp.float32)
 
 
 def classify_tiles(mask_padded, tx: int, ty: int, ring: int = 1,
@@ -1598,11 +1684,14 @@ def make_pallas_step(
     512^3-class sizes where two 13 GB buffers don't fit one chip.
     pure_split routes statically-all-standard tiles through the
     mask-free fast path (classify_tiles / _subtile_compute_pure).
-    OPT-IN: measured on v5e at 256^3, the in-ONE-kernel two-path branch
-    regresses f1 from 5.99 to 12.68 ms/step (Mosaic schedules the
-    doubled branchy body poorly) and compiles ~20 min — the split only
-    pays as TWO separate pallas_calls over disjoint tile lists, which
-    is future work for the compute-bound fuse=2 path.
+    OPT-IN, measured a LOSS in every configuration on v5e at 256^3:
+    the in-ONE-kernel two-path branch regresses f1 from 5.99 to 12.68
+    ms/step (round 2; Mosaic schedules the doubled branchy body
+    poorly, ~20 min compile); the two-pallas_call split over disjoint
+    tile lists regresses f2 from 7.40 to 11.36 ms/step (round 3,
+    >30 min compile). The fast path stays for correctness coverage
+    and small-geometry reuse, but the HBM-bytes lever that actually
+    pays is bf16 storage (pack_state dtype=).
 
     NEE boundaries on x/y planes run INSIDE the kernel (plane-row masks +
     VMEM phi* tables); z-plane boundaries (coronary sub-outlets) fall back

@@ -310,3 +310,60 @@ def test_pallas_backend_in_runner_interpret():
     assert abs(res.residual - res2.residual) < 1e-6
     rho, u = sim.macro()
     assert rho.shape == (16, 16, 16)
+
+
+def test_pallas_bf16_storage():
+    """bf16 pdf STORAGE with fp32 in-kernel compute (VERDICT r2 next-#4):
+    tracks the f32 dense engine within bf16 rounding on all three
+    kernel shapes (single-step, fuse2 with its fp32 mid tile, z-plane
+    fixup) and conserves mass on a closed box."""
+    # single-step + z-plane fixup path (coronary sub-outlets)
+    spec = pad_spec(get_case("coronary", shape=(32, 24, 40), radius=5))
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 3)
+    step = jax.jit(make_pallas_step(cc, interpret=True))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)),
+                   dtype=jnp.bfloat16)
+    assert p.dtype == jnp.bfloat16
+    for t in range(3):
+        p, vs = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
+    rel = (np.abs(f[interior] - f_ref[interior]).max()
+           / np.abs(f_ref[interior]).max())
+    assert rel < 2e-2, rel
+
+    # fuse2 (fp32 mid tile: one narrowing per two steps)
+    spec = pad_spec(get_case("lid_driven_cavity", n=16), halo=2)
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 4)
+    step = jax.jit(make_pallas_step(cc, interpret=True, ring=2, fuse=2))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)),
+                   dtype=jnp.bfloat16)
+    for t in range(0, 4, 2):
+        p, vs = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(2, -2), slice(2, -2), slice(None))
+    rel = (np.abs(f[interior] - f_ref[interior]).max()
+           / np.abs(f_ref[interior]).max())
+    assert rel < 2e-2, rel
+
+
+def test_pallas_bf16_mass_conservation():
+    """Closed static box in bf16 storage: per-step mass error is rounding
+    only — drift over 30 steps stays at the bf16 epsilon scale, not
+    accumulating systematically."""
+    from lbm_tpu.engine.runner import Simulation
+
+    case = get_case("lid_driven_cavity", n=16, u_lid_phys=0.0,
+                    max_steps=30, time_save=30)
+    sim = Simulation(case, backend="pallas", store_dtype="bf16")
+    fluid = np.asarray(sim.cc.fluid)[1:-1, 1:-1, :]
+    m0 = float(np.asarray(sim.f_standard()).sum(axis=0)
+               [np.asarray(case.mask) == 4].sum())
+    sim.run(verbose=False)
+    m1 = float(np.asarray(sim.f_standard()).sum(axis=0)
+               [np.asarray(case.mask) == 4].sum())
+    assert abs(m1 - m0) / m0 < 5e-3

@@ -74,6 +74,8 @@ def main():
                     help="enable the two-call pure/mixed tile split "
                     "(measured slower on the DMA-bound f1; see "
                     "make_pallas_step docstring)")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="pdf storage dtype (kernel computes fp32)")
     ap.add_argument("--bits", action="store_true",
                     help="enable the channel-22 wall bitmask (measured "
                     "2x slower at 256^3; default off like the kernel)")
@@ -105,7 +107,9 @@ def main():
             )
             cc = compile_case(spec, light=True)
             f0 = initial_f(cc)
-            p0 = cs.pack_state(f0, jnp.asarray(np.asarray(spec.mask)))
+            sdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+            p0 = cs.pack_state(f0, jnp.asarray(np.asarray(spec.mask)),
+                               dtype=sdt)
             del f0
             cs._pallas_bulk.clear_cache()
             cs._pallas_bulk2.clear_cache()
