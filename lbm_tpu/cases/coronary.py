@@ -109,6 +109,8 @@ def build(
     tau: float = 0.55,
     max_steps: int = 300000,
     time_save: int = 5000,
+    tol: float = 1e-6,  # 0 disables early stop: the reference runs the
+    # full 300k steps unconditionally (coronary.cu:1055-1163)
     # synthetic-geometry knobs (used when geo_path is None):
     shape: tuple[int, int, int] = (128, 64, 96),
     radius: int = 10,
@@ -160,7 +162,7 @@ def build(
         u0=u0,
         max_steps=max_steps,
         time_save=time_save,
-        tol=1e-6,
+        tol=tol,
         stag_max=10**9,
         residual_flavor="usq",
         vtk_crops=(1, 2, 1),

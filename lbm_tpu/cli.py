@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                       help="save a resumable checkpoint every N saves")
     runp.add_argument("--resume", default=None, help="checkpoint to resume")
     runp.add_argument("--no-vtk", action="store_true")
+    runp.add_argument("--vtk-final", action="store_true",
+                      help="write VTK only once, after the run finishes "
+                      "(per-save VTK on a 31M-cell grid dominates wall "
+                      "time; the residual curve still logs every save)")
     runp.add_argument("--binary-vtk", action="store_true")
     runp.add_argument("--snapshots", action="store_true",
                       help="write end-of-run midplane/BC snapshots "
@@ -117,7 +121,7 @@ def main(argv=None) -> int:
         nonlocal save_count
         save_count += 1
         log.residual(residual)
-        if not args.no_vtk:
+        if not args.no_vtk and not args.vtk_final:
             case_vtk(sim, args.out, k, include_density=spec.vtk_density,
                      binary=args.binary_vtk)
         if args.checkpoint_every and save_count % args.checkpoint_every == 0:

@@ -760,16 +760,16 @@ def _kernel(
             main = pltpu.make_async_copy(
                 p_hbm.at[pl.ds(i * tx + ring, tx), lat],
                 ft.at[slot, 1 : tx + 1], in_sems.at[slot])
-            top_edge = pltpu.make_async_copy(
+            top_edge = lambda: pltpu.make_async_copy(
                 lo_hbm.at[:, pl.ds(j * ty, ty + 2)],
                 ft.at[slot, 0:1], halo_sems.at[slot, 0])
-            top_int = pltpu.make_async_copy(
+            top_int = lambda: pltpu.make_async_copy(
                 p_hbm.at[pl.ds(i * tx + ring - 1, 1), lat],
                 ft.at[slot, 0:1], halo_sems.at[slot, 0])
-            bot_edge = pltpu.make_async_copy(
+            bot_edge = lambda: pltpu.make_async_copy(
                 hi_hbm.at[:, pl.ds(j * ty, ty + 2)],
                 ft.at[slot, tx + 1 : tx + 2], halo_sems.at[slot, 1])
-            bot_int = pltpu.make_async_copy(
+            bot_int = lambda: pltpu.make_async_copy(
                 p_hbm.at[pl.ds(i * tx + ring + tx, 1), lat],
                 ft.at[slot, tx + 1 : tx + 2], halo_sems.at[slot, 1])
             is_lo, is_hi = i == 0, i == gx - 1
@@ -778,16 +778,16 @@ def _kernel(
             main = pltpu.make_async_copy(
                 p_hbm.at[lat, pl.ds(j * ty + ring, ty)],
                 ft.at[slot, :, 1 : ty + 1], in_sems.at[slot])
-            top_edge = pltpu.make_async_copy(
+            top_edge = lambda: pltpu.make_async_copy(
                 lo_hbm.at[pl.ds(i * tx, tx + 2), :],
                 ft.at[slot, :, 0:1], halo_sems.at[slot, 0])
-            top_int = pltpu.make_async_copy(
+            top_int = lambda: pltpu.make_async_copy(
                 p_hbm.at[lat, pl.ds(j * ty + ring - 1, 1)],
                 ft.at[slot, :, 0:1], halo_sems.at[slot, 0])
-            bot_edge = pltpu.make_async_copy(
+            bot_edge = lambda: pltpu.make_async_copy(
                 hi_hbm.at[pl.ds(i * tx, tx + 2), :],
                 ft.at[slot, :, ty + 1 : ty + 2], halo_sems.at[slot, 1])
-            bot_int = pltpu.make_async_copy(
+            bot_int = lambda: pltpu.make_async_copy(
                 p_hbm.at[lat, pl.ds(j * ty + ring + ty, 1)],
                 ft.at[slot, :, ty + 1 : ty + 2], halo_sems.at[slot, 1])
             is_lo, is_hi = j == 0, j == gy - 1
@@ -853,9 +853,13 @@ def _kernel(
 class _HaloSplitCopy:
     """Three-DMA tile input for the sharded path (see _kernel.in_copy):
     main interior rows + two ring rows, each ring row sourced from the
-    shard state or the exchanged halo plane by a traced predicate.
-    start() and wait() mirror the exact same pl.when structure so every
-    issued descriptor is waited with a matching one."""
+    shard state or the exchanged halo plane by a per-tile predicate.
+    start() and wait() mirror the exact same branch structure so every
+    issued descriptor is waited with a matching one. edge/interior are
+    FACTORIES invoked inside the taken branch: tile ids known at trace
+    time (the pipeline preamble's tile 0) make the predicate a static
+    bool, and an eagerly-built descriptor on the untaken side would
+    leak ("AsyncCopyDescriptor was not used")."""
 
     def __init__(self, main, top, bot):
         self.main, self.top, self.bot = main, top, bot
@@ -863,13 +867,17 @@ class _HaloSplitCopy:
     def _each(self, fn):
         fn(self.main)
         for pred, edge, interior in (self.top, self.bot):
+            if isinstance(pred, (bool, np.bool_)):
+                fn(edge() if pred else interior())
+                continue
+
             @pl.when(pred)
             def _(edge=edge):
-                fn(edge)
+                fn(edge())
 
             @pl.when(jnp.logical_not(pred))
             def _(interior=interior):
-                fn(interior)
+                fn(interior())
 
     def start(self):
         self._each(lambda cp: cp.start())

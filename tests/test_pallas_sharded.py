@@ -46,7 +46,7 @@ def test_sharded_pallas_matches_dense(case_name, kwargs):
     spec = pad_spec(get_case(case_name, **kwargs))
     cc = compile_case(spec)
     f0 = initial_f(cc)
-    nsteps = 4
+    nsteps = 2
     f_ref = _dense_run(cc, f0, nsteps)
     f, vs = _sharded_run(cc, f0, nsteps, shard_axis=0)
     interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
@@ -62,7 +62,7 @@ def test_sharded_pallas_coronary_y_shard_with_z_outlets():
     spec = pad_spec(get_case("coronary", shape=(32, 32, 40), radius=5))
     cc = compile_case(spec)
     f0 = initial_f(cc)
-    nsteps = 3
+    nsteps = 2
     f_ref = _dense_run(cc, f0, nsteps)
     f, vs = _sharded_run(cc, f0, nsteps, shard_axis=1)
     interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
@@ -95,11 +95,11 @@ def test_runner_mesh_pallas_backend():
     path end-to-end through the runner (interpret mode on CPU)."""
     from lbm_tpu.engine.runner import Simulation
 
-    case_kw = dict(n=16, max_steps=8, time_save=4)
+    case_kw = dict(n=16, max_steps=4, time_save=2)
     sim = Simulation(get_case("lid_driven_cavity", **case_kw),
                      backend="pallas", mesh=lattice_mesh())
     res = sim.run(verbose=False)
-    assert res.steps == 8
+    assert res.steps == 4
     sim2 = Simulation(get_case("lid_driven_cavity", **case_kw),
                       backend="xla")
     sim2.run(verbose=False)
