@@ -13,11 +13,14 @@ compute across tiles.
 Packed TPU layout (the key design decision): state lives as
     (NX+2, NY+2, C=24, NZ) float32
 where channels 0..18 are the D3Q19 populations, channel 19 carries the
-cell-type mask (exact small integers in f32), and 20..23 are padding to
-the 8-sublane tile. Mosaic requires DMA slices on the last two (tiled)
-memref dims to be tile-aligned; the halo-sliced spatial axes (x, y) are
-therefore placed in the untiled leading dims, channels fill the sublane
-dim (24 = 3x8, no hidden padding), and z occupies the 128-aligned lane
+cell-type mask (exact small integers in f32), 20/21 the mask pre-rolled
+along z, 22 the wall bitmask, 23 padding. Mosaic tiles the last two
+memref dims (8, 128) in HBM as well as VMEM and requires DMA slices
+there to be tile-aligned (a 22-channel state fails to compile); the
+halo-sliced spatial axes (x, y) are therefore placed in the untiled
+leading dims, channels fill the sublane dim (24 = 3x8, the minimum
+aligned width >= 22 — the two extra channels are traffic-free), and z
+occupies the 128-aligned lane
 dim. The mask rides in the same DMA as the populations.
 
 The x/y halo rings hold no physical cell; their contents are only ever
@@ -54,7 +57,15 @@ _E = D3Q19.E
 _OPP = D3Q19.OPP
 _W = D3Q19.W
 
-C = 24  # channels: 19 pdfs + mask + 2 z-shifted masks + bits + padding
+C = 24  # channels: 19 pdfs + mask + 2 z-shifted masks + bits + padding.
+# 24 is BYTE-OPTIMAL, not padding waste: Mosaic tiles HBM memrefs'
+# last two dims (8, 128) just like VMEM, and DMA slices must be
+# tile-aligned — a 22-channel state fails to compile ("Slice shape
+# along dimension 2 must be aligned to tiling (8), but is 22",
+# measured r3). The minimum aligned width >= 19+3 is 24, so the bits
+# channel (22) and pad (23) ride traffic-free; only COMPUTE on bits
+# costs (the i32 AND chain measured 2x slower, hence bits=False
+# default). Kernel shapes derive from the array's own channel dim.
 MASK_CH = 19
 MASK_ZP_CH = 20  # mask rolled +1 along z: pull-source mask for e_z = +1
 MASK_ZM_CH = 21  # mask rolled -1 along z: pull-source mask for e_z = -1
@@ -91,16 +102,15 @@ def pack_state(f, mask, dtype=jnp.float32):
 
     Channels 20/21 carry the mask pre-rolled by +/-1 along z, so the
     kernel's 10 e_z != 0 wall tests become plain (sliced) loads instead
-    of lane rolls — the rolls ride in the (previously zero-padding)
-    channels for free, traffic-wise. Channel 22 carries the static
-    neighbor-wall bitmask (wall_bits).
+    of lane rolls — the rolls ride in the (traffic-free, see C above)
+    alignment channels. Channel 22 carries the static neighbor-wall
+    bitmask (wall_bits) for the opt-in bits kernel path.
 
     dtype=jnp.bfloat16 stores the pdfs (and exact-small-int mask
     channels) at half the HBM bytes — the kernel computes in fp32 either
     way (loads widen, stores narrow). The f32-bitcast wall_bits channel
     cannot survive the narrowing and is zeroed; the bits=True kernel
-    path requires f32 storage (it is also measured slower — see
-    _subtile_compute)."""
+    path requires f32 storage."""
     m = jnp.asarray(mask, jnp.float32)
     mzp = jnp.roll(m, +1, axis=2)
     mzm = jnp.roll(m, -1, axis=2)
@@ -355,7 +365,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         ot[oxs, oys, o, :] = jnp.where(
             z_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
         ).astype(odt)
-    for ch in range(MASK_CH, BITS_CH + 1):
+    for ch in range(MASK_CH, min(ot.shape[2], BITS_CH + 1)):
         ot[oxs, oys, ch, :] = ft[cx, cy, ch, :].astype(odt)
     if vs_win is not None:
         rlo, rhi, clo, chi = vs_win
@@ -485,9 +495,9 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         ot[oxs, oys, o, :] = jnp.where(
             is_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
         ).astype(odt)
-    # Mask + bitmask channels pass through unchanged; the pure-padding
-    # channel 23 is never read by anyone — skip its copy.
-    for ch in range(MASK_CH, BITS_CH + 1):
+    # Mask (+ bitmask, when present) channels pass through unchanged;
+    # the bits-mode padding channel 23 is never read — skip its copy.
+    for ch in range(MASK_CH, min(ot.shape[2], BITS_CH + 1)):
         ot[oxs, oys, ch, :] = ft[cx, cy, ch, :].astype(odt)
     # Fluid speed sum, EXCLUDING rows a _row_fix will overwrite (those
     # rows' post-NEE contribution is added by the row fix itself) and
@@ -658,7 +668,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
         )
         v = pulls[i]
         outs.append(jnp.where(is_fluid, v - (v - feq) * inv_tau, srcs[i]))
-    for ch in range(MASK_CH, C):
+    for ch in range(MASK_CH, ot_slot.shape[2]):
         outs.append(read(ch, 0, 0, 0))
     row_out = jnp.stack(outs, axis=2).astype(odt)
     if axis == 0:  # (1, L, C, nz) or (L, 1, C, nz)
@@ -1188,16 +1198,18 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
         bounce=bounce,
     )
-    if bits and p.dtype != jnp.float32:
+    if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError(
-            "bits=True needs f32 storage (channel 22 is an f32-bitcast "
-            "i32 bitmask; bf16 narrowing destroys it)"
+            "bits=True needs an f32 state packed with bits=True "
+            "(channel 22 is an f32-bitcast i32 bitmask; "
+            f"got dtype={p.dtype}, channels={p.shape[2]})"
         )
     n_nee = (len(extra) - (2 if halo_axis is not None else 0)
              - (1 if skip else 0) - (1 if has_prev else 0))
+    cd = p.shape[2]  # 22, or 24 with the bits channel
     scratch = [
-        pltpu.VMEM((2, tx + 2, ty + 2, C, nz), p.dtype),
-        pltpu.VMEM((2, tx, ty, C, nz), p.dtype),
+        pltpu.VMEM((2, tx + 2, ty + 2, cd, nz), p.dtype),
+        pltpu.VMEM((2, tx, ty, cd, nz), p.dtype),
         pltpu.SMEM((1,), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -1271,16 +1283,18 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
         bounce=p.dtype != jnp.float32,
     )
-    if bits and p.dtype != jnp.float32:
-        raise ValueError("bits=True needs f32 storage (see _pallas_bulk)")
+    if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
+        raise ValueError("bits=True needs an f32 bits-packed state "
+                         "(see _pallas_bulk)")
     n_nee = len(extra) - (1 if skip else 0) - (1 if has_prev else 0)
     bounce = p.dtype != jnp.float32
+    cd = p.shape[2]
     scratch = [
-        pltpu.VMEM((2, tx + 4, ty + 4, C, nz), p.dtype),
+        pltpu.VMEM((2, tx + 4, ty + 4, cd, nz), p.dtype),
         # The mid tile never touches HBM: keep it fp32 so the fused pair
         # pays only ONE narrowing rounding per two steps in bf16 mode.
-        pltpu.VMEM((tx + 2, ty + 2, C, nz), jnp.float32),
-        pltpu.VMEM((2, tx, ty, C, nz), p.dtype),
+        pltpu.VMEM((tx + 2, ty + 2, cd, nz), jnp.float32),
+        pltpu.VMEM((2, tx, ty, cd, nz), p.dtype),
         pltpu.SMEM((2,), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -1510,7 +1524,8 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
     blk = 128 if nzp % 128 == 0 else nzp
     cblk, coff = (c // blk) * blk, c % blk
     L = min(blk, nzp - cblk)
-    BX = max(1, min(wx, (4 << 20) // max(wy * C * L * 4, 1)))
+    cd = p.shape[2]
+    BX = max(1, min(wx, (4 << 20) // max(wy * cd * L * 4, 1)))
     chunks = [(k, min(BX, wx - k)) for k in range(0, wx, BX)]
 
     def kern(p_hbm, val_ref, out_hbm, buf, sem_in, sem_out):
@@ -1546,7 +1561,7 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((BX, wy, C, L), p.dtype),
+            pltpu.VMEM((BX, wy, cd, L), p.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -1586,7 +1601,8 @@ def _extract_z_slab(p, *, x0, y0, wx, wy, c, interpret=False):
 
     (out,) = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((wx, wy, C, L), p.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((wx, wy, p.shape[2], L),
+                                        p.dtype)],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.SemaphoreType.DMA],

@@ -142,6 +142,27 @@ def test_cli_snapshots(tmp_path):
     assert len((out / "meas1.txt").read_text().split()) == 2 * 16 * 16
 
 
+def test_cli_vtk_final(tmp_path):
+    """--vtk-final suppresses per-save VTK and writes exactly one file
+    at the last step (the large-grid runs' mode: per-save VTK on a
+    31M-cell grid dominates wall time)."""
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["LBM_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "lbm_tpu", "run", "--case",
+         "lid_driven_cavity", "--out", str(out), "--steps", "10",
+         "--time-save", "5", "--vtk-final", "--backend", "xla",
+         "--opt", "n=16"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    vtks = sorted(out.glob("*.vtk"))
+    assert [v.name for v in vtks] == ["lid_driven_cavity_10.vtk"]
+    assert (out / "CONVERGENCE.log").exists()  # residuals still per save
+
+
 def test_write_live_velocities(tmp_path):
     from lbm_tpu.io.snapshots import write_live_velocities
 
