@@ -20,6 +20,16 @@ import jax  # noqa: E402
 # explicitly before anything initializes devices.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by the
+# 10-25 s XLA compiles of the interpret-mode Pallas kernels (the kernel
+# bodies are large; trace size is shape-independent). Caching them makes
+# every rerun after the first finish in a fraction of the time, which is
+# what the local edit-test loop actually feels. The dir is gitignored.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

@@ -85,7 +85,8 @@ def test_pallas_velsum_matches_dense():
 def test_pallas_coronary_multioutlet():
     """All five BC variants incl. z-plane sub-outlets run through the
     packed plane-fixup path."""
-    spec = pad_spec(get_case("coronary", shape=(32, 24, 40), radius=5))
+    spec = pad_spec(get_case("coronary", shape=(24, 20, 32), radius=4))
+    assert {5, 6, 7} <= set(np.unique(spec.mask).tolist())  # sub-outlets live
     cc = compile_case(spec)
     f0 = initial_f(cc)
     nsteps = 3
@@ -127,9 +128,10 @@ def test_pallas_plane_multiples_padding():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("case_name,kwargs", [
     ("lid_driven_cavity", dict(n=16)),
-    pytest.param("poiseuille", dict(n=16), marks=pytest.mark.slow),
+    ("poiseuille", dict(n=16)),
 ])
 def test_pallas_fuse2_matches_dense(case_name, kwargs):
     """Two temporally-fused steps per kernel call (ring-2 state) must
@@ -178,8 +180,8 @@ def test_pallas_fuse2_velsum_per_step():
         assert abs(got - want) / want < 1e-5, (vs, refs)
 
 
-@pytest.mark.parametrize(
-    "fuse", [1, pytest.param(2, marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("fuse", [1, 2])
 def test_pallas_pure_split_matches_dense(fuse):
     """Pure/mixed tile split (classify_tiles): interior tiles take the
     mask-free fast path (z-lane iota wall tests, no mask loads); the
@@ -239,11 +241,13 @@ def test_pallas_tile_skip_matches_dense():
     them valid — and live-tile physics is unchanged."""
     from lbm_tpu.kernels.collide_stream import live_tile_ids
 
-    spec = pad_spec(get_case("coronary", shape=(32, 24, 40), radius=5))
+    spec = pad_spec(get_case("coronary", shape=(24, 32, 32), radius=4))
     cc = compile_case(spec)
     tids = live_tile_ids(spec.mask, 4, 8, ring=1)
     gx, gy = (spec.shape[0] - 2) // 4, (spec.shape[1] - 2) // 8
-    assert 0 < len(tids) <= gx * gy
+    # strictly fewer live tiles than the grid: dead tiles REALLY skipped
+    # (this shape has 12 of 24 live; the r2-era 32x24x40 had 24/24).
+    assert 0 < len(tids) < gx * gy
     f0 = initial_f(cc)
     nsteps = 2
     f_ref = _dense_run(cc, f0, nsteps)
@@ -320,11 +324,10 @@ def test_pallas_backend_in_runner_interpret():
 
 def test_pallas_bf16_storage():
     """bf16 pdf STORAGE with fp32 in-kernel compute (VERDICT r2 next-#4):
-    tracks the f32 dense engine within bf16 rounding on all three
-    kernel shapes (single-step, fuse2 with its fp32 mid tile, z-plane
-    fixup) and conserves mass on a closed box."""
-    # single-step + z-plane fixup path (coronary sub-outlets)
-    spec = pad_spec(get_case("coronary", shape=(32, 24, 40), radius=5))
+    tracks the f32 dense engine within bf16 rounding on the single-step
+    kernel + z-plane fixup path (coronary sub-outlets). The fuse2 shape
+    is covered by the slow variant below."""
+    spec = pad_spec(get_case("coronary", shape=(24, 20, 32), radius=4))
     cc = compile_case(spec)
     f0 = initial_f(cc)
     f_ref = _dense_run(cc, f0, 2)
@@ -340,7 +343,11 @@ def test_pallas_bf16_storage():
            / np.abs(f_ref[interior]).max())
     assert rel < 2e-2, rel
 
-    # fuse2 (fp32 mid tile: one narrowing per two steps)
+
+@pytest.mark.slow
+def test_pallas_bf16_storage_fuse2():
+    """bf16 storage through fuse2 (fp32 mid tile: one narrowing per two
+    steps) tracks the f32 dense engine within bf16 rounding."""
     spec = pad_spec(get_case("lid_driven_cavity", n=16), halo=2)
     cc = compile_case(spec)
     f0 = initial_f(cc)
@@ -357,6 +364,7 @@ def test_pallas_bf16_storage():
     assert rel < 2e-2, rel
 
 
+@pytest.mark.slow
 def test_pallas_bf16_mass_conservation():
     """Closed static box in bf16 storage: per-step mass error is rounding
     only — drift over 30 steps stays at the bf16 epsilon scale, not
