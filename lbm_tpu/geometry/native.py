@@ -36,7 +36,15 @@ def _load():
             subprocess.run(
                 ["make", "-C", _SRC_DIR], check=True, capture_output=True
             )
-        except Exception:
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"lbm_geo native build failed ({e!r}); geometry ops fall "
+                f"back to the slower NumPy paths. Run `make -C "
+                f"{_SRC_DIR}` to see the compiler error.",
+                RuntimeWarning,
+            )
             return None
     try:
         lib = ctypes.CDLL(so)

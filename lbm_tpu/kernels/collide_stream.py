@@ -97,14 +97,17 @@ def wall_bits(mask):
     return bits.view(np.float32)
 
 
-def pack_state(f, mask, dtype=jnp.float32):
+def pack_state(f, mask, dtype=jnp.float32, bits=False):
     """(19, X, Y, Z) f + (X, Y, Z) mask -> packed (X, Y, C, Z).
 
     Channels 20/21 carry the mask pre-rolled by +/-1 along z, so the
     kernel's 10 e_z != 0 wall tests become plain (sliced) loads instead
     of lane rolls — the rolls ride in the (traffic-free, see C above)
-    alignment channels. Channel 22 carries the static neighbor-wall
-    bitmask (wall_bits) for the opt-in bits kernel path.
+    alignment channels. With bits=True channel 22 carries the static
+    neighbor-wall bitmask (wall_bits) for the opt-in bits kernel path;
+    the default kernel never reads it, so the default skips the 19
+    full-box host rolls wall_bits costs (~20 transient 126 MB arrays on
+    the 31.5M-cell coronary) and writes zeros.
 
     dtype=jnp.bfloat16 stores the pdfs (and exact-small-int mask
     channels) at half the HBM bytes — the kernel computes in fp32 either
@@ -114,7 +117,7 @@ def pack_state(f, mask, dtype=jnp.float32):
     m = jnp.asarray(mask, jnp.float32)
     mzp = jnp.roll(m, +1, axis=2)
     mzm = jnp.roll(m, -1, axis=2)
-    if dtype == jnp.float32:
+    if bits and dtype == jnp.float32:
         wb = jnp.asarray(wall_bits(np.asarray(mask)))
     else:
         wb = jnp.zeros_like(m)
@@ -129,7 +132,7 @@ def unpack_state(p):
     return p.transpose(2, 0, 1, 3)[:19].astype(jnp.float32)
 
 
-def packed_initial_lowmem(spec_pad, dtype=jnp.float32):
+def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
     """Packed feq(rho0, u0) state built one channel at a time.
 
     The standard init (`pack_state(initial_f(cc), mask)`) materializes
@@ -208,7 +211,7 @@ def packed_initial_lowmem(spec_pad, dtype=jnp.float32):
     p = put_ch(p, jnp.roll(m_dev, +1, axis=2), MASK_ZP_CH)
     p = put_ch(p, jnp.roll(m_dev, -1, axis=2), MASK_ZM_CH)
     del m_dev
-    if dtype == jnp.float32:  # f32-bitcast bitmask; zeros in bf16 mode
+    if bits and dtype == jnp.float32:  # opt-in f32-bitcast bitmask
         p = put_ch(p, jnp.asarray(wall_bits(spec_pad.mask)), BITS_CH)
     return p
 

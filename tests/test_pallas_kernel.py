@@ -213,6 +213,45 @@ def test_pallas_pure_split_matches_dense(fuse):
     )
 
 
+def test_classify_tiles_fast_smoke():
+    """Kernel-free classifier coverage for the fast suite (the full
+    pure-split kernel matrix is slow-marked): tile ordering, pure
+    count, and zspan invariants on the lid mask at both fuse levels."""
+    from lbm_tpu.geometry.mask import CellType
+    from lbm_tpu.kernels.collide_stream import classify_tiles
+
+    for fuse in (1, 2):
+        ring = fuse
+        spec = pad_spec(get_case("lid_driven_cavity", n=24), halo=ring)
+        m = np.asarray(spec.mask)
+        gx, gy = 24 // 4, 24 // 8
+        order, n_pure, zspan = classify_tiles(m, 4, 8, ring=ring,
+                                              fuse=fuse)
+        # a permutation of the row-major tile grid, pure tiles first
+        assert sorted(order.tolist()) == list(range(gx * gy))
+        assert 0 < n_pure < len(order)
+        assert zspan == (2, 21)
+        # every pure tile's input region must be all-standard: no NEE
+        # plane (the lid's moving wall is a y-plane BC at y=22) and a
+        # wall-capped contiguous fluid column everywhere
+        skirt = fuse
+        for tid in order[:n_pure].tolist():
+            i, j = tid // gy, tid % gy
+            blk = m[ring - skirt + i * 4:ring + skirt + (i + 1) * 4,
+                    ring - skirt + j * 8:ring + skirt + (j + 1) * 8]
+            col = blk[:, :, zspan[0]:zspan[1] + 1]
+            assert (col == int(CellType.FLUID)).all()
+            assert (blk[:, :, zspan[0] - 1] == int(CellType.WALL)).all()
+            assert (blk[:, :, zspan[1] + 1] == int(CellType.WALL)).all()
+        # an all-mixed geometry (vessel tree) classifies with n_pure == 0
+        spec_t = pad_spec(get_case("coronary", shape=(24, 20, 32),
+                                   radius=4))
+        order_t, n_pure_t, _ = classify_tiles(
+            np.asarray(spec_t.mask), 4, 4, ring=1, fuse=1)
+        assert n_pure_t == 0
+        assert sorted(order_t.tolist()) == list(range(6 * 5))
+
+
 def test_packed_initial_lowmem_matches_standard():
     """The channel-streamed large-grid init (host feq, donated buffer
     updates) must reproduce pack_state(initial_f(cc)) exactly — same

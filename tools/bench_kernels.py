@@ -109,7 +109,7 @@ def main():
             f0 = initial_f(cc)
             sdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
             p0 = cs.pack_state(f0, jnp.asarray(np.asarray(spec.mask)),
-                               dtype=sdt)
+                               dtype=sdt, bits=args.bits)
             del f0
             cs._pallas_bulk.clear_cache()
             cs._pallas_bulk2.clear_cache()
