@@ -169,23 +169,43 @@ class Simulation:
                 )
             self._fuse2 = fuse == 2 and fuse2_ok
             self._ring = 2 if self._fuse2 else 1
-            # Block-sparse tile skip: make_pallas_step decides from the
+            # Block-sparse tile skip: the step builders decide from the
             # LIVE TILE fraction at the chosen tile size (cell occupancy
             # alone misleads — a 1% tree can still touch most all-z
-            # tile columns).
-            self._tile_skip = "auto" if mesh is None else False
+            # tile columns). Under a mesh the per-shard lists are padded
+            # with dead-tile filler to one static length
+            # (parallel/pallas_sharded.shard_tile_lists).
+            self._tile_skip = "auto"
+            ndev = 1 if mesh is None else mesh.devices.size
+            if mesh is None:
+                plane_multiples = (1, 1) if interpret else (4, 8)
+            elif interpret:
+                # CPU-mesh tests keep exact extents (divisibility by
+                # ndev is the caller's contract; interpret tiles are
+                # whole-block anyway)
+                plane_multiples = (1, 1)
+            else:
+                # real-chip mesh runs: round BOTH lateral interiors to
+                # kernel-friendly tiles, the sharded one also to the
+                # device count. Generous padding is near-free: the pad
+                # is DEAD cells, which tile_skip walks around.
+                plane_multiples = tuple(
+                    16 * ndev if a == shard_axis else 16
+                    for a in (0, 1)
+                )
             padded = pad_spec(
                 spec,
                 lane_multiple=1 if interpret else 128,
-                plane_multiples=(1, 1) if mesh is not None else (4, 8),
+                plane_multiples=plane_multiples,
                 halo=self._ring,
             )
             # At 512^3-class sizes the packed state alone is ~13 GB: init
-            # must stream channel-by-channel (packed_initial_lowmem) and
-            # the unused-by-the-hot-loop macro fields stay on the host.
+            # must stream channel-by-channel (packed_initial_lowmem /
+            # packed_initial_blocked) and the unused-by-the-hot-loop
+            # macro fields stay on the host. The threshold is per-DEVICE
+            # bytes (a mesh divides the state across shards).
             self._lowmem = (
-                mesh is None
-                and int(np.prod(padded.shape)) * 24 * 4 > 4e9
+                int(np.prod(padded.shape)) * 24 * 4 / ndev > 4e9
             )
             self.cc = compile_case(
                 padded,
@@ -226,10 +246,21 @@ class Simulation:
 
             f = initial_f_sparse(self.sc)
         elif self.backend == "pallas" and getattr(self, "_lowmem", False):
-            from lbm_tpu.kernels.collide_stream import packed_initial_lowmem
+            if self.mesh is not None:
+                from lbm_tpu.parallel.pallas_sharded import (
+                    packed_initial_blocked,
+                )
 
-            f = packed_initial_lowmem(
-                self._padded_spec, dtype=self._store_dtype)
+                f = packed_initial_blocked(
+                    self._padded_spec, self.mesh, self.shard_axis,
+                    dtype=self._store_dtype)
+            else:
+                from lbm_tpu.kernels.collide_stream import (
+                    packed_initial_lowmem,
+                )
+
+                f = packed_initial_lowmem(
+                    self._padded_spec, dtype=self._store_dtype)
         else:
             f = initial_f(self.cc)
             if self.backend == "pallas":
@@ -331,6 +362,8 @@ class Simulation:
             self._sharded_fns = make_pallas_sharded_step(
                 self.cc, self.mesh, shard_axis=self.shard_axis,
                 interpret=getattr(self, "_pallas_interpret", False),
+                tile_skip=self._tile_skip,
+                in_place=True if self._lowmem else None,
             )
         return self._sharded_fns
 

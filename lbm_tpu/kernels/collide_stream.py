@@ -132,7 +132,8 @@ def unpack_state(p):
     return p.transpose(2, 0, 1, 3)[:19].astype(jnp.float32)
 
 
-def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
+def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False,
+                          out_sharding=None, value_sharding=None):
     """Packed feq(rho0, u0) state built one channel at a time.
 
     The standard init (`pack_state(initial_f(cc), mask)`) materializes
@@ -141,6 +142,12 @@ def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
     Here each feq channel is computed on the HOST (same fp32 expression
     as lattice.phi) and written into a donated device buffer, so device
     residency peaks at packed + one channel (~13.5 GB at 512^3).
+
+    out_sharding/value_sharding: multi-chip hooks (the blocked sharded
+    init, parallel/pallas_sharded.packed_initial_blocked) — the state
+    buffer is created under out_sharding and full-box host values enter
+    through value_sharding, so no device ever holds more than its shard
+    of a channel.
     """
     X, Y, Z = (int(s) for s in spec_pad.shape)
     mask_np = np.asarray(spec_pad.mask, np.float32)
@@ -148,6 +155,11 @@ def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
     u = np.asarray(spec_pad.u0, np.float32)
     E = D3Q19.E.astype(np.float32)
     W = D3Q19.W.astype(np.float32)
+
+    def put_value(v):
+        if value_sharding is None:
+            return jnp.asarray(v)
+        return jax.device_put(np.asarray(v), value_sharding)
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
     def put_ch(p, v, ch):
@@ -161,7 +173,13 @@ def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
                      - np.float32(1.5) * usq_w)
         return rho_w * ph
 
-    p = jnp.zeros((X, Y, C, Z), dtype)
+    if out_sharding is None:
+        p = jnp.zeros((X, Y, C, Z), dtype)
+    else:
+        p = jax.jit(
+            lambda: jnp.zeros((X, Y, C, Z), dtype),
+            out_shardings=out_sharding,
+        )()
     nzu = np.any(u != 0.0, axis=0)
     if nzu.mean() < 0.01:
         # Most cells start at rest, where feq_i = W_i * rho exactly
@@ -169,7 +187,7 @@ def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
         # then patch the nonzero-u bounding box from host values. At
         # 512^3 the naive 19-channel host stream took 13.3 min over the
         # axon tunnel (~16 MB/s effective); this path moves ~1 GB.
-        rho_dev = jnp.asarray(rho)
+        rho_dev = put_value(rho)
 
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnums=(3,))
@@ -205,8 +223,8 @@ def packed_initial_lowmem(spec_pad, dtype=jnp.float32, bits=False):
     else:
         usq = (u * u).sum(axis=0, dtype=np.float32)
         for i in range(D3Q19.Q):
-            p = put_ch(p, jnp.asarray(host_feq(i, rho, u, usq)), i)
-    m_dev = jnp.asarray(mask_np)
+            p = put_ch(p, put_value(host_feq(i, rho, u, usq)), i)
+    m_dev = put_value(mask_np)
     p = put_ch(p, m_dev, MASK_CH)
     p = put_ch(p, jnp.roll(m_dev, +1, axis=2), MASK_ZP_CH)
     p = put_ch(p, jnp.roll(m_dev, -1, axis=2), MASK_ZM_CH)

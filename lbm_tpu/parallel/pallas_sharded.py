@@ -8,16 +8,33 @@ one-cell halo ring — a global array of shape
 
   1. each shard ppermutes its edge interior planes around the ring
      (the ICI halo exchange; wrap matches jnp.roll semantics),
-  2. the fused kernel runs on the local block, with edge tiles patching
+  2. z-BC consumer slabs are DMA-extracted from the PRE-step state
+     (windowed on the unsharded lateral dim) with their shard-edge rows
+     patched from the received planes,
+  3. the fused kernel runs on the local block, with edge tiles patching
      their VMEM halo rows from the received planes (halo_axis DMAs in
-     kernels/collide_stream._kernel),
-  3. z-plane NEE boundaries (coronary sub-outlets) are fixed on small
-     z-slabs whose block-edge rows are patched from the received planes,
-  4. the fluid |u| partial sums psum over the mesh.
+     kernels/collide_stream._kernel); with tile_skip the kernel walks a
+     per-shard live-tile list and aliases its output onto the input so
+     skipped (all-dead) tiles keep their static contents,
+  4. z-plane NEE boundaries (coronary sub-outlets) are recomputed from
+     the pre-extracted slabs and spliced in place, returning the velsum
+     delta exactly like the single-chip path,
+  5. the fluid |u| partial sums psum over the mesh.
 
 The shard axis must not host an x/y NEE boundary plane and must not be
 z (halo rings exist in x/y): lid/poiseuille/bifurcation shard x,
 coronary shards y.
+
+Scale features (BASELINE.md scale-out row — sharded 512^3-class runs):
+  - tile_skip: per-shard live-tile lists from the local block mask,
+    padded to a common static length with all-dead filler tiles (an
+    all-dead tile's update is a bit-exact passthrough, so replaying one
+    is a no-op — SPMD needs every shard to run the same tile count);
+  - in_place: the kernel output aliases the input (halves per-shard
+    HBM), made legal by step 2's pre-extraction of every z-BC slab;
+  - packed_initial_blocked: the channel-streamed lowmem init built
+    directly in blocked sharded form (no global dense f, no host
+    round-trip through to_blocked).
 """
 
 from __future__ import annotations
@@ -32,6 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbm_tpu.core.lattice import D3Q19
 from lbm_tpu.engine.compile import CompiledCase
+from lbm_tpu.geometry.mask import CellType
 from lbm_tpu.kernels import collide_stream as cs
 
 
@@ -78,47 +96,64 @@ def from_blocked(P_blocked, ndev: int, axis: int):
     return jnp.pad(interior, pads)
 
 
-def _fix_z_plane_blocked(cc_blk, bc, p_local, lo, hi, p_out, t, shard_axis):
-    """z-plane NEE fixup on a shard block: patch the block's stale halo
-    rows from the exchanged planes on the 3-thick z slab, recompute the
-    consumer plane, splice it back (interior rows only)."""
-    import lbm_tpu.engine.step as estep
-    from lbm_tpu.core.lattice import D3Q19, phi
+def shard_tile_lists(mask_padded, ndev: int, shard_axis: int,
+                     tx: int, ty: int):
+    """Per-shard live-tile id lists over each shard's local (tx, ty)
+    grid, padded to a common static length with an all-dead filler tile
+    (SPMD runs one program: every shard must process the same tile
+    count; replaying an all-dead tile is a bit-exact no-op because its
+    update is a pure passthrough). Returns (tids (ndev, n_max) int32,
+    n_max, total_tiles); a shard shorter than n_max always owns at
+    least one dead tile (otherwise its list would be full-length)."""
+    m = np.asarray(mask_padded)
+    L = (m.shape[shard_axis] - 2) // ndev
+    mb = _overlap_windows(m, shard_axis, ndev, L)
+    lists = []
+    for s in range(ndev):
+        sl = [slice(None)] * 3
+        sl[shard_axis] = slice(s * (L + 2), (s + 1) * (L + 2))
+        lists.append(cs.live_tile_ids(mb[tuple(sl)], tx, ty, ring=1))
+    loc_nx = L if shard_axis == 0 else m.shape[0] - 2
+    loc_ny = L if shard_axis == 1 else m.shape[1] - 2
+    total = (loc_nx // tx) * (loc_ny // ty)
+    n_max = max(len(l) for l in lists)
+    rows = []
+    for ids in lists:
+        if len(ids) < n_max:
+            dead = sorted(set(range(total)) - set(ids.tolist()))
+            pad = np.full(n_max - len(ids), dead[0], np.int32)
+            ids = np.concatenate([ids, pad])
+        rows.append(ids)
+    return np.stack(rows).astype(np.int32), n_max, total
 
-    c = bc.consumer_coord
-    zsl = slice(c - 1, c + 2)
-    slab = p_local[..., zsl]
-    lo_s, hi_s = lo[..., zsl], hi[..., zsl]
-    if shard_axis == 0:
-        slab = jnp.concatenate([lo_s, slab[1:-1], hi_s], axis=0)
-    else:
-        slab = jnp.concatenate(
-            [lo_s, slab[:, 1:-1], hi_s], axis=1
-        )
-    pulled = cs._plane_pull_packed(slab, bc.nbr_wall_plane, 2, 1)
 
-    bc0 = dataclasses.replace(bc, consumer_coord=0)
-    src_plane = slab[:, :, :19, 1].transpose(2, 0, 1)  # (19, x, y)
-    pulled_slab = jnp.expand_dims(pulled, 3)
-    src_slab = jnp.expand_dims(src_plane, 3)
-    pulled_slab = estep.apply_bc_fixup(pulled_slab, src_slab, bc0, t)
-    pulled = jnp.squeeze(pulled_slab, 3)
-
-    ef = jnp.asarray(D3Q19.E.T.astype(np.float32))
-    rho = jnp.sum(pulled, axis=0)
-    mom = jnp.tensordot(ef, pulled, axes=([1], [0]),
-                        precision=jax.lax.Precision.HIGHEST)
-    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
-    feq = rho[None] * phi(u)
-    post = pulled - (pulled - feq) / cc_blk.tau
-    fluid_pl = cc_blk.fluid[..., c]
-    newplane = jnp.where(fluid_pl[None], post, src_plane)  # (19, x, y)
-    aux = slab[:, :, 19:, 1].transpose(2, 0, 1)
-    full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
-    # Interior rows only — halo rows belong to the neighbors.
-    if shard_axis == 0:
-        return p_out.at[1:-1, :, :, c].set(full[1:-1])
-    return p_out.at[:, 1:-1, :, c].set(full[:, 1:-1])
+def packed_initial_blocked(spec_pad, mesh: Mesh, shard_axis: int,
+                           axis_name: str = "d", dtype=jnp.float32):
+    """Channel-streamed feq init built DIRECTLY in blocked sharded form:
+    the multi-chip mirror of packed_initial_lowmem — no global dense
+    (19, X, Y, Z) f, no host round-trip through to_blocked (which at
+    512^3 would pull the ~13 GB packed state to the host)."""
+    ndev = mesh.devices.size
+    L = (spec_pad.shape[shard_axis] - 2) // ndev
+    mask_b = _overlap_windows(
+        np.asarray(spec_pad.mask), shard_axis, ndev, L)
+    rho0 = spec_pad.rho0
+    rho_b = (np.ones(mask_b.shape, np.float32) if rho0 is None else
+             _overlap_windows(np.asarray(rho0, np.float32),
+                              shard_axis, ndev, L))
+    u0 = spec_pad.u0
+    u_b = (np.zeros((3,) + mask_b.shape, np.float32) if u0 is None else
+           _overlap_windows(np.asarray(u0, np.float32),
+                            1 + shard_axis, ndev, L))
+    spec_b = dataclasses.replace(
+        spec_pad, shape=mask_b.shape, mask=mask_b, rho0=rho_b, u0=u_b,
+        boundaries=[],
+    )
+    return cs.packed_initial_lowmem(
+        spec_b, dtype=dtype,
+        out_sharding=blocked_sharding(mesh, 4, shard_axis, axis_name),
+        value_sharding=blocked_sharding(mesh, 3, shard_axis, axis_name),
+    )
 
 
 def make_pallas_sharded_step(
@@ -127,12 +162,26 @@ def make_pallas_sharded_step(
     shard_axis: int = 0,
     axis_name: str = "d",
     interpret: bool = False,
+    tile_skip=False,
+    in_place: bool | None = None,
+    tx: int | None = None,
+    ty: int | None = None,
 ) -> tuple[Callable, Callable, Callable]:
     """Returns (step, init_blocked, unblock):
       step(P, t) -> (P', velsum) on the blocked sharded state
       init_blocked(p_global_packed) -> blocked sharded device array
-      unblock(P) -> global packed padded array
-    """
+      unblock(P) -> global packed padded array, with pdf channels ZEROED
+        on DEAD cells (the dead-cell contract: dead contents are never
+        physics, and the sharded halo exchange can leave NaNs there —
+        zeroing makes every whole-box consumer safe)
+
+    tile_skip: False | True | "auto" — per-shard block-sparse live-tile
+    walk (see shard_tile_lists); "auto" enables it when the WORST
+    shard's live-tile fraction is <60% (SPMD wall-clock is governed by
+    the longest list, so n_max/total is the criterion). Requires (and
+    implies) in_place. in_place=True aliases the kernel output onto the
+    input even without skipping (halves per-shard HBM; costs the strict
+    DMA ordering, ~25% on dense grids — see kernels/_drive)."""
     if shard_axis not in (0, 1):
         raise ValueError(
             f"the sharded Pallas path shards axis 0 (x) or 1 (y) only — "
@@ -185,6 +234,11 @@ def make_pallas_sharded_step(
     # sharded one is at array dim 1 + shard_axis of the (D, A, B) data).
     cc_blk = None
     fixup_arrays = []
+    # Static fixup windows, LOCAL coords: full shard extent (incl. halo
+    # rows, which act as the unwritten border ring) on the sharded dim,
+    # the global valid-cell bbox on the unsharded dim (it is unsharded,
+    # so local == global coords there).
+    wins = []
     if fixup_bcs:
         cc_blk = dataclasses.replace(
             cc_pad,
@@ -206,25 +260,55 @@ def make_pallas_sharded_step(
                 d["phi_star_series"] = jnp.asarray(_overlap_windows(
                     np.asarray(bc.phi_star_series), 1 + dim, ndev, L))
             fixup_arrays.append(d)
+            wg = cs._valid_bbox(bc, (nxp, nyp))
+            if wg is None:
+                wins.append(None)
+            elif shard_axis == 0:
+                wins.append((0, L + 2, wg[2], wg[3]))
+            else:
+                wins.append((wg[0], wg[1], 0, L + 2))
 
     # Local tile sizes for the block shape.
     loc_nx = L if shard_axis == 0 else nxp - 2
     loc_ny = L if shard_axis == 1 else nyp - 2
-    tx, ty, stx, sty = cs._pick_tiles(loc_nx, loc_ny, nzp,
-                                      prefer_small=interpret)
+    atx, aty, stx, sty = cs._pick_tiles(loc_nx, loc_ny, nzp,
+                                        prefer_small=interpret)
+    tx = atx if tx is None else tx
+    ty = aty if ty is None else ty
+    if interpret:
+        stx, sty = tx, ty
     tau = float(cc_pad.tau)
 
-    def local_step(p, t, *nee_and_blk):
-        nee = nee_and_blk[: len(nee_tabs)]
-        blk = nee_and_blk[len(nee_tabs):]
+    # Per-shard block-sparse tile lists (see shard_tile_lists).
+    tids_all = None
+    n_max = None
+    if tile_skip == "auto" or tile_skip is True:
+        tids_np, nm, total = shard_tile_lists(
+            cc_pad.spec.mask, ndev, shard_axis, tx, ty)
+        if tile_skip == "auto":
+            tile_skip = nm / max(total, 1) < 0.6 or (
+                bool(in_place) and nm < total)
+        if tile_skip:
+            tids_all, n_max = jnp.asarray(tids_np), nm
+    if in_place is None:
+        in_place = bool(tile_skip)
+    if tile_skip and not in_place:
+        raise ValueError("tile_skip requires the in-place aliased output")
+
+    def local_step(p, t, *args):
+        nee = args[: len(nee_tabs)]
+        rest = args[len(nee_tabs):]
+        tids_loc = None
+        if tids_all is not None:
+            tids_loc, rest = rest[0].reshape(-1), rest[1:]
         if fixup_bcs:
-            fluid_loc = blk[0]
+            fluid_loc = rest[0]
             fix_dicts = []
             k = 1
             for d in fixup_arrays:
                 loc = {}
                 for key in d:
-                    loc[key] = blk[k]
+                    loc[key] = rest[k]
                     k += 1
                 fix_dicts.append(loc)
         n = jax.lax.axis_size(axis_name)
@@ -267,21 +351,54 @@ def make_pallas_sharded_step(
                 )
             else:
                 nee_step.append(tab)
+        # z-BC consumer slabs come from the PRE-step state: DMA-extract
+        # them BEFORE the (possibly input-aliased) kernel destroys p,
+        # exactly like the single-chip path — with the shard-edge rows
+        # patched from the exchanged planes (a block-edge ring row is
+        # stale in p; its streaming-inward populations arrive in lo/hi).
+        subs = []
+        for bc, win in zip(fixup_bcs, wins):
+            if win is None:
+                subs.append(None)
+                continue
+            x0, x1, y0, y1 = win
+            c = bc.consumer_coord
+            sub = cs._extract_z_slab(
+                p, x0=x0, y0=y0, wx=x1 - x0, wy=y1 - y0, c=c,
+                interpret=interpret,
+            )
+            zsl = slice(c - 1, c + 2)
+            if shard_axis == 0:
+                lo_s = lo[:, y0:y1, :, zsl].astype(jnp.float32)
+                hi_s = hi[:, y0:y1, :, zsl].astype(jnp.float32)
+                sub = jnp.concatenate([lo_s, sub[1:-1], hi_s], axis=0)
+            else:
+                lo_s = lo[x0:x1, :, :, zsl].astype(jnp.float32)
+                hi_s = hi[x0:x1, :, :, zsl].astype(jnp.float32)
+                sub = jnp.concatenate(
+                    [lo_s, sub[:, 1:-1], hi_s], axis=1)
+            subs.append(sub)
+        extra = list(nee_step)
+        if tids_loc is not None:
+            extra.append(tids_loc)
         p_new, vs = cs._pallas_bulk(
-            p, *nee_step, lo, hi, tau=tau, tx=tx, ty=ty,
+            p, *extra, lo, hi, tau=tau, tx=tx, ty=ty,
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
-            # the z-plane fixups below re-read the pre-step p; keep the
-            # functional (non-aliased) output on the sharded path
-            in_place=False,
+            n_live=n_max, in_place=in_place,
         )
         if fixup_bcs:
-            cc_loc = dataclasses.replace(cc_blk, fluid=fluid_loc)
-            for bc, loc in zip(fixup_bcs, fix_dicts):
+            for bc, loc, win, sub in zip(fixup_bcs, fix_dicts, wins,
+                                         subs):
+                if win is None:
+                    continue
+                cc_loc = dataclasses.replace(cc_blk, fluid=fluid_loc)
                 bc_loc = dataclasses.replace(bc, **loc)
-                p_new = _fix_z_plane_blocked(
-                    cc_loc, bc_loc, p, lo, hi, p_new, t, shard_axis
+                p_new, dvs = cs._fix_z_plane_windowed(
+                    cc_loc, bc_loc, win, sub, p_new, t,
+                    interpret=interpret,
                 )
+                vs = vs + dvs
         return p_new, jax.lax.psum(vs, axis_name)
 
     pspec_state = [None, None, None, None]
@@ -295,6 +412,9 @@ def make_pallas_sharded_step(
             spec[tab.ndim - 3] = axis_name
         in_specs.append(P(*spec))
         extra_args.append(tab)
+    if tids_all is not None:
+        in_specs.append(P(axis_name, None))
+        extra_args.append(tids_all)
     if fixup_bcs:
         fl_spec = [None] * 3
         fl_spec[shard_axis] = axis_name
@@ -327,14 +447,30 @@ def make_pallas_sharded_step(
             blocked, blocked_sharding(mesh, 4, shard_axis, axis_name)
         )
 
+    # Dead-cell contract: pdf channels are ZERO at DEAD cells in every
+    # unblocked view. Dead contents are never physics (no pull crosses a
+    # wall), but the sharded exchange can park NaNs there — zeroing makes
+    # whole-box consumers (checkpoints, norms, mass audits) safe.
+    live = jnp.asarray(
+        np.asarray(cc_pad.spec.mask) != int(CellType.DEAD))
+
     def unblock(Pstate):
-        return from_blocked(Pstate, ndev, shard_axis)
+        g = from_blocked(Pstate, ndev, shard_axis)
+        ch = jnp.arange(g.shape[2])[None, None, :, None]
+        # pdf channels (<19) zero at DEAD cells; the padding channel
+        # (23) zero everywhere (the kernel never writes it, so the
+        # output buffer holds uninitialized VMEM there); mask/bits
+        # channels (19..22) pass through.
+        keep = (live[:, :, None, :] | (ch >= 19)) & (ch != cs.C - 1)
+        return jnp.where(keep, g, jnp.zeros((), g.dtype))
 
     return step, init_blocked, unblock
 
 
 __all__ = [
     "make_pallas_sharded_step",
+    "packed_initial_blocked",
+    "shard_tile_lists",
     "to_blocked",
     "from_blocked",
 ]

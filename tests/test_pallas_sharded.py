@@ -25,10 +25,10 @@ def _dense_run(cc, f0, nsteps):
     return np.asarray(f)
 
 
-def _sharded_run(cc, f0, nsteps, shard_axis):
+def _sharded_run(cc, f0, nsteps, shard_axis, **kw):
     mesh = lattice_mesh()
     step, init, unblock = make_pallas_sharded_step(
-        cc, mesh, shard_axis=shard_axis, interpret=True
+        cc, mesh, shard_axis=shard_axis, interpret=True, **kw
     )
     step = jax.jit(step)
     p = init(pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask))))
@@ -36,6 +36,18 @@ def _sharded_run(cc, f0, nsteps, shard_axis):
     for t in range(nsteps):
         p, vs = step(p, jnp.int32(t))
     return np.asarray(unpack_state(unblock(p))), float(vs)
+
+
+def _assert_matches_dense(f, f_ref, mask, rtol=3e-6, atol=1e-7):
+    """The sharded dead-cell CONTRACT: live cells match the dense
+    engine; DEAD cells hold exact zeros in every pdf channel; the whole
+    box is finite (no consumer — checkpoint, norm, mass audit — can
+    pick up halo-exchange garbage)."""
+    live = np.asarray(mask) != 0
+    assert np.isfinite(f).all()
+    assert (f[:, ~live] == 0.0).all()
+    np.testing.assert_allclose(f[:, live], f_ref[:, live],
+                               rtol=rtol, atol=atol)
 
 
 @pytest.mark.parametrize("case_name,kwargs", [
@@ -49,31 +61,24 @@ def test_sharded_pallas_matches_dense(case_name, kwargs):
     nsteps = 2
     f_ref = _dense_run(cc, f0, nsteps)
     f, vs = _sharded_run(cc, f0, nsteps, shard_axis=0)
-    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
-    np.testing.assert_allclose(
-        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
-    )
+    _assert_matches_dense(f, f_ref, spec.mask)
     assert np.isfinite(vs)
 
 
 def test_sharded_pallas_coronary_y_shard_with_z_outlets():
     """Coronary topology: BCs on x and z, sharded on y; exercises the
-    blocked z-plane fixups with halo-patched slabs."""
-    # z=40 keeps the sub-outlet caps clear of the main tube. (At z=32 a
-    # cap plane bisects the tube: live-cell physics still matches dense
-    # to 2e-7, but DEAD-cell contents — unspecified by contract, cf. the
-    # tile-skip aliasing — pick up NaNs that break the whole-interior
-    # comparison below.)
-    spec = pad_spec(get_case("coronary", shape=(32, 32, 40), radius=5))
+    blocked z-plane fixups with halo-patched pre-extracted slabs. The
+    z=32 shape is the degenerate one where a sub-outlet cap bisects the
+    main tube — it used to park NaNs in DEAD cells (the r3 quirk); the
+    dead-cell zero contract retires that, and _assert_matches_dense
+    proves whole-box finiteness on exactly this geometry."""
+    spec = pad_spec(get_case("coronary", shape=(32, 32, 32), radius=5))
     cc = compile_case(spec)
     f0 = initial_f(cc)
     nsteps = 2
     f_ref = _dense_run(cc, f0, nsteps)
     f, vs = _sharded_run(cc, f0, nsteps, shard_axis=1)
-    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
-    np.testing.assert_allclose(
-        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
-    )
+    _assert_matches_dense(f, f_ref, spec.mask)
 
 
 def test_sharded_velsum_matches_dense():
@@ -88,11 +93,118 @@ def test_sharded_velsum_matches_dense():
     assert abs(vs - s_ref) / s_ref < 1e-5
 
 
+def test_sharded_tile_skip_matches_dense():
+    """Per-shard block-sparse tile skip under shard_map (the BASELINE
+    scale-out machinery): every shard walks its own live-tile list
+    (padded with all-dead filler to one static length) over an
+    input-aliased output, with in-kernel x-NEE rows AND the z-plane
+    fixups from pre-extracted slabs active. The geometry is chosen so
+    the FULLEST shard still skips tiles (tube at y-center of a wide
+    box) and edge shards are entirely dead (exercising the filler)."""
+    from lbm_tpu.parallel.pallas_sharded import shard_tile_lists
+
+    spec = pad_spec(get_case("coronary", shape=(32, 128, 32), radius=5))
+    cc = compile_case(spec)
+    tids, n_max, total = shard_tile_lists(
+        np.asarray(spec.mask), 8, 1, 4, 4)
+    assert n_max < total          # real skipping in EVERY shard
+    assert tids.shape == (8, n_max)
+    f0 = initial_f(cc)
+    nsteps = 2
+    f_ref = _dense_run(cc, f0, nsteps)
+    f, vs = _sharded_run(cc, f0, nsteps, shard_axis=1,
+                         tile_skip=True, tx=4, ty=4)
+    _assert_matches_dense(f, f_ref, spec.mask)
+    assert np.isfinite(vs)
+
+
+def test_sharded_convergence_horizon():
+    """600-step sharded-vs-dense equivalence (VERDICT r3 weak-#1: the
+    2-step horizons could not catch halo staleness or drift that needs
+    information to cross shards — at 8 shards of width 2, a defect 3
+    cells deep appears at step >= 3; 600 steps crosses the box ~40
+    times). Compares the full per-step velsum residual series AND the
+    final fields."""
+    spec = pad_spec(get_case("lid_driven_cavity", n=16))
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    nsteps = 600
+    step_d = jax.jit(make_step(cc))
+    fluid = np.asarray(cc.fluid)
+    f = f0
+    ref_series = np.empty(nsteps)
+    for t in range(nsteps):
+        f, rho, u = step_d(f, jnp.int32(t))
+        ref_series[t] = float(
+            np.sum(np.sqrt(np.sum(np.asarray(u) ** 2, axis=0))[fluid]))
+    f_ref = np.asarray(f)
+
+    mesh = lattice_mesh()
+    step, init, unblock = make_pallas_sharded_step(
+        cc, mesh, shard_axis=0, interpret=True)
+    step = jax.jit(step)
+    p = init(pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask))))
+    series = np.empty(nsteps)
+    for t in range(nsteps):
+        p, vs = step(p, jnp.int32(t))
+        series[t] = float(vs)
+    f_sh = np.asarray(unpack_state(unblock(p)))
+    _assert_matches_dense(f_sh, f_ref, spec.mask, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(series, ref_series, rtol=1e-5)
+
+
 def test_sharded_rejects_bc_on_shard_axis():
     spec = pad_spec(get_case("poiseuille", n=16))
     cc = compile_case(spec)
     with pytest.raises(ValueError):
         make_pallas_sharded_step(cc, lattice_mesh(), shard_axis=1)
+
+
+def test_packed_initial_blocked_matches_to_blocked():
+    """The blocked channel-streamed init (the multi-chip lowmem path)
+    must reproduce to_blocked(pack_state(initial_f(cc))) exactly — same
+    fp32 feq expression, built directly in sharded form."""
+    from lbm_tpu.parallel.pallas_sharded import (
+        packed_initial_blocked,
+        to_blocked,
+    )
+
+    mesh = lattice_mesh()
+    for case_kw, axis in [
+        (dict(shape=(24, 32, 32), radius=4), 1),  # coronary: rest-fill
+        (None, 0),                                # lid: moving-lid u0
+    ]:
+        spec = pad_spec(
+            get_case("coronary", **case_kw) if case_kw
+            else get_case("lid_driven_cavity", n=16))
+        cc = compile_case(spec)
+        want = to_blocked(
+            pack_state(initial_f(cc), jnp.asarray(np.asarray(spec.mask))),
+            8, axis)
+        got = np.asarray(packed_initial_blocked(spec, mesh, axis))
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_runner_mesh_pallas_coronary():
+    """Simulation(mesh=) on the coronary topology: the runner wires the
+    sharded step with z-plane fixups and the usq residual through
+    macro() on blocked state."""
+    from lbm_tpu.engine.runner import Simulation
+
+    case_kw = dict(shape=(32, 32, 32), radius=5, max_steps=4,
+                   time_save=2)
+    sim = Simulation(get_case("coronary", **case_kw),
+                     backend="pallas", mesh=lattice_mesh())
+    res = sim.run(verbose=False)
+    assert res.steps == 4
+    sim2 = Simulation(get_case("coronary", **case_kw), backend="xla")
+    res2 = sim2.run(verbose=False)
+    _assert_matches_dense(
+        np.asarray(sim.f_standard()), np.asarray(sim2.f_standard()),
+        sim.spec.mask,
+    )
+    np.testing.assert_allclose(
+        res.residual_history, res2.residual_history, rtol=1e-4)
 
 
 def test_runner_mesh_pallas_backend():
@@ -108,9 +220,9 @@ def test_runner_mesh_pallas_backend():
     sim2 = Simulation(get_case("lid_driven_cavity", **case_kw),
                       backend="xla")
     sim2.run(verbose=False)
-    np.testing.assert_allclose(
+    _assert_matches_dense(
         np.asarray(sim.f_standard()), np.asarray(sim2.f_standard()),
-        rtol=3e-6, atol=1e-7,
+        sim.spec.mask,
     )
     rho, u = sim.macro()
     assert rho.shape == (16, 16, 16)

