@@ -79,6 +79,7 @@ class Simulation:
         shard_axis: int | None = None,
         fuse: int = 1,
         store_dtype=None,
+        lowmem: bool | None = None,
     ):
         spec = case.spec if isinstance(case, CompiledCase) else case
         if mesh is not None and shard_axis is None:
@@ -206,6 +207,7 @@ class Simulation:
             # bytes (a mesh divides the state across shards).
             self._lowmem = (
                 int(np.prod(padded.shape)) * 24 * 4 / ndev > 4e9
+                if lowmem is None else lowmem
             )
             self.cc = compile_case(
                 padded,
@@ -288,6 +290,12 @@ class Simulation:
             return self.f
         nx, ny, nz = self.spec.shape
         r = self._ring
+        if self._lowmem and self.mesh is None:
+            from lbm_tpu.kernels.collide_stream import unpack_state_lowmem
+
+            return unpack_state_lowmem(
+                self.f, self.spec, ring=r,
+                interpret=getattr(self, "_pallas_interpret", False))
         return self._unpacked()[:, r : r + nx, r : r + ny, :nz]
 
     def set_f_standard(self, f):
@@ -305,6 +313,22 @@ class Simulation:
             self.f = jnp.asarray(f)
             if self.sharding is not None:
                 self.f = jax.device_put(self.f, self.sharding)
+            return
+        if self._lowmem and self.mesh is None:
+            # channel-streamed pack: padding the dense f on device next
+            # to the packed buffer OOMs at 512^3 (the restore path)
+            from lbm_tpu.kernels.collide_stream import pack_state_lowmem
+
+            old = self.f
+            self.f = None
+            if old is not None:
+                try:
+                    old.delete()
+                except Exception:
+                    pass
+            self.f = pack_state_lowmem(
+                np.asarray(f), self._padded_spec, ring=self._ring,
+                dtype=self._store_dtype)
             return
         from lbm_tpu.kernels.collide_stream import pack_state
 
@@ -336,9 +360,21 @@ class Simulation:
             )
         if self.backend != "pallas":
             return macro_fields(self.cc, self.f)
-        rho, u = macro_fields(self.cc, self._unpacked())
         nx, ny, nz = self.spec.shape
         r = self._ring
+        if self._lowmem and self.mesh is None:
+            # 512^3-class: the dense route (_unpacked -> macro_fields)
+            # materializes the ~10.2 GB (19, X, Y, Z) f next to the
+            # ~12.9 GB packed state — OOM. Stream moments instead
+            # (non-fluid cells differ from the init-override convention
+            # only at fp32 rounding; see packed_macro).
+            from lbm_tpu.kernels.collide_stream import packed_macro
+
+            m4 = packed_macro(
+                self.f, ring=r,
+                interpret=getattr(self, "_pallas_interpret", False))
+            return m4[0, :nx, :ny, :nz], m4[1:4, :nx, :ny, :nz]
+        rho, u = macro_fields(self.cc, self._unpacked())
         return (
             rho[r : r + nx, r : r + ny, :nz],
             u[:, r : r + nx, r : r + ny, :nz],

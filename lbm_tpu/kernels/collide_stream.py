@@ -1506,6 +1506,166 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     ), vs_after - vs_before
 
 
+def packed_macro(p, ring: int = 1, interpret: bool = False,
+                 tx: int | None = None, ty: int | None = None):
+    """(4, nx, ny, nzp) moments [rho, ux, uy, uz] of the packed state's
+    INTERIOR, via a tile-streamed Pallas kernel — the 512^3 output path.
+
+    The dense route (`unpack_state` -> engine/step.macro_fields)
+    materializes the (19, X, Y, Z) f32 array — ~10.2 GB at 512^3, which
+    cannot coexist with the ~12.9 GB packed state in one chip's HBM
+    (VERDICT r3 missing-#2). This kernel streams (tx, ty, C, Z) tiles
+    through VMEM and emits only the 4 moment fields (~2.1 GB at 512^3).
+
+    Semantics note: engine/step.macro_fields overrides non-fluid cells
+    with their init (rho0, u0). Here non-fluid cells get their MOMENTS
+    instead — equal to the init values up to fp32 rounding, because
+    non-fluid cells hold their initial feq(rho0, u0) forever (kernel
+    passthrough) and feq's moments reproduce (rho0, rho0*u0) exactly in
+    exact arithmetic. Rounding-level differences (~1e-7) only.
+    """
+    nxp, nyp, c, nz = p.shape
+    nx, ny = nxp - 2 * ring, nyp - 2 * ring
+    if tx is None or ty is None:
+        if interpret:
+            tx, ty = nx, ny
+        else:
+            tx = next((t for t in (16, 8, 4, 2, 1) if nx % t == 0), 1)
+            ty = next((t for t in (16, 8, 4, 2, 1) if ny % t == 0), 1)
+    gx, gy = nx // tx, ny // ty
+    sty = ty if interpret else min(ty, 8)
+
+    def kern(p_hbm, out_hbm, ft, ot, in_sems, out_sems):
+        def in_copy(slot, tid):
+            i, j = tid // gy, tid % gy
+            return pltpu.make_async_copy(
+                p_hbm.at[pl.ds(ring + i * tx, tx),
+                         pl.ds(ring + j * ty, ty)],
+                ft.at[slot], in_sems.at[slot],
+            )
+
+        def out_copy(slot, tid):
+            i, j = tid // gy, tid % gy
+            return pltpu.make_async_copy(
+                ot.at[slot],
+                out_hbm.at[:, pl.ds(i * tx, tx), pl.ds(j * ty, ty)],
+                out_sems.at[slot],
+            )
+
+        def work(pidx, tid, slot):
+            for ox in range(0, tx):
+                for oy in range(0, ty, sty):
+                    sx = slice(ox, ox + 1)
+                    sy = slice(oy, oy + sty)
+                    rho = ft[slot, sx, sy, 0, :].astype(jnp.float32)
+                    mx = jnp.zeros_like(rho)
+                    my = jnp.zeros_like(rho)
+                    mz = jnp.zeros_like(rho)
+                    for i in range(1, 19):
+                        v = ft[slot, sx, sy, i, :].astype(jnp.float32)
+                        rho = rho + v
+                        ex, ey, ez = (int(cm) for cm in _E[i])
+                        if ex:
+                            mx = mx + v if ex > 0 else mx - v
+                        if ey:
+                            my = my + v if ey > 0 else my - v
+                        if ez:
+                            mz = mz + v if ez > 0 else mz - v
+                    inv = np.float32(1.0) / jnp.where(
+                        rho == 0.0, np.float32(1.0), rho)
+                    ot[slot, 0, sx, sy, :] = rho
+                    ot[slot, 1, sx, sy, :] = mx * inv
+                    ot[slot, 2, sx, sy, :] = my * inv
+                    ot[slot, 3, sx, sy, :] = mz * inv
+
+        _drive(gx * gy, lambda q: q, in_copy, out_copy, work)
+
+    (out,) = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((4, nx, ny, nz), jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, tx, ty, c, nz), p.dtype),
+            pltpu.VMEM((2, 4, tx, ty, nz), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(p)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("x0", "wx", "interpret"))
+def _extract_rows(p, *, x0, wx, interpret=False):
+    """p[x0:x0+wx] (full y/C/z) via one HBM-to-HBM DMA — the chunked
+    device->host unpack primitive (an XLA slice of the multi-GB packed
+    state risks the transposed-full-copy layout answer, cf.
+    _extract_z_slab)."""
+
+    def kern(p_hbm, out_ref, sem):
+        cp = pltpu.make_async_copy(p_hbm.at[pl.ds(x0, wx)], out_ref, sem)
+        cp.start()
+        cp.wait()
+
+    (out,) = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((wx,) + p.shape[1:], p.dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(p)
+    return out
+
+
+def unpack_state_lowmem(p, spec, ring: int = 1, interpret: bool = False):
+    """Packed device state -> HOST portable (19, nx, ny, nz) f32, in
+    bounded x-row chunks (the dense unpack is ~10.2 GB on device at
+    512^3 — OOM next to the state; here device residency peaks at the
+    state + one ~256 MB chunk)."""
+    nx, ny, nz = (int(s) for s in spec.shape)
+    Y, Cn, Z = (int(s) for s in p.shape[1:])
+    out = np.empty((19, nx, ny, nz), np.float32)
+    B = max(1, int(256e6) // (Y * Cn * Z * 4))
+    for x0 in range(0, nx, B):
+        b = min(B, nx - x0)
+        blk = np.asarray(
+            _extract_rows(p, x0=ring + x0, wx=b, interpret=interpret)
+        ).astype(np.float32)
+        out[:, x0 : x0 + b] = blk[:, ring : ring + ny, :19, :nz
+                                  ].transpose(2, 0, 1, 3)
+    return out
+
+
+def pack_state_lowmem(f, spec_pad, ring: int = 1, dtype=jnp.float32):
+    """Channel-streamed pack of a HOST portable (19, nx, ny, nz) f into
+    the packed padded device layout — the 512^3 mirror of pack_state
+    for checkpoint restore (pack_state would pad the dense f on device:
+    ~10.2 GB next to the packed buffer)."""
+    X, Y, Z = (int(s) for s in spec_pad.shape)
+    f = np.asarray(f, np.float32)
+    nx, ny, nz = f.shape[1:]
+    pads = ((ring, X - nx - ring), (ring, Y - ny - ring), (0, Z - nz))
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def put_ch(p, v, ch):
+        return p.at[:, :, ch, :].set(v.astype(p.dtype))
+
+    p = jnp.zeros((X, Y, C, Z), dtype)
+    for i in range(D3Q19.Q):
+        p = put_ch(p, jnp.asarray(np.pad(f[i], pads)), i)
+    m_dev = jnp.asarray(np.asarray(spec_pad.mask, np.float32))
+    p = put_ch(p, m_dev, MASK_CH)
+    p = put_ch(p, jnp.roll(m_dev, +1, axis=2), MASK_ZP_CH)
+    p = put_ch(p, jnp.roll(m_dev, -1, axis=2), MASK_ZM_CH)
+    return p
+
+
 def live_tile_ids(mask_padded, tx: int, ty: int, ring: int = 1):
     """Static block-sparse tile list: ids (row-major over the (gx, gy)
     grid) of tiles containing at least one live (non-DEAD) cell. The

@@ -252,6 +252,39 @@ def test_classify_tiles_fast_smoke():
         assert sorted(order_t.tolist()) == list(range(6 * 5))
 
 
+def test_packed_macro_and_unpack_lowmem():
+    """The 512^3 output primitives against their dense equivalents:
+    packed_macro (streamed moments, never the dense unpack) and
+    unpack_state_lowmem (chunked row extraction) on a stepped state."""
+    from lbm_tpu.kernels.collide_stream import (
+        packed_macro,
+        unpack_state_lowmem,
+    )
+    from lbm_tpu.engine.step import macro_fields
+
+    spec0 = get_case("coronary", shape=(24, 20, 32), radius=4)
+    spec = pad_spec(spec0)
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 2)
+    step = jax.jit(make_pallas_step(cc, interpret=True, in_place=True))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(2):
+        p, _ = step(p, jnp.int32(t))
+    got = unpack_state_lowmem(p, spec0, ring=1, interpret=True)
+    want = np.asarray(unpack_state(p))[:, 1:-1, 1:-1, :]
+    np.testing.assert_array_equal(got, want)
+    m4 = np.asarray(packed_macro(p, ring=1, interpret=True))
+    rho_ref, u_ref = macro_fields(cc, jnp.asarray(f_ref))
+    # interior, fluid convention: non-fluid cells carry feq moments
+    # instead of the init override — equal up to fp32 rounding
+    np.testing.assert_allclose(
+        m4[0], np.asarray(rho_ref)[1:-1, 1:-1, :], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        m4[1:4], np.asarray(u_ref)[:, 1:-1, 1:-1, :],
+        rtol=1e-5, atol=1e-6)
+
+
 def test_packed_initial_lowmem_matches_standard():
     """The channel-streamed large-grid init (host feq, donated buffer
     updates) must reproduce pack_state(initial_f(cc)) exactly — same
