@@ -370,10 +370,13 @@ class Simulation:
             # only at fp32 rounding; see packed_macro).
             from lbm_tpu.kernels.collide_stream import packed_macro
 
-            m4 = packed_macro(
+            rho, u = packed_macro(
                 self.f, ring=r,
                 interpret=getattr(self, "_pallas_interpret", False))
-            return m4[0, :nx, :ny, :nz], m4[1:4, :nx, :ny, :nz]
+            if rho.shape != (nx, ny, nz):  # crop pad only when present
+                rho = rho[:nx, :ny, :nz]
+                u = u[:, :nx, :ny, :nz]
+            return rho, u
         rho, u = macro_fields(self.cc, self._unpacked())
         return (
             rho[r : r + nx, r : r + ny, :nz],

@@ -1506,16 +1506,35 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     ), vs_after - vs_before
 
 
+class _PairCopy:
+    """start()/wait() over a pair of async copies (rho + u outputs)."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+    def start(self):
+        self.a.start()
+        self.b.start()
+
+    def wait(self):
+        self.a.wait()
+        self.b.wait()
+
+
 def packed_macro(p, ring: int = 1, interpret: bool = False,
                  tx: int | None = None, ty: int | None = None):
-    """(4, nx, ny, nzp) moments [rho, ux, uy, uz] of the packed state's
-    INTERIOR, via a tile-streamed Pallas kernel — the 512^3 output path.
+    """(rho (nx, ny, nzp), u (3, nx, ny, nzp)) moments of the packed
+    state's INTERIOR via a tile-streamed Pallas kernel — the 512^3
+    output path.
 
     The dense route (`unpack_state` -> engine/step.macro_fields)
     materializes the (19, X, Y, Z) f32 array — ~10.2 GB at 512^3, which
     cannot coexist with the ~12.9 GB packed state in one chip's HBM
     (VERDICT r3 missing-#2). This kernel streams (tx, ty, C, Z) tiles
-    through VMEM and emits only the 4 moment fields (~2.1 GB at 512^3).
+    through VMEM and emits only rho + u (~2.1 GB at 512^3), as TWO
+    buffers so no caller ever pays a multi-GB slicing copy (a combined
+    (4, ...) output measured RESOURCE_EXHAUSTED at 512^3: state 12.9 +
+    combined 2.1 + sliced copies 2.1 GB > 16 GB HBM).
 
     Semantics note: engine/step.macro_fields overrides non-fluid cells
     with their init (rho0, u0). Here non-fluid cells get their MOMENTS
@@ -1535,7 +1554,8 @@ def packed_macro(p, ring: int = 1, interpret: bool = False,
     gx, gy = nx // tx, ny // ty
     sty = ty if interpret else min(ty, 8)
 
-    def kern(p_hbm, out_hbm, ft, ot, in_sems, out_sems):
+    def kern(p_hbm, rho_hbm, u_hbm, ft, otr, otu, in_sems,
+             out_sems):
         def in_copy(slot, tid):
             i, j = tid // gy, tid % gy
             return pltpu.make_async_copy(
@@ -1546,10 +1566,17 @@ def packed_macro(p, ring: int = 1, interpret: bool = False,
 
         def out_copy(slot, tid):
             i, j = tid // gy, tid % gy
-            return pltpu.make_async_copy(
-                ot.at[slot],
-                out_hbm.at[:, pl.ds(i * tx, tx), pl.ds(j * ty, ty)],
-                out_sems.at[slot],
+            return _PairCopy(
+                pltpu.make_async_copy(
+                    otr.at[slot],
+                    rho_hbm.at[pl.ds(i * tx, tx), pl.ds(j * ty, ty)],
+                    out_sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    otu.at[slot],
+                    u_hbm.at[:, pl.ds(i * tx, tx), pl.ds(j * ty, ty)],
+                    out_sems.at[slot, 1],
+                ),
             )
 
         def work(pidx, tid, slot):
@@ -1573,23 +1600,27 @@ def packed_macro(p, ring: int = 1, interpret: bool = False,
                             mz = mz + v if ez > 0 else mz - v
                     inv = np.float32(1.0) / jnp.where(
                         rho == 0.0, np.float32(1.0), rho)
-                    ot[slot, 0, sx, sy, :] = rho
-                    ot[slot, 1, sx, sy, :] = mx * inv
-                    ot[slot, 2, sx, sy, :] = my * inv
-                    ot[slot, 3, sx, sy, :] = mz * inv
+                    otr[slot, sx, sy, :] = rho
+                    otu[slot, 0, sx, sy, :] = mx * inv
+                    otu[slot, 1, sx, sy, :] = my * inv
+                    otu[slot, 2, sx, sy, :] = mz * inv
 
         _drive(gx * gy, lambda q: q, in_copy, out_copy, work)
 
-    (out,) = pl.pallas_call(
+    rho, u = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((4, nx, ny, nz), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nx, ny, nz), jnp.float32),
+            jax.ShapeDtypeStruct((3, nx, ny, nz), jnp.float32),
+        ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
             pltpu.VMEM((2, tx, ty, c, nz), p.dtype),
-            pltpu.VMEM((2, 4, tx, ty, nz), jnp.float32),
+            pltpu.VMEM((2, tx, ty, nz), jnp.float32),
+            pltpu.VMEM((2, 3, tx, ty, nz), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -1597,7 +1628,7 @@ def packed_macro(p, ring: int = 1, interpret: bool = False,
         ),
         interpret=interpret,
     )(p)
-    return out
+    return rho, u
 
 
 @functools.partial(jax.jit, static_argnames=("x0", "wx", "interpret"))

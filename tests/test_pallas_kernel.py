@@ -274,14 +274,15 @@ def test_packed_macro_and_unpack_lowmem():
     got = unpack_state_lowmem(p, spec0, ring=1, interpret=True)
     want = np.asarray(unpack_state(p))[:, 1:-1, 1:-1, :]
     np.testing.assert_array_equal(got, want)
-    m4 = np.asarray(packed_macro(p, ring=1, interpret=True))
+    rho_m, u_m = packed_macro(p, ring=1, interpret=True)
     rho_ref, u_ref = macro_fields(cc, jnp.asarray(f_ref))
     # interior, fluid convention: non-fluid cells carry feq moments
     # instead of the init override — equal up to fp32 rounding
     np.testing.assert_allclose(
-        m4[0], np.asarray(rho_ref)[1:-1, 1:-1, :], rtol=1e-5, atol=1e-6)
+        np.asarray(rho_m), np.asarray(rho_ref)[1:-1, 1:-1, :],
+        rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
-        m4[1:4], np.asarray(u_ref)[:, 1:-1, 1:-1, :],
+        np.asarray(u_m), np.asarray(u_ref)[:, 1:-1, 1:-1, :],
         rtol=1e-5, atol=1e-6)
 
 

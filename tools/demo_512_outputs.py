@@ -101,10 +101,12 @@ def main():
 
     t1 = time.perf_counter()
     rho, u = sim.macro()
-    umax = float(jnp.max(jnp.abs(u)))
+    # fused reduce: an eager abs would materialize another 1.6 GB
+    umax = float(jax.jit(lambda a: jnp.max(jnp.abs(a)))(u))
     print(f"macro (streamed moments kernel): {time.perf_counter()-t1:.1f}s "
           f"on-device, |u|max {umax:.4f}", flush=True)
     assert np.isfinite(umax) and umax > 0
+    del rho, u  # case_vtk recomputes macro(); two copies won't fit
 
     t1 = time.perf_counter()
     os.makedirs(args.out, exist_ok=True)
