@@ -56,6 +56,16 @@ def main(argv=None) -> int:
     runp.add_argument("--backend", default="auto",
                       choices=["auto", "xla", "pallas", "sparse"],
                       help="step backend (auto: pallas on TPU, else xla)")
+    runp.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                      help="pdf STORAGE dtype on the pallas backend "
+                      "(compute stays fp32; bf16 halves HBM)")
+    runp.add_argument("--fuse", type=int, default=1, choices=[1, 2],
+                      help="fused steps per HBM round-trip (pallas; "
+                      "fuse=2 needs all BCs on x/y planes)")
+    runp.add_argument("--lowmem", action="store_true",
+                      help="force the 512^3-class lowmem machinery "
+                      "(streamed init/macro/unpack, packed checkpoints; "
+                      "auto-enabled above ~4 GB of state per device)")
     runp.add_argument("--profile", default=None,
                       help="write a jax.profiler trace to this directory")
     runp.add_argument("--opt", nargs="*", metavar="KEY=VAL",
@@ -106,7 +116,9 @@ def main(argv=None) -> int:
         else:
             mesh = lattice_mesh(args.shard)
     sim = Simulation(
-        spec, sharding=sharding, backend=args.backend, mesh=mesh
+        spec, sharding=sharding, backend=args.backend, mesh=mesh,
+        store_dtype=args.dtype, fuse=args.fuse,
+        lowmem=True if args.lowmem else None,
     )
     if args.resume:
         ckpt.restore(sim, args.resume)

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--force-lowmem", action="store_true",
                     help="exercise the lowmem machinery below the size "
                     "threshold (CPU smoke runs)")
+    ap.add_argument("--resume-only", action="store_true",
+                    help="skip straight to the restore+step stage from "
+                    "an existing checkpoint in --out (the 512^3 "
+                    "checkpoint fetch alone is ~40 min over the axon "
+                    "tunnel; this verifies resume in a separate run)")
     args = ap.parse_args()
 
     platform = os.environ.get("LBM_TPU_PLATFORM")
@@ -61,6 +66,42 @@ def main():
     live = int((np.asarray(spec.mask) != CellType.DEAD).sum())
     stamp(f"geometry built: {n}^3, occupancy {live/n**3:.3f}")
     lowmem = True if args.force_lowmem else None
+    cpath = os.path.join(args.out, "demo512.ckpt.npz")
+
+    def resume_stage():
+        t1 = time.perf_counter()
+        sim2 = Simulation(spec, backend="pallas", lowmem=lowmem)
+        ckpt.restore(sim2, cpath)
+        stamp(f"restored t={sim2.t} in {time.perf_counter()-t1:.1f}s "
+              f"(incl. fresh init + state upload)")
+        sim2._build_chunk(1)
+        pstep2 = sim2._pallas_step
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chunk2(p, t):
+            def body(i, carry):
+                p, vs = carry
+                p2, v = pstep2(p, t + i)
+                return (p2, vs + v)
+
+            return jax.lax.fori_loop(
+                0, args.resume_steps, body, (p, jnp.float32(0.0)))
+
+        sim2.f, s2 = chunk2(sim2.f, jnp.int32(sim2.t))
+        s2 = float(s2)
+        assert np.isfinite(s2)
+        print(f"resume: {args.resume_steps} more steps from the "
+              f"checkpoint, velsum {s2:.4e} (finite)", flush=True)
+        stamp("RESUME OK at 512^3" if not args.force_lowmem
+              else "RESUME OK")
+
+    if args.resume_only:
+        resume_stage()
+        return
+
     sim = Simulation(spec, backend="pallas", lowmem=lowmem)
     assert sim._lowmem, "512^3-class must take the lowmem path"
     stamp("sim constructed (lowmem init on device)")
@@ -117,7 +158,6 @@ def main():
           f"{time.perf_counter()-t1:.1f}s", flush=True)
 
     t1 = time.perf_counter()
-    cpath = os.path.join(args.out, "demo512.ckpt.npz")
     ckpt.save_sim(cpath, sim)
     sz = os.path.getsize(cpath) / 1e9
     print(f"packed checkpoint: {cpath} ({sz:.2f} GB) in "
@@ -128,29 +168,7 @@ def main():
     old.delete()
     del sim
 
-    t1 = time.perf_counter()
-    sim2 = Simulation(spec, backend="pallas", lowmem=lowmem)
-    ckpt.restore(sim2, cpath)
-    assert sim2.t == 2 * args.steps
-    stamp(f"restored in {time.perf_counter()-t1:.1f}s (incl. fresh init)")
-    sim2._build_chunk(1)
-    pstep2 = sim2._pallas_step
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def chunk2(p, t):
-        def body(i, carry):
-            p, vs = carry
-            p2, v = pstep2(p, t + i)
-            return (p2, vs + v)
-
-        return jax.lax.fori_loop(
-            0, args.resume_steps, body, (p, jnp.float32(0.0)))
-
-    sim2.f, s2 = chunk2(sim2.f, jnp.int32(sim2.t))
-    s2 = float(s2)
-    assert np.isfinite(s2)
-    print(f"resume: {args.resume_steps} more steps from the checkpoint, "
-          f"velsum {s2:.4e} (finite)", flush=True)
+    resume_stage()
     stamp("ALL OUTPUT SURFACES OK at 512^3")
 
 
