@@ -47,7 +47,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lbm_tpu.core.lattice import D3Q19
 from lbm_tpu.engine.compile import CompiledCase
 from lbm_tpu.geometry.mask import CellType
 from lbm_tpu.kernels import collide_stream as cs
@@ -314,33 +313,24 @@ def make_pallas_sharded_step(
         n = jax.lax.axis_size(axis_name)
         fwd = [(i, (i + 1) % n) for i in range(n)]
         bwd = [(i, (i - 1) % n) for i in range(n)]
-        # Exchange only the channels a halo row actually feeds: the 5
-        # populations streaming inward across the face plus the 3 mask
-        # channels (plain + z-prerolled, read by edge-cell wall tests and
-        # the in-kernel NEE row fix) — 8 of C=24, a 3x ICI traffic cut.
-        # Gather/scatter around the ppermute are one-plane XLA ops.
-        mask_chs = [cs.MASK_CH, cs.MASK_ZP_CH, cs.MASK_ZM_CH]
-        ch_lo = jnp.asarray(
-            [i for i in range(1, 19)
-             if int(D3Q19.E[i][shard_axis]) == 1] + mask_chs
-        )
-        ch_hi = jnp.asarray(
-            [i for i in range(1, 19)
-             if int(D3Q19.E[i][shard_axis]) == -1] + mask_chs
-        )
+        # Exchange the FULL C-channel edge plane. Round 3 trimmed the
+        # exchange to the 8 channels a halo row actually feeds (5
+        # inward-streaming populations + 3 mask channels, a 3x ICI cut)
+        # — but the trim's gather/scatter around the ppermute are
+        # sublane-dim XLA gathers, MEASURED at 2.3 ms/step of the 2.6
+        # ms/step total sharded overhead at 256^3 (tools/profile_shard:
+        # v3_noexch 8.48 vs v2_halokernel 6.17). Full planes need no
+        # channel surgery at all, and halo bytes are negligible next to
+        # the per-shard state DMA (one 1-cell plane ~ 0.4% of the
+        # state); the kernel and z-slab patches read a superset of what
+        # the trimmed plane carried (exactly the to_blocked overlap
+        # window), so contents only get MORE valid.
         if shard_axis == 0:
             edge_lo, edge_hi = p[L : L + 1], p[1:2]
         else:
             edge_lo, edge_hi = p[:, L : L + 1], p[:, 1:2]
-        lo_recv = jax.lax.ppermute(
-            edge_lo[:, :, ch_lo, :], axis_name, fwd
-        )
-        hi_recv = jax.lax.ppermute(
-            edge_hi[:, :, ch_hi, :], axis_name, bwd
-        )
-        zero_plane = jnp.zeros_like(edge_lo)
-        lo = zero_plane.at[:, :, ch_lo, :].set(lo_recv)
-        hi = zero_plane.at[:, :, ch_hi, :].set(hi_recv)
+        lo = jax.lax.ppermute(edge_lo, axis_name, fwd)
+        hi = jax.lax.ppermute(edge_hi, axis_name, bwd)
         nee_step = []
         for (is_series, _, stride), tab in zip(nee_tabs, nee):
             if is_series:

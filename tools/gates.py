@@ -13,8 +13,8 @@ i.e. XLA_FLAGS / JAX_PLATFORMS unset):
                  30%-regression blind spot VERDICT r3 flagged).
   2. sharded   — `python bench.py --shard 1` on the real chip: the
                  shard_map Pallas path must compile AND hold its own
-                 perf floor (--min-shard-mlups, default 1900 vs the
-                 r3 measurement of 1957).
+                 perf floor (--min-shard-mlups, default 2500 vs the
+                 r4 measurement of 2859).
   3. multichip — `__graft_entry__.dryrun_multichip(8)`: full training
                  step jitted over an 8-device virtual mesh, one step run.
   4. entry     — `__graft_entry__.entry()` jit-compiles on the real chip.
@@ -89,9 +89,11 @@ def main() -> int:
     p.add_argument("--min-mlups", type=float, default=2700.0,
                    help="bench gate also fails below this (catch perf "
                    "regressions, not just crashes; r3 measured 2881)")
-    p.add_argument("--min-shard-mlups", type=float, default=1900.0,
+    p.add_argument("--min-shard-mlups", type=float, default=2500.0,
                    help="sharded gate (bench.py --shard 1) perf floor; "
-                   "r3 measured 1957")
+                   "r4 measured 2859 after the full-plane exchange fix "
+                   "(r3's 8-channel trim cost 2.3 ms/step of sublane "
+                   "gather/scatter glue)")
     p.add_argument("--skip", nargs="*", default=[], choices=list(GATES))
     args = p.parse_args()
 

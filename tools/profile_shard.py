@@ -78,17 +78,19 @@ def main():
                        lane_multiple=1 if interpret else 128,
                        plane_multiples=(4, 8))
     cc = compile_case(spec, light=True)
-    f0 = initial_f(cc)
+    f0_np = np.asarray(initial_f(cc))
     mask = jnp.asarray(np.asarray(spec.mask))
-    p0 = cs.pack_state(f0, mask)
-    del f0
+
+    def fresh():  # time_scan donates; every variant needs its own state
+        return cs.pack_state(jnp.asarray(f0_np), mask)
+
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
     want = set(args.variants.split(","))
 
     results = {}
     if "v1" in want:
         step = cs.make_pallas_step(cc, interpret=interpret)
-        results["v1_unsharded"] = time_scan(step, p0, args.steps)
+        results["v1_unsharded"] = time_scan(step, fresh(), args.steps)
         print_result("v1_unsharded", results, n3)
 
     if "v2" in want:
@@ -106,8 +108,10 @@ def main():
         )
         nee = [cs._build_nee(bc) for bc in cc.bcs if bc.axis in (0, 1)]
         L = nxp - 2
-        lo = p0[L : L + 1]
-        hi = p0[1:2]
+        p_init = fresh()
+        lo = jnp.array(p_init[L : L + 1])
+        hi = jnp.array(p_init[1:2])
+        del p_init
 
         def step2(p, t):
             return cs._pallas_bulk(
@@ -117,7 +121,7 @@ def main():
                 in_place=False,
             )
 
-        results["v2_halokernel"] = time_scan(step2, p0, args.steps)
+        results["v2_halokernel"] = time_scan(step2, fresh(), args.steps)
         print_result("v2_halokernel", results, n3)
 
     if "v3" in want:
@@ -127,7 +131,7 @@ def main():
             jax.lax.ppermute = lambda x, axis_name, perm: x
             step3, init3, _ = ps.make_pallas_sharded_step(
                 cc, mesh, shard_axis=0, interpret=interpret)
-            pb = init3(p0)
+            pb = init3(fresh())
             results["v3_noexch"] = time_scan(step3, pb, args.steps)
         finally:
             jax.lax.ppermute = orig
@@ -136,7 +140,7 @@ def main():
     if "v4" in want:
         step4, init4, _ = ps.make_pallas_sharded_step(
             cc, mesh, shard_axis=0, interpret=interpret)
-        pb = init4(p0)
+        pb = init4(fresh())
         results["v4_sharded"] = time_scan(step4, pb, args.steps)
         print_result("v4_sharded", results, n3)
 
