@@ -34,7 +34,14 @@ def stl_to_occupancy(
     smooth_iters: int = 0,
     smooth_mode: str = "curvature",
     margin: int = 2,
+    spacing: float | None = None,
 ) -> np.ndarray:
+    """spacing: cell size in the STL's own units — give the case's CH
+    to register the voxelization on the solver grid (the mesh is then
+    CENTERED in the box, which is how the shipped bifurcation geo.txt
+    sits: bif.stl at spacing=CH*1e3 reproduces its occupied bbox
+    exactly, x 2-62 / z 2-29 / y touching the 1 and ny-2 label planes).
+    Default (None): isotropic fit with `margin` empty cells per side."""
     tris = load_stl(stl_path)
     if smooth_iters:
         verts, inv = np.unique(
@@ -44,12 +51,51 @@ def stl_to_occupancy(
         verts = smooth_mesh(verts, faces, iterations=smooth_iters,
                             mode=smooth_mode)
         tris = verts[faces]
-    flag = voxelize_mesh(tris, shape, margin=margin)
+    flag = voxelize_mesh(tris, shape, margin=margin, spacing=spacing)
     # Boundary ring must be empty for the labeling passes.
     flag[0], flag[-1] = 0, 0
     flag[:, 0], flag[:, -1] = 0, 0
     flag[:, :, 0], flag[:, :, -1] = 0, 0
     return flag
+
+
+def extrude_open_ends(flag: np.ndarray, axis: int = 1,
+                      full_frac: float = 0.9) -> np.ndarray:
+    """Extend a vessel's OPEN end cross-sections along `axis` out to the
+    box's penultimate planes.
+
+    A surface STL of an open tube ends mid-box, so the voxelized tip
+    planes carry partial cross-sections (bif.stl: 208 cells at y=1 vs
+    413 at y=2) while the solver grid expects full openings at its
+    label planes — the shipped bifurcation geo.txt carries full
+    cross-sections all the way out (y=0: 401 cells). The first plane
+    from each end whose count reaches `full_frac` of its inward
+    neighbor is copied outward (outermost plane stays empty for the
+    labeling passes)."""
+    f = flag.copy()
+    n = f.shape[axis]
+
+    def plane(i):
+        return np.take(f, i, axis=axis)
+
+    def put(i, val):
+        sl = [slice(None)] * 3
+        sl[axis] = i
+        f[tuple(sl)] = val
+
+    counts = f.sum(axis=tuple(a for a in range(3) if a != axis))
+    occ = np.nonzero(counts)[0]
+    if occ.size == 0:
+        return f
+    lo = next(y for y in range(int(occ[0]), n - 1)
+              if counts[y] >= full_frac * max(counts[y + 1], 1))
+    hi = next(y for y in range(int(occ[-1]), 0, -1)
+              if counts[y] >= full_frac * max(counts[y - 1], 1))
+    for y in range(1, lo):
+        put(y, plane(lo))
+    for y in range(hi + 1, n - 1):
+        put(y, plane(hi))
+    return f
 
 
 def label_occupancy(

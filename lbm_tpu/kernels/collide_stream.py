@@ -265,6 +265,13 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
     inv_tau = np.float32(1.0 / tau)
     stx = ex_x if stx is None else stx
     sty = ex_y if sty is None else sty
+    if ex_y % sty:
+        # avoid ragged tail columns: a (1, 2)-sublane leftover value
+        # (fuse2's mid pass: ey=18 at sty=8) uses 1/4 of a vreg and
+        # schedules poorly — the largest divisor <= sty keeps every
+        # sub-tile uniform (18 -> (1,6)x3; measured f2 8.36 -> 8.03
+        # ms/step at 256^3; exact divisions are untouched)
+        sty = max(d for d in range(1, sty + 1) if ex_y % d == 0)
     nz = ft.shape[-1]
     total = jnp.float32(0.0)
     for ox in range(0, ex_x, stx):

@@ -151,3 +151,42 @@ def test_geo_preprocess_pipeline(reference_root, tmp_path):
     assert 200 < labels[3] < 500
     # Occupancy in the shipped ballpark (geo.txt: 31%).
     assert 0.2 < flag.mean() < 0.4
+
+
+def test_geo_preprocess_registered_matches_shipped(reference_root):
+    """GRID-REGISTERED voxelization (spacing = case CH, centered, open
+    ends extruded) must reproduce the shipped bifurcation geometry
+    nearly cell-for-cell through the case's own label chain — the
+    L0->L7 closure at the geometry level (r4: converged midplane
+    fields then agree to l2_rel 6.4%, corr 0.997;
+    tools/l0l7_bifurcation.py)."""
+    from lbm_tpu.cases.bifurcation import build_labels
+    from lbm_tpu.geometry.io import load_geo
+    from lbm_tpu.geometry.mask import CellType
+    from lbm_tpu.geometry.preprocess import (
+        extrude_open_ends,
+        stl_to_occupancy,
+    )
+
+    flag = stl_to_occupancy(
+        f"{reference_root}/bifurcation/bif.stl", (64, 83, 32),
+        spacing=0.248925,  # CH in the STL's mm units
+    )
+    flag = extrude_open_ends(flag, axis=1)
+    shipped = load_geo(f"{reference_root}/bifurcation/geo.txt",
+                       (64, 83, 32), order="xyz")
+    # cell-level occupancy agreement (voxelizer + registration)
+    interior = (slice(None), slice(2, -2), slice(None))
+    agree = (flag[interior] > 0) == (shipped[interior] > 0)
+    assert agree.mean() > 0.98, agree.mean()  # measured 0.988 (the
+    # disagreement is the +/-1-cell wall band of a surface-vs-grid fit)
+    # label-level agreement through the case's own chain
+    mask_self = build_labels(flag)
+    mask_ref = build_labels(shipped)
+    n_self = int((mask_self != 0).sum())
+    n_ref = int((mask_ref != 0).sum())
+    assert abs(n_self - n_ref) / n_ref < 0.005, (n_self, n_ref)
+    for label in (CellType.INLET, CellType.OUTLET):
+        a = int((mask_self == label).sum())
+        b = int((mask_ref == label).sum())
+        assert abs(a - b) / b < 0.05, (label, a, b)

@@ -74,9 +74,12 @@ def main():
                        lane_multiple=128, plane_multiples=(16, 16),
                        halo=2)
     cc = compile_case(spec, light=True)
-    f0 = initial_f(cc)
-    p0 = cs.pack_state(f0, jnp.asarray(np.asarray(spec.mask)))
-    del f0
+    f0_np = np.asarray(initial_f(cc))
+    mask = jnp.asarray(np.asarray(spec.mask))
+
+    def fresh():  # time_scan donates; every variant needs its own state
+        return cs.pack_state(jnp.asarray(f0_np), mask)
+
     real = cs._tile_compute
 
     def divisor_pick(ex_y, sty):
@@ -96,7 +99,7 @@ def main():
         cs._pallas_bulk2.clear_cache()
         try:
             step = cs.make_pallas_step(cc, ring=2, fuse=2)
-            dt = time_scan(step, p0, args.steps, 2)
+            dt = time_scan(step, fresh(), args.steps, 2)
             print(f"f2 tail-variant {name}: {dt*1e3:.2f} ms/step, "
                   f"{n3/dt/1e6:.0f} MLUPS", flush=True)
         except Exception as e:  # noqa: BLE001

@@ -28,6 +28,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4400)
     ap.add_argument("--stl", default="/root/reference/bifurcation/bif.stl")
+    ap.add_argument("--spacing", type=float, default=0.248925,
+                    help="cell size in STL units (bif.stl is in mm; "
+                    "the case CH is 0.000248925 m). Registers the "
+                    "voxelization on the solver grid so the vessel "
+                    "reaches the y=1 / y=81 opening planes the "
+                    "bifurcation labeler expects.")
     args = ap.parse_args()
 
     platform = os.environ.get("LBM_TPU_PLATFORM")
@@ -50,14 +56,22 @@ def main():
     def stamp(msg):
         print(f"[{time.perf_counter()-t0:6.1f}s] {msg}", flush=True)
 
-    # L0: STL -> occupancy with the in-repo voxelizer.
-    flag = stl_to_occupancy(args.stl, (64, 83, 32))
+    # L0: STL -> occupancy with the in-repo voxelizer, registered on
+    # the solver grid (spacing = CH in the STL's mm units, centered),
+    # open tube ends extruded to the y=1/81 label planes like the
+    # shipped preprocessing did.
+    from lbm_tpu.geometry.preprocess import extrude_open_ends
+
+    flag = stl_to_occupancy(args.stl, (64, 83, 32),
+                            spacing=args.spacing)
+    flag = extrude_open_ends(flag, axis=1)
     stamp(f"voxelized {args.stl}: occupancy {flag.mean():.3f} "
           f"(shipped geo.txt: 0.310)")
 
     def run_case(geo_path, tag):
         spec = get_case("bifurcation", geo_path=geo_path,
-                        max_steps=args.steps, time_save=args.steps)
+                        max_steps=args.steps,
+                        time_save=max(1, args.steps // 4))
         m = np.asarray(spec.mask)
         stamp(f"{tag}: NLATTICE {int((m != 0).sum())}, inlet "
               f"{int((m == CellType.INLET).sum())}, outlet "
