@@ -247,22 +247,27 @@ class Simulation:
             from lbm_tpu.engine.sparse import initial_f_sparse
 
             f = initial_f_sparse(self.sc)
+        elif self.backend == "pallas" and self.mesh is not None:
+            # Build the blocked sharded state DIRECTLY (bit-equal to
+            # pack_state(initial_f(..)) + to_blocked by test): the
+            # dense-init route costs a full host round trip of the
+            # packed state (to_blocked is a NumPy window shuffle —
+            # measured 480 s of tunnel transfers for the 3.45 GB
+            # 291^3-class state vs one rho upload here).
+            from lbm_tpu.parallel.pallas_sharded import (
+                packed_initial_blocked,
+            )
+
+            f = packed_initial_blocked(
+                self._padded_spec, self.mesh, self.shard_axis,
+                dtype=self._store_dtype)
         elif self.backend == "pallas" and getattr(self, "_lowmem", False):
-            if self.mesh is not None:
-                from lbm_tpu.parallel.pallas_sharded import (
-                    packed_initial_blocked,
-                )
+            from lbm_tpu.kernels.collide_stream import (
+                packed_initial_lowmem,
+            )
 
-                f = packed_initial_blocked(
-                    self._padded_spec, self.mesh, self.shard_axis,
-                    dtype=self._store_dtype)
-            else:
-                from lbm_tpu.kernels.collide_stream import (
-                    packed_initial_lowmem,
-                )
-
-                f = packed_initial_lowmem(
-                    self._padded_spec, dtype=self._store_dtype)
+            f = packed_initial_lowmem(
+                self._padded_spec, dtype=self._store_dtype)
         else:
             f = initial_f(self.cc)
             if self.backend == "pallas":
@@ -270,8 +275,6 @@ class Simulation:
 
                 mask = jnp.asarray(np.asarray(self._padded_spec.mask))
                 f = pack_state(f, mask, dtype=self._store_dtype)
-                if self.mesh is not None:
-                    f = self._sharded()[1](f)  # init_blocked
             elif self.sharding is not None:
                 f = jax.device_put(f, self.sharding)
         self.f = f
@@ -360,28 +363,27 @@ class Simulation:
             )
         if self.backend != "pallas":
             return macro_fields(self.cc, self.f)
+        # The dense route (_unpacked -> macro_fields) materializes the
+        # full (19, X, Y, Z) f32 f next to the packed state — OOM at
+        # 512^3 single-chip AND at 291^3-class under a mesh (measured
+        # RESOURCE_EXHAUSTED). Stream moments instead; non-fluid cells
+        # differ from the init-override convention only at fp32
+        # rounding (see packed_macro), and sharded DEAD cells read as
+        # rho=0, u=0 (the unblock zero contract).
+        from lbm_tpu.kernels.collide_stream import packed_macro
+
         nx, ny, nz = self.spec.shape
         r = self._ring
-        if self._lowmem and self.mesh is None:
-            # 512^3-class: the dense route (_unpacked -> macro_fields)
-            # materializes the ~10.2 GB (19, X, Y, Z) f next to the
-            # ~12.9 GB packed state — OOM. Stream moments instead
-            # (non-fluid cells differ from the init-override convention
-            # only at fp32 rounding; see packed_macro).
-            from lbm_tpu.kernels.collide_stream import packed_macro
-
-            rho, u = packed_macro(
-                self.f, ring=r,
-                interpret=getattr(self, "_pallas_interpret", False))
-            if rho.shape != (nx, ny, nz):  # crop pad only when present
-                rho = rho[:nx, :ny, :nz]
-                u = u[:, :nx, :ny, :nz]
-            return rho, u
-        rho, u = macro_fields(self.cc, self._unpacked())
-        return (
-            rho[r : r + nx, r : r + ny, :nz],
-            u[:, r : r + nx, r : r + ny, :nz],
-        )
+        p = self.f
+        if self.mesh is not None:
+            p = self._sharded()[2](p)  # unblock -> global packed
+        rho, u = packed_macro(
+            p, ring=r,
+            interpret=getattr(self, "_pallas_interpret", False))
+        if rho.shape != (nx, ny, nz):  # crop pad only when present
+            rho = rho[:nx, :ny, :nz]
+            u = u[:, :nx, :ny, :nz]
+        return rho, u
 
     def _unpacked(self):
         from lbm_tpu.kernels.collide_stream import unpack_state

@@ -118,6 +118,30 @@ def test_sharded_tile_skip_matches_dense():
     assert np.isfinite(vs)
 
 
+@pytest.mark.slow
+def test_sharded_real_shape_coronary_tile_skip():
+    """The BASELINE scale-out row's shape: the REAL-size coronary
+    (291x291x372 synthetic tree, the reference case's dimensions,
+    coronary.cu:19) sharded over the 8-device mesh with per-shard
+    tile-skip active, bit-compared against the dense engine."""
+    from lbm_tpu.parallel.pallas_sharded import shard_tile_lists
+
+    spec = pad_spec(get_case("coronary", shape=(291, 291, 372),
+                             radius=10),
+                    plane_multiples=(4, 32))  # y: 291 -> 320 = 8 x 40
+    cc = compile_case(spec)
+    tids, n_max, total = shard_tile_lists(
+        np.asarray(spec.mask), 8, 1, 4, 4)
+    assert n_max < total  # the fullest shard still skips tiles
+    f0 = initial_f(cc)
+    nsteps = 2
+    f_ref = _dense_run(cc, f0, nsteps)
+    f, vs = _sharded_run(cc, f0, nsteps, shard_axis=1,
+                         tile_skip=True, tx=4, ty=4)
+    _assert_matches_dense(f, f_ref, spec.mask)
+    assert np.isfinite(vs)
+
+
 def test_sharded_convergence_horizon():
     """600-step sharded-vs-dense equivalence (VERDICT r3 weak-#1: the
     2-step horizons could not catch halo staleness or drift that needs
