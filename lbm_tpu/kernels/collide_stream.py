@@ -1744,7 +1744,10 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
     cblk, coff = (c // blk) * blk, c % blk
     L = min(blk, nzp - cblk)
     cd = p.shape[2]
-    BX = max(1, min(wx, (4 << 20) // max(wy * cd * L * 4, 1)))
+    # 24 MB chunk budget: at BX=1 a 300-row-wide splice (the sharded
+    # fixup's full-shard-width window) serialized 26 start/wait DMA
+    # pairs per BC per step — most of a measured 9 ms/step fixup bill.
+    BX = max(1, min(wx, (24 << 20) // max(wy * cd * L * 4, 1)))
     chunks = [(k, min(BX, wx - k)) for k in range(0, wx, BX)]
 
     def kern(p_hbm, val_ref, out_hbm, buf, sem_in, sem_out):
@@ -1785,7 +1788,11 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_VMEM_LIMIT,  # the 24 MB chunk buffer
+            # exceeds the default 16 MB scoped cap
+        ),
         interpret=interpret,
     )(p, val)
     return out

@@ -368,6 +368,18 @@ def make_pallas_sharded_step(
                 sub = jnp.concatenate(
                     [lo_s, sub[:, 1:-1], hi_s], axis=1)
             subs.append(sub)
+        live_subs = [s for s in subs if s is not None]
+        if in_place and live_subs:
+            # The slab extraction is p's second consumer; without an
+            # explicit ordering the input-aliased kernel forces XLA to
+            # COPY the whole per-shard state every step (measured +8.4
+            # ms/step at 291^3-class — exactly one 3.45 GB read+write).
+            # The barrier sequences extraction before the kernel, so
+            # the aliased buffer has a single live consumer again.
+            bar = jax.lax.optimization_barrier((p, *live_subs))
+            p = bar[0]
+            it = iter(bar[1:])
+            subs = [next(it) if s is not None else None for s in subs]
         extra = list(nee_step)
         if tids_loc is not None:
             extra.append(tids_loc)
