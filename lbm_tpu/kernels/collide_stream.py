@@ -2083,6 +2083,13 @@ def make_pallas_step(
             )
             for bc, w in zip(fixup_bcs, wins) if w is not None
         ]
+        if subs and (in_place or tids is not None):
+            # sequence the extraction before the input-aliased kernel:
+            # a second live consumer of p makes XLA copy the whole
+            # state per step (measured +8.4 ms at 291^3-class on the
+            # sharded path; same hazard here)
+            bar = jax.lax.optimization_barrier((p, *subs))
+            p, subs = bar[0], list(bar[1:])
         if split is not None:
             pure_ids, mixed_ids, zs = split
             out_a, vs_a = _pallas_bulk(

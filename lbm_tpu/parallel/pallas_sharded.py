@@ -233,11 +233,24 @@ def make_pallas_sharded_step(
     # sharded one is at array dim 1 + shard_axis of the (D, A, B) data).
     cc_blk = None
     fixup_arrays = []
-    # Static fixup windows, LOCAL coords: full shard extent (incl. halo
-    # rows, which act as the unwritten border ring) on the sharded dim,
-    # the global valid-cell bbox on the unsharded dim (it is unsharded,
-    # so local == global coords there).
+    # Static fixup windows, LOCAL coords. Unsharded lateral dim: the
+    # global valid-cell bbox (local == global there). Sharded dim: the
+    # UNION over shards of the bbox's local images — one static window
+    # that reads the same LOCAL rows on every shard (so whether a slab
+    # row is a halo row is also static and uniform). Shards whose block
+    # doesn't contain the bbox recompute+splice cells far from any NEE
+    # cell, which is a bit-exact idempotent rewrite (the same margin
+    # argument as the single-chip windowed fixup). A full-width window
+    # here measured 5.15 vs 2.0 ms/step fixup-free on the 291^3
+    # coronary at ndev=1 (the bbox is ~28 rows of 308).
     wins = []
+
+    def shard_dim_window(b0: int, b1: int) -> tuple[int, int]:
+        s_first = max(0, (b0 - (L + 2)) // L + 1)
+        s_last = min(ndev - 1, -(-b1 // L) - 1)
+        u_lo = max(0, b0 - s_last * L)
+        u_hi = min(L + 2, b1 - s_first * L)
+        return u_lo, u_hi
     if fixup_bcs:
         cc_blk = dataclasses.replace(
             cc_pad,
@@ -263,9 +276,11 @@ def make_pallas_sharded_step(
             if wg is None:
                 wins.append(None)
             elif shard_axis == 0:
-                wins.append((0, L + 2, wg[2], wg[3]))
+                u = shard_dim_window(wg[0], wg[1])
+                wins.append((u[0], u[1], wg[2], wg[3]))
             else:
-                wins.append((wg[0], wg[1], 0, L + 2))
+                u = shard_dim_window(wg[2], wg[3])
+                wins.append((wg[0], wg[1], u[0], u[1]))
 
     # Local tile sizes for the block shape.
     loc_nx = L if shard_axis == 0 else nxp - 2
@@ -357,16 +372,25 @@ def make_pallas_sharded_step(
                 p, x0=x0, y0=y0, wx=x1 - x0, wy=y1 - y0, c=c,
                 interpret=interpret,
             )
+            # Patch only the window rows that ARE shard-halo rows —
+            # static and uniform across shards because the window is in
+            # local coordinates (row 0 is the lo halo row iff the
+            # window starts at 0, on every shard).
             zsl = slice(c - 1, c + 2)
             if shard_axis == 0:
                 lo_s = lo[:, y0:y1, :, zsl].astype(jnp.float32)
                 hi_s = hi[:, y0:y1, :, zsl].astype(jnp.float32)
-                sub = jnp.concatenate([lo_s, sub[1:-1], hi_s], axis=0)
+                if x0 == 0:
+                    sub = jnp.concatenate([lo_s, sub[1:]], axis=0)
+                if x1 == L + 2:
+                    sub = jnp.concatenate([sub[:-1], hi_s], axis=0)
             else:
                 lo_s = lo[x0:x1, :, :, zsl].astype(jnp.float32)
                 hi_s = hi[x0:x1, :, :, zsl].astype(jnp.float32)
-                sub = jnp.concatenate(
-                    [lo_s, sub[:, 1:-1], hi_s], axis=1)
+                if y0 == 0:
+                    sub = jnp.concatenate([lo_s, sub[:, 1:]], axis=1)
+                if y1 == L + 2:
+                    sub = jnp.concatenate([sub[:, :-1], hi_s], axis=1)
             subs.append(sub)
         live_subs = [s for s in subs if s is not None]
         if in_place and live_subs:
