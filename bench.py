@@ -34,6 +34,12 @@ def main() -> int:
         help="shard over the first N devices (1-D mesh along the case's "
         "BC-free axis; BASELINE configs[5] multi-chip path). 0 = off.",
     )
+    p.add_argument(
+        "--opt", nargs="*", metavar="KEY=VAL", default=[],
+        help="case builder options, e.g. --case coronary "
+        "--opt 'shape=[291,291,372]' radius=10 --shard 1 for the "
+        "BASELINE scale-out shape",
+    )
     args = p.parse_args()
 
     # The axon TPU plugin ignores JAX_PLATFORMS; honor an explicit request
@@ -52,10 +58,19 @@ def main() -> int:
     from lbm_tpu.cases import get_case
     from lbm_tpu.engine.runner import Simulation
 
+    opts = {}
+    for kv in args.opt:
+        k, v = kv.split("=", 1)
+        try:
+            opts[k] = json.loads(v)
+        except json.JSONDecodeError:
+            opts[k] = v
+    if "shape" in opts:
+        opts["shape"] = tuple(opts["shape"])
     try:
-        spec = get_case(args.case, n=args.n)
+        spec = get_case(args.case, n=args.n, **opts)
     except TypeError:  # case builder without an `n` knob (e.g. coronary)
-        spec = get_case(args.case)
+        spec = get_case(args.case, **opts)
     mesh = None
     if args.shard:
         from jax.sharding import Mesh
