@@ -735,7 +735,7 @@ def _kernel(
     bcs_static=(), halo_axis=None, stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
-    bits: bool = False, bounce: bool = False,
+    has_seam: bool = False, bits: bool = False, bounce: bool = False,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -746,7 +746,18 @@ def _kernel(
     trace only the mask-free fast path (_subtile_compute_pure) with
     static fluid z-span zspan. has_prev: an extra (ignored) operand
     carries the companion call's output, aliased onto this call's
-    output so both writes land in one buffer.
+    output so both writes land in one buffer. has_seam: an extra HBM
+    operand carries the PRE-step seam rows (the last interior row of
+    each tile-row above the first) — REQUIRED whenever the output
+    aliases the input and gx > 1: under _drive's in-place ordering,
+    out(q - gy) completes before in(q) starts, so tile q's north skirt
+    row in p_hbm already holds POST-step values (measured 2e-2 rel
+    error after 5 transient steps at 64^3 on hardware; interpret mode
+    cannot reproduce it because pallas interpret does not honor
+    input_output_aliases). Every other skirt cell is written only by
+    tiles later in the list: west column by out(q-1), which starts
+    only after in(q) landed; south row and remaining corners by
+    future tiles.
     ntiles: number of processed tiles (= len(list) if skip)."""
     nbc = len(bcs_static)
     p_hbm = refs[0]
@@ -756,19 +767,26 @@ def _kernel(
         tids_ref, rest = rest[0], rest[1:]
     if has_prev:
         rest = rest[1:]  # companion output: alias target only
+    seam_ref = None
+    if has_seam:
+        seam_ref, rest = rest[0], rest[1:]
     vs_scr = None
+    halo_sems = None
     if halo_axis is not None:
         lo_hbm, hi_hbm = rest[0], rest[1]
-        (out_hbm, vs_out, ft, ot, acc,
-         in_sems, out_sems, halo_sems) = rest[2:]
-    elif bounce:
+        rest = rest[2:]
+    out_hbm, vs_out, ft, ot = rest[:4]
+    rest = rest[4:]
+    if bounce:
         # bf16 storage: velsum contributions bounce through a small f32
         # VMEM scratch so the ADD multi_reduction sees zero layout
         # offsets (see _subtile_compute).
-        (out_hbm, vs_out, ft, ot, vs_scr, acc,
-         in_sems, out_sems) = rest
-    else:
-        out_hbm, vs_out, ft, ot, acc, in_sems, out_sems = rest
+        vs_scr, rest = rest[0], rest[1:]
+    acc, in_sems, out_sems = rest[:3]
+    rest = rest[3:]
+    if halo_axis is not None:
+        halo_sems, rest = rest[0], rest[1:]
+    seam_sems = rest[0] if has_seam else None
     if ntiles is None:
         ntiles = gx * gy
 
@@ -778,12 +796,31 @@ def _kernel(
     def in_copy(slot, tid):
         i, j = tid // gy, tid % gy
         if halo_axis is None:
-            return pltpu.make_async_copy(
-                p_hbm.at[pl.ds(i * tx + ring - 1, tx + 2),
-                         pl.ds(j * ty + ring - 1, ty + 2)],
-                ft.at[slot],
+            if not has_seam:
+                return pltpu.make_async_copy(
+                    p_hbm.at[pl.ds(i * tx + ring - 1, tx + 2),
+                             pl.ds(j * ty + ring - 1, ty + 2)],
+                    ft.at[slot],
+                    in_sems.at[slot],
+                )
+            # Seam mode (in-place aliased output, gx>1 and gy>1): the
+            # north skirt row belongs to tile tid-gy, whose out-DMA has
+            # already LANDED under _drive's in-place ordering — source
+            # it from the pre-extracted pre-step seam buffer instead.
+            # All other skirt cells are written only by tiles later in
+            # the list (see _kernel docstring).
+            lat = pl.ds(j * ty + ring - 1, ty + 2)
+            main = pltpu.make_async_copy(
+                p_hbm.at[pl.ds(i * tx + ring, tx + 1), lat],
+                ft.at[slot, 1 : tx + 2],
                 in_sems.at[slot],
             )
+            north = pltpu.make_async_copy(
+                seam_ref.at[pl.ds(i, 1), lat],
+                ft.at[slot, 0:1],
+                seam_sems.at[slot],
+            )
+            return _PairCopy(main, north)
         # Sharded halo patch, OVERLAPPED (VERDICT r2 next-#7): the tile's
         # two ring rows along halo_axis ride their own DMAs (halo_sems),
         # sourced per-tile from either the shard state (interior side)
@@ -801,9 +838,16 @@ def _kernel(
             top_edge = lambda: pltpu.make_async_copy(
                 lo_hbm.at[:, pl.ds(j * ty, ty + 2)],
                 ft.at[slot, 0:1], halo_sems.at[slot, 0])
-            top_int = lambda: pltpu.make_async_copy(
-                p_hbm.at[pl.ds(i * tx + ring - 1, 1), lat],
-                ft.at[slot, 0:1], halo_sems.at[slot, 0])
+            if has_seam:
+                # Interior-side north row: stale in the aliased state
+                # (written by tile tid-gy) — read the pre-step seam.
+                top_int = lambda: pltpu.make_async_copy(
+                    seam_ref.at[pl.ds(i, 1), lat],
+                    ft.at[slot, 0:1], halo_sems.at[slot, 0])
+            else:
+                top_int = lambda: pltpu.make_async_copy(
+                    p_hbm.at[pl.ds(i * tx + ring - 1, 1), lat],
+                    ft.at[slot, 0:1], halo_sems.at[slot, 0])
             bot_edge = lambda: pltpu.make_async_copy(
                 hi_hbm.at[:, pl.ds(j * ty, ty + 2)],
                 ft.at[slot, tx + 1 : tx + 2], halo_sems.at[slot, 1])
@@ -811,26 +855,53 @@ def _kernel(
                 p_hbm.at[pl.ds(i * tx + ring + tx, 1), lat],
                 ft.at[slot, tx + 1 : tx + 2], halo_sems.at[slot, 1])
             is_lo, is_hi = i == 0, i == gx - 1
+            north = None
         else:
             lat = pl.ds(i * tx + ring - 1, tx + 2)
-            main = pltpu.make_async_copy(
-                p_hbm.at[lat, pl.ds(j * ty + ring, ty)],
-                ft.at[slot, :, 1 : ty + 1], in_sems.at[slot])
+            north = None
+            if has_seam:
+                # Seam mode: the main copy's north row (tile tid-gy's
+                # last interior row, POST-step in the aliased state) and
+                # both its corner cells (tiles tid-gy∓1) come from the
+                # pre-step seam buffer — FULL width, edge columns
+                # patched from the exchanged lo/hi planes by the caller.
+                # The lateral column copies are trimmed to skip the
+                # north cell so no cell is written by two DMAs.
+                main = pltpu.make_async_copy(
+                    p_hbm.at[pl.ds(i * tx + ring, tx + 1),
+                             pl.ds(j * ty + ring, ty)],
+                    ft.at[slot, 1 : tx + 2, 1 : ty + 1],
+                    in_sems.at[slot])
+                north = pltpu.make_async_copy(
+                    seam_ref.at[pl.ds(i, 1), pl.ds(j * ty + ring - 1,
+                                                   ty + 2)],
+                    ft.at[slot, 0:1], seam_sems.at[slot])
+                rows_c = pl.ds(i * tx + ring, tx + 1)
+                rows_e = pl.ds(i * tx + 1, tx + 1)
+                dst_r = slice(1, tx + 2)
+            else:
+                main = pltpu.make_async_copy(
+                    p_hbm.at[lat, pl.ds(j * ty + ring, ty)],
+                    ft.at[slot, :, 1 : ty + 1], in_sems.at[slot])
+                rows_c, rows_e = lat, pl.ds(i * tx, tx + 2)
+                dst_r = slice(None)
             top_edge = lambda: pltpu.make_async_copy(
-                lo_hbm.at[pl.ds(i * tx, tx + 2), :],
-                ft.at[slot, :, 0:1], halo_sems.at[slot, 0])
+                lo_hbm.at[rows_e, :],
+                ft.at[slot, dst_r, 0:1], halo_sems.at[slot, 0])
             top_int = lambda: pltpu.make_async_copy(
-                p_hbm.at[lat, pl.ds(j * ty + ring - 1, 1)],
-                ft.at[slot, :, 0:1], halo_sems.at[slot, 0])
+                p_hbm.at[rows_c, pl.ds(j * ty + ring - 1, 1)],
+                ft.at[slot, dst_r, 0:1], halo_sems.at[slot, 0])
             bot_edge = lambda: pltpu.make_async_copy(
-                hi_hbm.at[pl.ds(i * tx, tx + 2), :],
-                ft.at[slot, :, ty + 1 : ty + 2], halo_sems.at[slot, 1])
+                hi_hbm.at[rows_e, :],
+                ft.at[slot, dst_r, ty + 1 : ty + 2],
+                halo_sems.at[slot, 1])
             bot_int = lambda: pltpu.make_async_copy(
-                p_hbm.at[lat, pl.ds(j * ty + ring + ty, 1)],
-                ft.at[slot, :, ty + 1 : ty + 2], halo_sems.at[slot, 1])
+                p_hbm.at[rows_c, pl.ds(j * ty + ring + ty, 1)],
+                ft.at[slot, dst_r, ty + 1 : ty + 2],
+                halo_sems.at[slot, 1])
             is_lo, is_hi = j == 0, j == gy - 1
         return _HaloSplitCopy(main, (is_lo, top_edge, top_int),
-                              (is_hi, bot_edge, bot_int))
+                              (is_hi, bot_edge, bot_int), extra=north)
 
     def out_copy(slot, tid):
         i, j = tid // gy, tid % gy
@@ -888,6 +959,22 @@ def _kernel(
     vs_out[0, 0] = acc[0]
 
 
+class _PairCopy:
+    """Two unconditional DMAs (distinct semaphores) behind one
+    start()/wait() pair — the seam-mode tile input (see _kernel)."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+    def start(self):
+        self.a.start()
+        self.b.start()
+
+    def wait(self):
+        self.a.wait()
+        self.b.wait()
+
+
 class _HaloSplitCopy:
     """Three-DMA tile input for the sharded path (see _kernel.in_copy):
     main interior rows + two ring rows, each ring row sourced from the
@@ -897,13 +984,17 @@ class _HaloSplitCopy:
     FACTORIES invoked inside the taken branch: tile ids known at trace
     time (the pipeline preamble's tile 0) make the predicate a static
     bool, and an eagerly-built descriptor on the untaken side would
-    leak ("AsyncCopyDescriptor was not used")."""
+    leak ("AsyncCopyDescriptor was not used"). extra: an optional
+    unconditional fourth DMA (the seam-mode north row)."""
 
-    def __init__(self, main, top, bot):
+    def __init__(self, main, top, bot, extra=None):
         self.main, self.top, self.bot = main, top, bot
+        self.extra = extra
 
     def _each(self, fn):
         fn(self.main)
+        if self.extra is not None:
+            fn(self.extra)
         for pred, edge, interior in (self.top, self.bot):
             if isinstance(pred, (bool, np.bool_)):
                 fn(edge() if pred else interior())
@@ -1189,13 +1280,16 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
                      "interpret", "stx", "sty", "ring", "n_live",
-                     "in_place", "pure", "zspan", "has_prev", "bits"),
+                     "in_place", "pure", "zspan", "has_prev",
+                     "has_seam", "bits"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
-                 zspan=(0, -1), has_prev=False, bits=False):
-    """extra = [*nee_tables][, tile id list][, prev_out][, lo, hi].
+                 zspan=(0, -1), has_prev=False, has_seam=False,
+                 bits=False):
+    """extra = [*nee_tables][, tile id list][, prev_out][, seam]
+    [, lo, hi].
 
     The tile id list (SMEM) drives two distinct features:
       - block-sparse skip: n_live < total tiles — untouched tiles must
@@ -1218,12 +1312,22 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         in_place = sparse
     if sparse and not in_place:
         raise ValueError("tile skip requires the in-place aliased output")
+    if in_place and gx > 1 and gy > 1 and not has_seam:
+        raise ValueError(
+            "in_place with a multi-row multi-column tile grid needs the "
+            "pre-step seam buffer (has_seam): under _drive's in-place "
+            "ordering tile q's north skirt row is already POST-step "
+            "(see _kernel docstring)"
+        )
+    if has_seam and has_prev:
+        raise ValueError("has_seam and has_prev are mutually exclusive")
     bounce = p.dtype != jnp.float32 and halo_axis is None
     kern = functools.partial(
         _kernel, tau=tau, tx=tx, ty=ty, gx=gx, gy=gy, ring=ring,
         bcs_static=bcs_static, halo_axis=halo_axis, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=in_place,
-        pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
+        pure=pure, zspan=zspan, has_prev=has_prev,
+        has_seam=has_seam, bits=bits,
         bounce=bounce,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
@@ -1233,7 +1337,8 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
             f"got dtype={p.dtype}, channels={p.shape[2]})"
         )
     n_nee = (len(extra) - (2 if halo_axis is not None else 0)
-             - (1 if skip else 0) - (1 if has_prev else 0))
+             - (1 if skip else 0) - (1 if has_prev else 0)
+             - (1 if has_seam else 0))
     cd = p.shape[2]  # 22, or 24 with the bits channel
     scratch = [
         pltpu.VMEM((2, tx + 2, ty + 2, cd, nz), p.dtype),
@@ -1247,6 +1352,9 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     if halo_axis is not None:
         # (slot, top/bottom ring row) — the split tile-input DMAs
         scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+    if has_seam:
+        # per-slot seam north-row DMA
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if in_place:
         aliases = {0: 0}
     elif has_prev:
@@ -1263,6 +1371,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
         + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_prev else 0)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_seam else 0)
         + [pl.BlockSpec(memory_space=pl.ANY)]
         * (2 if halo_axis is not None else 0),
         out_specs=[
@@ -1726,6 +1835,24 @@ def live_tile_ids(mask_padded, tx: int, ty: int, ring: int = 1):
     return np.asarray(ids, np.int32)
 
 
+def _extract_seam(p, tx: int, ring: int = 1):
+    """Pre-step seam rows for the in-place aliased kernel: row
+    i*tx+ring-1 for every tile-row i (tile i's NORTH skirt row = tile
+    i-1's last interior row, which _drive's in-place ordering has
+    already overwritten by the time tile i's input DMA starts whenever
+    gy>1 — see _kernel). Shape (gx, nyp, C, Z). A strided slice on the
+    MAJOR dim is gx contiguous row copies (cheap; the pathological case
+    _extract_z_slab works around is lane-dim slicing). Must be
+    sequenced before the aliased kernel via optimization_barrier, like
+    the z-BC slabs."""
+    nxp = p.shape[0]
+    gx = (nxp - 2 * ring) // tx
+    return jax.lax.slice(
+        p, (ring - 1, 0, 0, 0),
+        (ring - 1 + (gx - 1) * tx + 1,) + p.shape[1:],
+        (tx, 1, 1, 1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("x0", "y0", "c", "interpret"),
@@ -2069,13 +2196,23 @@ def make_pallas_step(
 
         return step
 
+    # Will the bulk call alias its output onto the input? (mirrors
+    # _pallas_bulk's in_place default: sparse tile lists force it)
+    total_tiles = (nx // tx) * (ny // ty)
+    ip_bulk = bool(in_place) or (
+        n_live is not None and n_live < total_tiles and split is None)
+    need_seam = ip_bulk and (nx // tx) > 1 and (ny // ty) > 1
+
     def step(p, t):
         extra = nee_at(t)
         if tids is not None:
             extra.append(tids)
-        # z-BC slabs must be extracted from the PRE-step state before
-        # the input-aliased kernel call overwrites it (and via a DMA
-        # kernel, not an XLA lane slice — see _extract_z_slab).
+        # z-BC slabs and the seam rows must be extracted from the
+        # PRE-step state before the input-aliased kernel call
+        # overwrites it (slabs via a DMA kernel, not an XLA lane slice
+        # — see _extract_z_slab; seam rows are a major-dim strided
+        # slice, fine in XLA).
+        seam = _extract_seam(p, tx, ring) if need_seam else None
         subs = [
             _extract_z_slab(
                 p, x0=w[0], y0=w[2], wx=w[1] - w[0], wy=w[3] - w[2],
@@ -2083,13 +2220,19 @@ def make_pallas_step(
             )
             for bc, w in zip(fixup_bcs, wins) if w is not None
         ]
-        if subs and (in_place or tids is not None):
+        if (subs or seam is not None) and ip_bulk:
             # sequence the extraction before the input-aliased kernel:
             # a second live consumer of p makes XLA copy the whole
             # state per step (measured +8.4 ms at 291^3-class on the
             # sharded path; same hazard here)
-            bar = jax.lax.optimization_barrier((p, *subs))
-            p, subs = bar[0], list(bar[1:])
+            pre = [seam] if seam is not None else []
+            bar = jax.lax.optimization_barrier((p, *pre, *subs))
+            p, rest_b = bar[0], list(bar[1:])
+            if seam is not None:
+                seam, rest_b = rest_b[0], rest_b[1:]
+            subs = rest_b
+        if seam is not None:
+            extra.append(seam)
         if split is not None:
             pure_ids, mixed_ids, zs = split
             out_a, vs_a = _pallas_bulk(
@@ -2110,6 +2253,7 @@ def make_pallas_step(
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=n_live, bits=bits,
                 in_place=True if in_place else None,
+                has_seam=need_seam,
             )
         k = 0
         for bc, win in zip(fixup_bcs, wins):

@@ -392,26 +392,46 @@ def make_pallas_sharded_step(
                 if y1 == L + 2:
                     sub = jnp.concatenate([sub[:, :-1], hi_s], axis=1)
             subs.append(sub)
+        # Pre-step seam rows for the aliased kernel (tile tid-gy's last
+        # interior row is POST-step by the time tile tid's input DMA
+        # starts — see cs._kernel / cs._extract_seam). For shard_axis=1
+        # the seam's edge COLUMNS are the shard halo (stale in p): the
+        # corner cells ride the seam row in the kernel, so patch them
+        # from the exchanged pre-step planes.
+        gx_loc, gy_loc = loc_nx // tx, loc_ny // ty
+        need_seam = bool(in_place) and gx_loc > 1 and gy_loc > 1
+        seam = None
+        if need_seam:
+            seam = cs._extract_seam(p, tx, ring=1)
+            if shard_axis == 1:
+                seam = jnp.concatenate(
+                    [cs._extract_seam(lo, tx, ring=1), seam[:, 1:-1],
+                     cs._extract_seam(hi, tx, ring=1)], axis=1)
         live_subs = [s for s in subs if s is not None]
-        if in_place and live_subs:
-            # The slab extraction is p's second consumer; without an
-            # explicit ordering the input-aliased kernel forces XLA to
-            # COPY the whole per-shard state every step (measured +8.4
-            # ms/step at 291^3-class — exactly one 3.45 GB read+write).
-            # The barrier sequences extraction before the kernel, so
-            # the aliased buffer has a single live consumer again.
-            bar = jax.lax.optimization_barrier((p, *live_subs))
+        if in_place and (live_subs or seam is not None):
+            # The slab/seam extraction is p's second consumer; without
+            # an explicit ordering the input-aliased kernel forces XLA
+            # to COPY the whole per-shard state every step (measured
+            # +8.4 ms/step at 291^3-class — exactly one 3.45 GB
+            # read+write). The barrier sequences extraction before the
+            # kernel, so the aliased buffer has one live consumer.
+            pre = [seam] if seam is not None else []
+            bar = jax.lax.optimization_barrier((p, *pre, *live_subs))
             p = bar[0]
             it = iter(bar[1:])
+            if seam is not None:
+                seam = next(it)
             subs = [next(it) if s is not None else None for s in subs]
         extra = list(nee_step)
         if tids_loc is not None:
             extra.append(tids_loc)
+        if seam is not None:
+            extra.append(seam)
         p_new, vs = cs._pallas_bulk(
             p, *extra, lo, hi, tau=tau, tx=tx, ty=ty,
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
-            n_live=n_max, in_place=in_place,
+            n_live=n_max, in_place=in_place, has_seam=need_seam,
         )
         if fixup_bcs:
             for bc, loc, win, sub in zip(fixup_bcs, fix_dicts, wins,
