@@ -120,7 +120,8 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"MLUPS (D3Q19 BGK {args.case} {dims} "
+                "metric": f"MLUPS (D3Q19 "
+                f"{spec.collision.upper()} {args.case} {dims} "
                 f"{'bf16-store' if args.dtype == 'bf16' else 'fp32'}, "
                 f"{chips})",
                 "value": round(mlups, 1),

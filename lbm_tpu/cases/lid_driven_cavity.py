@@ -26,6 +26,8 @@ def build(
     C_U: float = 2.4705,
     max_steps: int = 10000,
     time_save: int = 500,
+    collision: str = "bgk",
+    magic_lambda: float = 0.1875,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_lid_phys / C_U
@@ -60,4 +62,6 @@ def build(
         residual_flavor="velsum",
         vtk_crops=(2, 2, 2),
         vtk_origin_offset=-1,  # ldc.cu:594: round(NX/2-1)*CH
+        collision=collision,
+        magic_lambda=magic_lambda,
     )

@@ -27,6 +27,8 @@ def build(
     C_U: float = 1.5441,
     max_steps: int = 10000,
     time_save: int = 500,
+    collision: str = "bgk",
+    magic_lambda: float = 0.1875,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_max_phys / C_U
@@ -62,6 +64,8 @@ def build(
         stag_max=50,
         residual_flavor="velsum",
         vtk_crops=(2, 2, 2),
+        collision=collision,
+        magic_lambda=magic_lambda,
     )
 
 

@@ -80,11 +80,20 @@ class CompiledBC:
     #   without the full (19, nx, ny, nz) nbr_wall array on device
 
 
+def tau_minus_of(spec: CaseSpec) -> Optional[float]:
+    """TRT odd-moment relaxation time from the magic parameter, or None
+    for BGK. tau_minus = 1/2 + Lambda / (tau - 1/2) (see CaseSpec)."""
+    if spec.collision != "trt":
+        return None
+    return 0.5 + spec.magic_lambda / (spec.tau - 0.5)
+
+
 @dataclasses.dataclass
 class CompiledCase:
     name: str
     shape: tuple[int, int, int]
     tau: float
+    tau_minus: Optional[float]       # TRT second rate; None => BGK
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -200,6 +209,7 @@ def compile_case(spec: CaseSpec, light: bool = False,
         name=spec.name,
         shape=tuple(spec.shape),
         tau=float(spec.tau),
+        tau_minus=tau_minus_of(spec),
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype)
@@ -212,4 +222,5 @@ def compile_case(spec: CaseSpec, light: bool = False,
     )
 
 
-__all__ = ["CompiledBC", "CompiledCase", "compile_case", "compile_bc"]
+__all__ = ["CompiledBC", "CompiledCase", "compile_case", "compile_bc",
+           "tau_minus_of"]

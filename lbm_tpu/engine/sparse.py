@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbm_tpu.core.lattice import D3Q19, phi
-from lbm_tpu.engine.compile import CompiledBC, compile_bc
+from lbm_tpu.engine.compile import CompiledBC, compile_bc, tau_minus_of
 from lbm_tpu.engine.spec import CaseSpec
 from lbm_tpu.geometry.mask import CellType, compact_index
 
@@ -58,6 +58,7 @@ class SparseCase:
     n_live: int
     n_pad: int          # padded to a lane multiple
     tau: float
+    tau_minus: Any      # TRT second rate (float) | None => BGK
     fluid: Any          # (n_pad,) bool
     nbr_idx: Any        # (19, n_pad) int32 (clamped to valid range)
     nbr_wall: Any       # (19, n_pad) bool
@@ -156,6 +157,7 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         n_live=n_live,
         n_pad=n_pad,
         tau=float(spec.tau),
+        tau_minus=tau_minus_of(spec),
         fluid=jnp.asarray(fluid),
         nbr_idx=jnp.asarray(nbr_idx),
         nbr_wall=jnp.asarray(nbr_wall),
@@ -202,6 +204,10 @@ def _bc_apply(pulled, f_s, bc: SparseBC, t, tau):
 
 def make_sparse_step(sc: SparseCase) -> Callable:
     inv_tau = 1.0 / sc.tau
+    # TRT (see engine/step.collide): even/odd parity halves relax at
+    # their own rates; this backend keeps its multiplicative style.
+    hp = None if sc.tau_minus is None else np.float32(0.5 * inv_tau)
+    hm = None if sc.tau_minus is None else np.float32(0.5 / sc.tau_minus)
 
     def step(f_s, t):
         pulled = [f_s[0]]
@@ -216,7 +222,13 @@ def make_sparse_step(sc: SparseCase) -> Callable:
                             precision=jax.lax.Precision.HIGHEST)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        f_post = pulled - (pulled - f_eq) * inv_tau
+        if hp is None:
+            f_post = pulled - (pulled - f_eq) * inv_tau
+        else:
+            opp = jnp.asarray(_OPP)
+            f_post = (pulled
+                      - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
+                      - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
         f_new = jnp.where(sc.fluid[None], f_post, f_s)
         return f_new, rho, u
 

@@ -75,6 +75,17 @@ class CaseSpec:
     time_save: int = 500
     tol: float = 1e-6
     stag_max: int = 50
+    # Collision operator. 'bgk' is the reference's SRT (ldc.cu:350-368).
+    # 'trt' (two-relaxation-time, beyond-reference: the MRT/TRT scheme of
+    # the reference's Lectures/ notes, never implemented in its code) adds
+    # a second rate for the odd-parity moments, derived from the "magic"
+    # parameter:  Lambda = (tau - 1/2)(tau_minus - 1/2), so
+    # tau_minus = 1/2 + Lambda / (tau - 1/2). Lambda = 3/16 places the
+    # half-way bounce-back wall EXACTLY at the mid-plane for parallel
+    # flows independent of viscosity (Ginzburg/d'Humieres); with
+    # Lambda = (tau - 1/2)^2 TRT degenerates to BGK.
+    collision: str = "bgk"               # 'bgk' | 'trt'
+    magic_lambda: float = 0.1875         # TRT magic parameter (3/16)
     residual_flavor: str = "velsum"      # 'velsum' (per-step sum|u|,
     #                                       ldc.cu:460-466,668) |
     #                                      'usq' (windowed sum u^2,
@@ -96,6 +107,10 @@ class CaseSpec:
 
     def __post_init__(self):
         assert self.mask.shape == tuple(self.shape)
+        assert self.collision in ("bgk", "trt")
+        if self.collision == "trt":
+            assert self.tau > 0.5, "TRT needs tau > 1/2"
+            assert self.magic_lambda > 0.0
         if self.rho0 is None:
             self.rho0 = np.ones(self.shape, np.float32)
         if self.u0 is None:

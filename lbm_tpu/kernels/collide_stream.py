@@ -262,7 +262,13 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
     swept in the small shape that won the sweep. Sub-tile halos are
     interior to the big tile's VMEM, so only slicing changes.
     """
-    inv_tau = np.float32(1.0 / tau)
+    # tau is a static float (BGK) or a static (tau, tau_minus) pair
+    # (TRT, CaseSpec.collision='trt'): inv_tau mirrors that shape down
+    # into the sub-tile collide.
+    if isinstance(tau, tuple):
+        inv_tau = (np.float32(1.0 / tau[0]), np.float32(1.0 / tau[1]))
+    else:
+        inv_tau = np.float32(1.0 / tau)
     stx = ex_x if stx is None else stx
     sty = ex_y if sty is None else sty
     if ex_y % sty:
@@ -322,6 +328,9 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     zf0, zf1 = zspan
     odt = ot.dtype  # bf16 storage: widen loads, narrow stores (see
     # _subtile_compute; no-ops for f32)
+    inv_tau_m = None  # TRT second rate (inv_tau arrives as a pair)
+    if isinstance(inv_tau, tuple):
+        inv_tau, inv_tau_m = inv_tau
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     zi = jax.lax.broadcasted_iota(jnp.int32, (stx, sty, nz), 2)
     z_fluid = (zi >= zf0) & (zi <= zf1)
@@ -372,6 +381,10 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     ).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
+    if inv_tau_m is not None:  # TRT parity split (see _subtile_compute)
+        rho_tau_m = rho * inv_tau_m
+        hp = np.float32(0.5 * float(inv_tau))
+        hm = np.float32(0.5 * float(inv_tau_m))
     for i in range(1, 19):
         o = int(_OPP[i])
         if o < i:
@@ -386,12 +399,21 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             cu = cu + uz if ez > 0 else cu - uz
         w = np.float32(_W[i])
         even = rho_tau * (w * (common + np.float32(4.5) * cu * cu))
-        odd = rho_tau * (w * np.float32(3.0)) * cu
+        if inv_tau_m is None:
+            odd = rho_tau * (w * np.float32(3.0)) * cu
+            post_i = vals[i] * keep + even + odd
+            post_o = vals[o] * keep + even - odd
+        else:
+            odd = rho_tau_m * (w * np.float32(3.0)) * cu
+            s = vals[i] + vals[o]
+            d = vals[i] - vals[o]
+            post_i = vals[i] - hp * s - hm * d + even + odd
+            post_o = vals[o] - hp * s + hm * d + even - odd
         ot[oxs, oys, i, :] = jnp.where(
-            z_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
+            z_fluid, post_i, ft[cx, cy, i, :]
         ).astype(odt)
         ot[oxs, oys, o, :] = jnp.where(
-            z_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
+            z_fluid, post_o, ft[cx, cy, o, :]
         ).astype(odt)
     for ch in range(MASK_CH, min(ot.shape[2], BITS_CH + 1)):
         ot[oxs, oys, ch, :] = ft[cx, cy, ch, :].astype(odt)
@@ -423,6 +445,9 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     # are exact small integers in either dtype, so wall/fluid tests
     # compare in the storage dtype directly.
     odt = ot.dtype
+    inv_tau_m = None  # TRT second rate (inv_tau arrives as a pair)
+    if isinstance(inv_tau, tuple):
+        inv_tau, inv_tau_m = inv_tau
     cx, cy = slice(1 + ox, 1 + ox + stx), slice(1 + oy, 1 + oy + sty)
     # Mask channels widen to f32 BEFORE comparing (exact small ints in
     # either dtype): a bool born from a bf16 compare carries a 16-bit
@@ -502,6 +527,13 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     ).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
+    if inv_tau_m is not None:
+        # TRT (engine/step.collide): the pair loop already shares the
+        # even/odd equilibrium terms, so the parity split costs only
+        # the two pair sums + two extra FMAs per pair.
+        rho_tau_m = rho * inv_tau_m
+        hp = np.float32(0.5 * float(inv_tau))
+        hm = np.float32(0.5 * float(inv_tau_m))
     for i in range(1, 19):
         o = int(_OPP[i])
         if o < i:
@@ -516,12 +548,21 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             cu = cu + uz if ez > 0 else cu - uz
         w = np.float32(_W[i])
         even = rho_tau * (w * (common + np.float32(4.5) * cu * cu))
-        odd = rho_tau * (w * np.float32(3.0)) * cu
+        if inv_tau_m is None:
+            odd = rho_tau * (w * np.float32(3.0)) * cu
+            post_i = vals[i] * keep + even + odd
+            post_o = vals[o] * keep + even - odd
+        else:
+            odd = rho_tau_m * (w * np.float32(3.0)) * cu
+            s = vals[i] + vals[o]
+            d = vals[i] - vals[o]
+            post_i = vals[i] - hp * s - hm * d + even + odd
+            post_o = vals[o] - hp * s + hm * d + even - odd
         ot[oxs, oys, i, :] = jnp.where(
-            is_fluid, vals[i] * keep + even + odd, ft[cx, cy, i, :]
+            is_fluid, post_i, ft[cx, cy, i, :]
         ).astype(odt)
         ot[oxs, oys, o, :] = jnp.where(
-            is_fluid, vals[o] * keep + even - odd, ft[cx, cy, o, :]
+            is_fluid, post_o, ft[cx, cy, o, :]
         ).astype(odt)
     # Mask (+ bitmask, when present) channels pass through unchanged;
     # the bits-mode padding channel 23 is never read — skip its copy.
@@ -577,7 +618,13 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
     collide) on the row: pulls with wall bounce-back, NEE overwrite on
     bc.dirs, moments, BGK, fluid select.
     """
-    inv_tau = np.float32(1.0 / tau)
+    # tau: static float (BGK) or (tau, tau_minus) pair (TRT).
+    inv_tau_m = None
+    if isinstance(tau, tuple):
+        inv_tau = np.float32(1.0 / tau[0])
+        inv_tau_m = np.float32(1.0 / tau[1])
+    else:
+        inv_tau = np.float32(1.0 / tau)
     axis = bc.axis
     odt = ot_slot.dtype  # bf16 storage: widen loads, narrow the store
     lat_len = ot_slot.shape[1] if axis == 0 else ot_slot.shape[0]
@@ -681,7 +728,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
     common = np.float32(1.0) - np.float32(1.5) * usq_row
     m_row = read(MASK_CH, 0, 0, 0)
     is_fluid = m_row == np.float32(int(CellType.FLUID))
-    outs = []
+    feqs = []
     for i in range(19):
         ex, ey, ez = (int(cmp) for cmp in _E[i])
         cu = jnp.zeros_like(ux)
@@ -691,11 +738,22 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
             cu = cu + uy if ey > 0 else cu - uy
         if ez:
             cu = cu + uz if ez > 0 else cu - uz
-        feq = rho * np.float32(_W[i]) * (
+        feqs.append(rho * np.float32(_W[i]) * (
             common + np.float32(3.0) * cu + np.float32(4.5) * cu * cu
-        )
+        ))
+    outs = []
+    for i in range(19):
         v = pulls[i]
-        outs.append(jnp.where(is_fluid, v - (v - feq) * inv_tau, srcs[i]))
+        if inv_tau_m is None:
+            post = v - (v - feqs[i]) * inv_tau
+        else:  # TRT parity split (engine/step.collide semantics)
+            o = int(_OPP[i])
+            hp = np.float32(0.5 * float(inv_tau))
+            hm = np.float32(0.5 * float(inv_tau_m))
+            post = (v
+                    - ((v + pulls[o]) - (feqs[i] + feqs[o])) * hp
+                    - ((v - pulls[o]) - (feqs[i] - feqs[o])) * hm)
+        outs.append(jnp.where(is_fluid, post, srcs[i]))
     for ch in range(MASK_CH, ot_slot.shape[2]):
         outs.append(read(ch, 0, 0, 0))
     row_out = jnp.stack(outs, axis=2).astype(odt)
@@ -1562,7 +1620,7 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     sum(|u_fixed|) - sum(|u_kernel|) over the spliced fluid cells to keep
     residual_flavor='velsum' honest for z-plane BCs."""
     from lbm_tpu.core.lattice import phi
-    from lbm_tpu.engine.step import apply_bc_fixup
+    from lbm_tpu.engine.step import apply_bc_fixup, collide
 
     x0, x1, y0, y1 = win
     c = bc.consumer_coord
@@ -1605,7 +1663,7 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
                         precision=jax.lax.Precision.HIGHEST)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     feq = rho[None] * phi(u)
-    post = pulled - (pulled - feq) / cc.tau
+    post = collide(pulled, feq, cc.tau, cc.tau_minus)
     vs_after = speed_sum(pulled)
     newplane = jnp.where(fluid_pl[None], post, src_plane)
     # Write the window interior only (border ring may be wrap-corrupted).
@@ -2096,7 +2154,11 @@ def make_pallas_step(
         sty = sty if sty is not None else auto[3]
     stx = min(stx, tx)
     sty = min(sty, ty)
+    # Static collide rate(s): a float for BGK, a (tau, tau_minus) pair
+    # for TRT (CaseSpec.collision='trt') — both hashable jit statics.
     tau = float(cc_pad.tau)
+    if cc_pad.tau_minus is not None:
+        tau = (tau, float(cc_pad.tau_minus))
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]

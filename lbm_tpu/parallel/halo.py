@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lbm_tpu.core.lattice import D3Q19, phi
@@ -153,7 +154,15 @@ def make_halo_step(
         )
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        f_post = pulled - (pulled - f_eq) * inv_tau
+        if cc.tau_minus is None:
+            f_post = pulled - (pulled - f_eq) * inv_tau
+        else:  # TRT parity split (engine/step.collide semantics)
+            opp = jnp.asarray(D3Q19.OPP)
+            hp = np.float32(0.5 * inv_tau)
+            hm = np.float32(0.5 / cc.tau_minus)
+            f_post = (pulled
+                      - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
+                      - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
         f_new = jnp.where(fluid[None], f_post, f)
         return f_new, rho, u
 

@@ -291,7 +291,9 @@ def make_pallas_sharded_step(
     ty = aty if ty is None else ty
     if interpret:
         stx, sty = tx, ty
-    tau = float(cc_pad.tau)
+    tau = float(cc_pad.tau)  # static float (BGK) or pair (TRT)
+    if cc_pad.tau_minus is not None:
+        tau = (tau, float(cc_pad.tau_minus))
 
     # Per-shard block-sparse tile lists (see shard_tile_lists).
     tids_all = None

