@@ -23,6 +23,7 @@ def get_case(name: str, **kwargs) -> CaseSpec:
         bifurcation,
         coronary,
         curved_vessel,
+        gravity_channel,
         lid_driven_cavity,
         poiseuille,
     )
@@ -37,6 +38,7 @@ def list_cases() -> list[str]:
         bifurcation,
         coronary,
         curved_vessel,
+        gravity_channel,
         lid_driven_cavity,
         poiseuille,
     )

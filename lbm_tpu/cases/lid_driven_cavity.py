@@ -28,6 +28,7 @@ def build(
     time_save: int = 500,
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
+    force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_lid_phys / C_U
@@ -64,4 +65,5 @@ def build(
         vtk_origin_offset=-1,  # ldc.cu:594: round(NX/2-1)*CH
         collision=collision,
         magic_lambda=magic_lambda,
+        force=force,
     )

@@ -29,6 +29,7 @@ def build(
     time_save: int = 500,
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
+    force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_max_phys / C_U
@@ -66,6 +67,7 @@ def build(
         vtk_crops=(2, 2, 2),
         collision=collision,
         magic_lambda=magic_lambda,
+        force=force,
     )
 
 

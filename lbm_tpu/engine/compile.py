@@ -94,6 +94,7 @@ class CompiledCase:
     shape: tuple[int, int, int]
     tau: float
     tau_minus: Optional[float]       # TRT second rate; None => BGK
+    force: Optional[tuple[float, float, float]]  # Guo body force | None
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -210,6 +211,7 @@ def compile_case(spec: CaseSpec, light: bool = False,
         shape=tuple(spec.shape),
         tau=float(spec.tau),
         tau_minus=tau_minus_of(spec),
+        force=spec.force,
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype)

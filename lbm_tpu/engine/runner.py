@@ -378,7 +378,7 @@ class Simulation:
         if self.mesh is not None:
             p = self._sharded()[2](p)  # unblock -> global packed
         rho, u = packed_macro(
-            p, ring=r,
+            p, ring=r, force=self.cc.force,
             interpret=getattr(self, "_pallas_interpret", False))
         if rho.shape != (nx, ny, nz):  # crop pad only when present
             rho = rho[:nx, :ny, :nz]

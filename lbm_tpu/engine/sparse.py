@@ -32,6 +32,7 @@ import numpy as np
 
 from lbm_tpu.core.lattice import D3Q19, phi
 from lbm_tpu.engine.compile import CompiledBC, compile_bc, tau_minus_of
+from lbm_tpu.engine.step import guo_source, half_force_shift
 from lbm_tpu.engine.spec import CaseSpec
 from lbm_tpu.geometry.mask import CellType, compact_index
 
@@ -59,6 +60,7 @@ class SparseCase:
     n_pad: int          # padded to a lane multiple
     tau: float
     tau_minus: Any      # TRT second rate (float) | None => BGK
+    force: Any          # Guo body force (3-tuple) | None
     fluid: Any          # (n_pad,) bool
     nbr_idx: Any        # (19, n_pad) int32 (clamped to valid range)
     nbr_wall: Any       # (19, n_pad) bool
@@ -158,6 +160,7 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         n_pad=n_pad,
         tau=float(spec.tau),
         tau_minus=tau_minus_of(spec),
+        force=spec.force,
         fluid=jnp.asarray(fluid),
         nbr_idx=jnp.asarray(nbr_idx),
         nbr_wall=jnp.asarray(nbr_wall),
@@ -174,13 +177,14 @@ def initial_f_sparse(sc: SparseCase):
     return sc.rho0[None] * phi(sc.u0)
 
 
-def _bc_apply(pulled, f_s, bc: SparseBC, t, tau):
+def _bc_apply(pulled, f_s, bc: SparseBC, t, tau, force=None):
     """NEE overwrite on the consumer id list (gathered small-K work)."""
     ids = bc.ids
     src = f_s[:, ids]  # (19, K)
     rho_p = jnp.sum(src, axis=0)
     mom = jnp.tensordot(jnp.asarray(_EF.T), src, axes=([1], [0]),
                         precision=jax.lax.Precision.HIGHEST)
+    mom = half_force_shift(mom, force)
     u_p = mom / jnp.where(rho_p == 0, 1.0, rho_p)[None]
     phi_nbr = phi(u_p, dirs=bc.dirs)  # (D, K)
     if bc.phi_star is not None:
@@ -216,10 +220,11 @@ def make_sparse_step(sc: SparseCase) -> Callable:
             pulled.append(jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g))
         pulled = jnp.stack(pulled)
         for bc in sc.bcs:
-            pulled = _bc_apply(pulled, f_s, bc, t, sc.tau)
+            pulled = _bc_apply(pulled, f_s, bc, t, sc.tau, force=sc.force)
         rho = jnp.sum(pulled, axis=0)
         mom = jnp.tensordot(jnp.asarray(_EF.T), pulled, axes=([1], [0]),
                             precision=jax.lax.Precision.HIGHEST)
+        mom = half_force_shift(mom, sc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
         if hp is None:
@@ -229,6 +234,8 @@ def make_sparse_step(sc: SparseCase) -> Callable:
             f_post = (pulled
                       - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
                       - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
+        if sc.force is not None:
+            f_post = f_post + guo_source(u, sc.force, sc.tau, sc.tau_minus)
         f_new = jnp.where(sc.fluid[None], f_post, f_s)
         return f_new, rho, u
 
@@ -247,6 +254,7 @@ def macro_fields_sparse(sc: SparseCase, f_s):
     rho = jnp.sum(f_s, axis=0)
     mom = jnp.tensordot(jnp.asarray(_EF.T), f_s, axes=([1], [0]),
                         precision=jax.lax.Precision.HIGHEST)
+    mom = half_force_shift(mom, sc.force)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     rho = jnp.where(sc.fluid, rho, sc.rho0)
     u = jnp.where(sc.fluid[None], u, sc.u0)

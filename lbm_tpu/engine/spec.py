@@ -86,6 +86,14 @@ class CaseSpec:
     # Lambda = (tau - 1/2)^2 TRT degenerates to BGK.
     collision: str = "bgk"               # 'bgk' | 'trt'
     magic_lambda: float = 0.1875         # TRT magic parameter (3/16)
+    # Constant body force density (lattice units, momentum added per
+    # cell per step), applied with Guo's exact scheme (beyond-reference:
+    # README.md:2 states body force/gravity is NOT considered there):
+    # u = (sum e_i f_i + F/2)/rho, and a parity-split source term whose
+    # even/odd parts carry the (1 - 1/(2 tau^{+/-})) prefactors, so it
+    # composes exactly with both BGK and TRT. None => no forcing (the
+    # force-free code path is bit-identical to before).
+    force: Optional[tuple[float, float, float]] = None
     residual_flavor: str = "velsum"      # 'velsum' (per-step sum|u|,
     #                                       ldc.cu:460-466,668) |
     #                                      'usq' (windowed sum u^2,
@@ -111,6 +119,9 @@ class CaseSpec:
         if self.collision == "trt":
             assert self.tau > 0.5, "TRT needs tau > 1/2"
             assert self.magic_lambda > 0.0
+        if self.force is not None:
+            self.force = tuple(float(c) for c in self.force)
+            assert len(self.force) == 3
         if self.rho0 is None:
             self.rho0 = np.ones(self.shape, np.float32)
         if self.u0 is None:

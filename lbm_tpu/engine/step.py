@@ -58,23 +58,26 @@ def _plane_slicer(axis: int, coord: int):
     return tuple(idx)
 
 
-def _safe_u(f_plane):
+def _safe_u(f_plane, force=None):
     """moments on a (19, A, B) plane slice with guarded division."""
     rho = jnp.sum(f_plane, axis=0)
     mom = jnp.tensordot(
         jnp.asarray(_E.T.astype(f_plane.dtype)), f_plane, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )
+    mom = half_force_shift(mom, force)
     return rho, mom / jnp.where(rho == 0, 1.0, rho)
 
 
-def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t):
+def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None):
     """Overwrite the pulled populations on the consumer plane of one NEE
     boundary (exact fusion of the reference's boundary_stream NEE write,
-    e.g. bifurcation.cu:877-1021)."""
+    e.g. bifurcation.cu:877-1021). `force`: the case's Guo body force —
+    the neighbor's previous-step macro u keeps the same half-force
+    shift the collide uses."""
     sl = _plane_slicer(bc.axis, bc.consumer_coord)
     src_pl = f_src[(slice(None),) + sl]            # (19, A, B)
-    rho_prev, u_prev = _safe_u(src_pl)
+    rho_prev, u_prev = _safe_u(src_pl, force)
     phi_nbr = phi(u_prev, dirs=bc.dirs)            # (D, A, B)
     feq_nbr = rho_prev[None] * phi_nbr
 
@@ -99,6 +102,43 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t):
             jnp.where(bc.valid[d], val[d], plane)
         )
     return f_pulled
+
+
+def half_force_shift(mom, force):
+    """Guo velocity definition: u = (sum e_i f_i + F/2) / rho — returns
+    the momentum with the half-step force added (no-op when force is
+    None). Every moment consumer (collide, NEE previous-macro, macro
+    outputs, velsum) uses this same shifted u."""
+    if force is None:
+        return mom
+    fv = jnp.asarray(np.asarray(force, np.float32))
+    return mom + 0.5 * fv.reshape((3,) + (1,) * (mom.ndim - 1))
+
+
+def guo_source(u, force, tau, tau_minus=None):
+    """(19, ...) Guo forcing source term with parity-split prefactors.
+
+    Raw source G_i = w_i [3 (e_i - u) + 9 (e_i . u) e_i] . F splits into
+    even parity G+ = w_i (9 (e_i.u)(e_i.F) - 3 u.F) and odd parity
+    G- = 3 w_i e_i.F; each moment's source carries (1 - rate/2) of its
+    OWN relaxation rate (the moment-space form of Guo's scheme), so
+    BGK uses (1 - 1/(2 tau)) on both and TRT applies its odd rate to
+    the odd half — which is what keeps the magic-Lambda wall placement
+    exact for force-driven channel flow."""
+    e = jnp.asarray(_E.astype(np.float32))
+    fv = np.asarray(force, np.float32)
+    w = jnp.asarray(D3Q19.W.astype(np.float32))
+    lead = (D3Q19.Q,) + (1,) * (u.ndim - 1)
+    w_ = w.reshape(lead)
+    eF = jnp.asarray(_E.astype(np.float32) @ fv).reshape(lead)
+    uF = (u[0] * fv[0] + u[1] * fv[1] + u[2] * fv[2])[None]
+    eu = jnp.tensordot(e, u, axes=([1], [0]),
+                       precision=jax.lax.Precision.HIGHEST)
+    g_even = w_ * (np.float32(9.0) * eu * eF - np.float32(3.0) * uF)
+    g_odd = np.float32(3.0) * w_ * eF
+    cp = np.float32(1.0 - 0.5 / tau)
+    cm = cp if tau_minus is None else np.float32(1.0 - 0.5 / tau_minus)
+    return cp * g_even + cm * g_odd
 
 
 def collide(pulled, f_eq, tau, tau_minus=None):
@@ -150,9 +190,12 @@ def make_first_step(cc: CompiledCase) -> Callable:
             jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
             precision=jax.lax.Precision.HIGHEST,
         )
+        mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
         f_post = collide(pulled, f_eq, tau, cc.tau_minus)
+        if cc.force is not None:
+            f_post = f_post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 
@@ -172,12 +215,13 @@ def make_step(cc: CompiledCase) -> Callable:
         tau = jnp.asarray(cc.tau, f.dtype)
         pulled = streamed(f, cc.nbr_wall)
         for bc in cc.bcs:
-            pulled = apply_bc_fixup(pulled, f, bc, t)
+            pulled = apply_bc_fixup(pulled, f, bc, t, force=cc.force)
         rho = jnp.sum(pulled, axis=0)
         mom = jnp.tensordot(
             jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
             precision=jax.lax.Precision.HIGHEST,
         )
+        mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
         # Divide by tau like the reference (ldc.cu:350-368) rather than
@@ -187,6 +231,8 @@ def make_step(cc: CompiledCase) -> Callable:
         # vs the literal transcription). The Pallas kernel keeps the
         # multiply for VPU throughput; cross-backend tests use rtol.
         f_post = collide(pulled, f_eq, tau, cc.tau_minus)
+        if cc.force is not None:
+            f_post = f_post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 
@@ -207,6 +253,7 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
         jnp.asarray(_E.T.astype(f.dtype)), f, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )
+    mom = half_force_shift(mom, cc.force)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     rho = jnp.where(cc.fluid, rho, cc.rho0)
     u = jnp.where(cc.fluid[None], u, cc.u0)
@@ -214,4 +261,5 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 __all__ = ["make_step", "make_first_step", "initial_f", "macro_fields",
-           "streamed", "pull_one"]
+           "streamed", "pull_one", "collide", "guo_source",
+           "half_force_shift"]

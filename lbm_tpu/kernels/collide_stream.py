@@ -238,7 +238,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   gx0=None, gy0=None, bcs_static=(),
                   stx: int | None = None, sty: int | None = None,
                   vs_win=None, pure_zspan=None, bits=False,
-                  vs_scr=None):
+                  vs_scr=None, force=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -286,14 +286,14 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                 total = total + _subtile_compute_pure(
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
-                    pure_zspan, vs_win, vs_scr=vs_scr,
+                    pure_zspan, vs_win, vs_scr=vs_scr, force=force,
                 )
             else:
                 total = total + _subtile_compute(
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     gx0, gy0, bcs_static, vs_win, bits=bits,
-                    vs_scr=vs_scr,
+                    vs_scr=vs_scr, force=force,
                 )
     return total
 
@@ -316,7 +316,7 @@ def _vs_sum(contrib, vs_scr):
 
 
 def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
-                          zspan, vs_win, vs_scr=None):
+                          zspan, vs_win, vs_scr=None, force=None):
     """Fast path for statically-classified PURE tiles (classify_tiles):
     every column of the tile's input region is the standard z-slab
     [DEAD.., WALL, FLUID x (zf1-zf0+1), WALL, DEAD..] with one common
@@ -368,17 +368,28 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             my = my + v if ey > 0 else my - v
         if ez:
             mz = mz + v if ez > 0 else mz - v
+    if force is not None:  # Guo half-force velocity shift (engine/step)
+        mx = mx + np.float32(0.5 * force[0])
+        my = my + np.float32(0.5 * force[1])
+        mz = mz + np.float32(0.5 * force[2])
     inv_rho = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
     ux, uy, uz = mx * inv_rho, my * inv_rho, mz * inv_rho
     usq = ux * ux + uy * uy + uz * uz
     common = np.float32(1.0) - np.float32(1.5) * usq
 
     oxs, oys = slice(ox, ox + stx), slice(oy, oy + sty)
+    if force is not None:  # Guo source (see _subtile_compute)
+        cp_f = np.float32(1.0 - 0.5 * float(inv_tau))
+        cm_f = (cp_f if inv_tau_m is None
+                else np.float32(1.0 - 0.5 * float(inv_tau_m)))
+        uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
+              + uz * np.float32(force[2]))
     f0 = vals[0]
     feq0 = rho * np.float32(_W[0]) * common
-    ot[oxs, oys, 0, :] = jnp.where(
-        z_fluid, f0 - (f0 - feq0) * inv_tau, f0
-    ).astype(odt)
+    post_0 = f0 - (f0 - feq0) * inv_tau
+    if force is not None:
+        post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
+    ot[oxs, oys, 0, :] = jnp.where(z_fluid, post_0, f0).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     if inv_tau_m is not None:  # TRT parity split (see _subtile_compute)
@@ -409,6 +420,17 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             d = vals[i] - vals[o]
             post_i = vals[i] - hp * s - hm * d + even + odd
             post_o = vals[o] - hp * s + hm * d + even - odd
+        if force is not None:
+            eF = float(_E[i].astype(np.float64) @ np.asarray(force))
+            se = np.float32(-3.0 * cp_f * w) * uF
+            if eF:
+                se = se + np.float32(9.0 * cp_f * w * eF) * cu
+                so = np.float32(3.0 * cm_f * w * eF)
+                post_i = post_i + (se + so)
+                post_o = post_o + (se - so)
+            else:
+                post_i = post_i + se
+                post_o = post_o + se
         ot[oxs, oys, i, :] = jnp.where(
             z_fluid, post_i, ft[cx, cy, i, :]
         ).astype(odt)
@@ -438,7 +460,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                      gx0, gy0, bcs_static, vs_win, bits=False,
-                     vs_scr=None):
+                     vs_scr=None, force=None):
     # Storage may be bf16 (pack_state dtype=): every pdf load widens to
     # fp32 (_f32), collision runs in fp32, stores narrow to ot's dtype
     # (_st). Both casts are no-ops for f32 storage. Mask-channel values
@@ -509,6 +531,10 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             my = my + v if ey > 0 else my - v
         if ez:
             mz = mz + v if ez > 0 else mz - v
+    if force is not None:  # Guo half-force velocity shift (engine/step)
+        mx = mx + np.float32(0.5 * force[0])
+        my = my + np.float32(0.5 * force[1])
+        mz = mz + np.float32(0.5 * force[2])
     inv_rho = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
     ux, uy, uz = mx * inv_rho, my * inv_rho, mz * inv_rho
     usq = ux * ux + uy * uy + uz * uz
@@ -520,11 +546,21 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     # terms: feq_{i,opp} = w rho (common + 4.5 cu^2) +/- 3 w rho cu — the
     # classic pairwise LBM factorization, ~30% fewer VPU ops than the
     # naive per-direction form.
+    if force is not None:
+        # Guo source, parity-split (engine/step.guo_source): the even
+        # part rides the pair's shared terms (one uF field + a static
+        # scalar per direction), the odd part is a compile-time scalar.
+        cp_f = np.float32(1.0 - 0.5 * float(inv_tau))
+        cm_f = (cp_f if inv_tau_m is None
+                else np.float32(1.0 - 0.5 * float(inv_tau_m)))
+        uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
+              + uz * np.float32(force[2]))
     f0 = vals[0]
     feq0 = rho * np.float32(_W[0]) * common
-    ot[oxs, oys, 0, :] = jnp.where(
-        is_fluid, f0 - (f0 - feq0) * inv_tau, f0
-    ).astype(odt)
+    post_0 = f0 - (f0 - feq0) * inv_tau
+    if force is not None:
+        post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
+    ot[oxs, oys, 0, :] = jnp.where(is_fluid, post_0, f0).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     if inv_tau_m is not None:
@@ -558,6 +594,17 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             d = vals[i] - vals[o]
             post_i = vals[i] - hp * s - hm * d + even + odd
             post_o = vals[o] - hp * s + hm * d + even - odd
+        if force is not None:
+            eF = float(_E[i].astype(np.float64) @ np.asarray(force))
+            se = np.float32(-3.0 * cp_f * w) * uF
+            if eF:
+                se = se + np.float32(9.0 * cp_f * w * eF) * cu
+                so = np.float32(3.0 * cm_f * w * eF)
+                post_i = post_i + (se + so)
+                post_o = post_o + (se - so)
+            else:
+                post_i = post_i + se
+                post_o = post_o + se
         ot[oxs, oys, i, :] = jnp.where(
             is_fluid, post_i, ft[cx, cy, i, :]
         ).astype(odt)
@@ -601,7 +648,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 
 def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
-             vs_scr=None):
+             vs_scr=None, force=None):
     """Recompute ONE consumer-plane row of a tile with the NEE boundary
     applied, and overwrite it in the output tile. Runs only for tiles
     intersecting the plane (under pl.when in the kernel), so the whole
@@ -664,6 +711,10 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
             myp = myp + v if ey > 0 else myp - v
         if ez:
             mzp = mzp + v if ez > 0 else mzp - v
+    if force is not None:  # Guo half-force shift (engine/step)
+        mxp = mxp + np.float32(0.5 * force[0])
+        myp = myp + np.float32(0.5 * force[1])
+        mzp = mzp + np.float32(0.5 * force[2])
     irp = np.float32(1.0) / jnp.where(rp == 0.0, np.float32(1.0), rp)
     uxp, uyp, uzp = mxp * irp, myp * irp, mzp * irp
     commonp = np.float32(1.0) - np.float32(1.5) * (
@@ -722,6 +773,10 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
             my = my + v if ey > 0 else my - v
         if ez:
             mz = mz + v if ez > 0 else mz - v
+    if force is not None:
+        mx = mx + np.float32(0.5 * force[0])
+        my = my + np.float32(0.5 * force[1])
+        mz = mz + np.float32(0.5 * force[2])
     ir = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
     ux, uy, uz = mx * ir, my * ir, mz * ir
     usq_row = ux * ux + uy * uy + uz * uz
@@ -729,6 +784,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
     m_row = read(MASK_CH, 0, 0, 0)
     is_fluid = m_row == np.float32(int(CellType.FLUID))
     feqs = []
+    cus = []
     for i in range(19):
         ex, ey, ez = (int(cmp) for cmp in _E[i])
         cu = jnp.zeros_like(ux)
@@ -738,9 +794,16 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
             cu = cu + uy if ey > 0 else cu - uy
         if ez:
             cu = cu + uz if ez > 0 else cu - uz
+        cus.append(cu)
         feqs.append(rho * np.float32(_W[i]) * (
             common + np.float32(3.0) * cu + np.float32(4.5) * cu * cu
         ))
+    if force is not None:  # Guo source (engine/step.guo_source)
+        cp_f = np.float32(1.0 - 0.5 * float(inv_tau))
+        cm_f = (cp_f if inv_tau_m is None
+                else np.float32(1.0 - 0.5 * float(inv_tau_m)))
+        uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
+              + uz * np.float32(force[2]))
     outs = []
     for i in range(19):
         v = pulls[i]
@@ -753,6 +816,13 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
             post = (v
                     - ((v + pulls[o]) - (feqs[i] + feqs[o])) * hp
                     - ((v - pulls[o]) - (feqs[i] - feqs[o])) * hm)
+        if force is not None:
+            w = float(_W[i])
+            eF = float(_E[i].astype(np.float64) @ np.asarray(force))
+            post = post + np.float32(-3.0 * cp_f * w) * uF
+            if eF:
+                post = (post + np.float32(9.0 * cp_f * w * eF) * cus[i]
+                        + np.float32(3.0 * cm_f * w * eF))
         outs.append(jnp.where(is_fluid, post, srcs[i]))
     for ch in range(MASK_CH, ot_slot.shape[2]):
         outs.append(read(ch, 0, 0, 0))
@@ -794,6 +864,7 @@ def _kernel(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     has_seam: bool = False, bits: bool = False, bounce: bool = False,
+    force=None,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -976,7 +1047,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
-            stx=stx, sty=sty, bits=bits, vs_scr=vs_scr,
+            stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
         )
         acc[0] = acc[0] + vs
 
@@ -995,7 +1066,7 @@ def _kernel(
             def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_):
                 dv = _row_fix(
                     ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau,
-                    vs_scr=vs_scr,
+                    vs_scr=vs_scr, force=force,
                 )
                 acc[0] = acc[0] + dv
 
@@ -1003,6 +1074,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
+            force=force,
         )
         acc[0] = acc[0] + vs
 
@@ -1156,7 +1228,7 @@ def _kernel2(
     bcs_static=(), stx=None, sty=None,
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
-    bits: bool = False, bounce: bool = False,
+    bits: bool = False, bounce: bool = False, force=None,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -1219,7 +1291,7 @@ def _kernel2(
             @pl.when((r_ >= 0) & (r_ < n_))
             def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_, n_=n_):
                 dv = _row_fix(
-                    src, dst, bc_, nee_, r_, lat0_, tau,
+                    src, dst, bc_, nee_, r_, lat0_, tau, force=force,
                     vs_lat=((1, (nlim[1] if bc_.axis == 0 else nlim[0]) - 1)
                             if owned else None),
                     vs_scr=vs_scr,
@@ -1238,7 +1310,7 @@ def _kernel2(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             gx0=g1x, gy0=g1y, bcs_static=bcs_static,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
-            bits=bits, vs_scr=vs_scr,
+            bits=bits, vs_scr=vs_scr, force=force,
         )
         acc[0] = acc[0] + vs1
         row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
@@ -1248,7 +1320,7 @@ def _kernel2(
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
             gx0=g2x, gy0=g2y, bcs_static=bcs_static,
-            stx=stx, sty=sty, bits=bits, vs_scr=vs_scr,
+            stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
         )
         acc[1] = acc[1] + vs2
         row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
@@ -1258,12 +1330,13 @@ def _kernel2(
         vs1 = _tile_compute(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
-            pure_zspan=zspan, vs_scr=vs_scr,
+            pure_zspan=zspan, vs_scr=vs_scr, force=force,
         )
         acc[0] = acc[0] + vs1
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
             stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
+            force=force,
         )
         acc[1] = acc[1] + vs2
 
@@ -1339,13 +1412,13 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
                      "interpret", "stx", "sty", "ring", "n_live",
                      "in_place", "pure", "zspan", "has_prev",
-                     "has_seam", "bits"),
+                     "has_seam", "bits", "force"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
                  zspan=(0, -1), has_prev=False, has_seam=False,
-                 bits=False):
+                 bits=False, force=None):
     """extra = [*nee_tables][, tile id list][, prev_out][, seam]
     [, lo, hi].
 
@@ -1386,7 +1459,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         ntiles=n_live, skip=skip, in_place=in_place,
         pure=pure, zspan=zspan, has_prev=has_prev,
         has_seam=has_seam, bits=bits,
-        bounce=bounce,
+        bounce=bounce, force=force,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError(
@@ -1457,11 +1530,13 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
-                     "stx", "sty", "n_live", "pure", "zspan", "has_prev", "bits"),
+                     "stx", "sty", "n_live", "pure", "zspan", "has_prev",
+                     "bits", "force"),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
-                  pure=False, zspan=(0, -1), has_prev=False, bits=False):
+                  pure=False, zspan=(0, -1), has_prev=False, bits=False,
+                  force=None):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
     [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
     has_prev: pure/mixed split as in _pallas_bulk. Returns
@@ -1476,7 +1551,7 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         bcs_static=bcs_static, stx=stx, sty=sty,
         ntiles=n_live, skip=skip, in_place=sparse,
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
-        bounce=p.dtype != jnp.float32,
+        bounce=p.dtype != jnp.float32, force=force,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError("bits=True needs an f32 bits-packed state "
@@ -1620,7 +1695,8 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     sum(|u_fixed|) - sum(|u_kernel|) over the spliced fluid cells to keep
     residual_flavor='velsum' honest for z-plane BCs."""
     from lbm_tpu.core.lattice import phi
-    from lbm_tpu.engine.step import apply_bc_fixup, collide
+    from lbm_tpu.engine.step import (apply_bc_fixup, collide, guo_source,
+                                     half_force_shift)
 
     x0, x1, y0, y1 = win
     c = bc.consumer_coord
@@ -1634,6 +1710,7 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
         ef_ = jnp.asarray(_E.T.astype(np.float32))
         mom_ = jnp.tensordot(ef_, pl, axes=([1], [0]),
                              precision=jax.lax.Precision.HIGHEST)
+        mom_ = half_force_shift(mom_, cc.force)
         u_ = mom_ / jnp.where(rho_ == 0, 1.0, rho_)[None]
         speed = jnp.sqrt(jnp.sum(u_ * u_, axis=0))
         inner = jnp.zeros_like(fluid_pl).at[1:-1, 1:-1].set(
@@ -1655,15 +1732,19 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     src_plane = sub[:, :, :19, 1].transpose(2, 0, 1)  # (19, wx, wy)
     pulled_slab = jnp.expand_dims(pulled, 3)
     src_slab = jnp.expand_dims(src_plane, 3)
-    pulled = jnp.squeeze(apply_bc_fixup(pulled_slab, src_slab, bc0, t), 3)
+    pulled = jnp.squeeze(
+        apply_bc_fixup(pulled_slab, src_slab, bc0, t, force=cc.force), 3)
 
     rho = jnp.sum(pulled, axis=0)
     ef = jnp.asarray(_E.T.astype(np.float32))
     mom = jnp.tensordot(ef, pulled, axes=([1], [0]),
                         precision=jax.lax.Precision.HIGHEST)
+    mom = half_force_shift(mom, cc.force)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     feq = rho[None] * phi(u)
     post = collide(pulled, feq, cc.tau, cc.tau_minus)
+    if cc.force is not None:
+        post = post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
     vs_after = speed_sum(pulled)
     newplane = jnp.where(fluid_pl[None], post, src_plane)
     # Write the window interior only (border ring may be wrap-corrupted).
@@ -1696,7 +1777,8 @@ class _PairCopy:
 
 
 def packed_macro(p, ring: int = 1, interpret: bool = False,
-                 tx: int | None = None, ty: int | None = None):
+                 tx: int | None = None, ty: int | None = None,
+                 force=None):
     """(rho (nx, ny, nzp), u (3, nx, ny, nzp)) moments of the packed
     state's INTERIOR via a tile-streamed Pallas kernel — the 512^3
     output path.
@@ -1772,6 +1854,10 @@ def packed_macro(p, ring: int = 1, interpret: bool = False,
                             my = my + v if ey > 0 else my - v
                         if ez:
                             mz = mz + v if ez > 0 else mz - v
+                    if force is not None:  # Guo half-force u shift
+                        mx = mx + np.float32(0.5 * force[0])
+                        my = my + np.float32(0.5 * force[1])
+                        mz = mz + np.float32(0.5 * force[2])
                     inv = np.float32(1.0) / jnp.where(
                         rho == 0.0, np.float32(1.0), rho)
                     otr[slot, sx, sy, :] = rho
@@ -2159,6 +2245,7 @@ def make_pallas_step(
     tau = float(cc_pad.tau)
     if cc_pad.tau_minus is not None:
         tau = (tau, float(cc_pad.tau_minus))
+    force = cc_pad.force  # static 3-tuple (Guo body force) or None
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
@@ -2240,12 +2327,13 @@ def make_pallas_step(
                     p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
                     interpret=interpret, stx=stx, sty=sty,
                     n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
+                    force=force,
                 )
                 out, vs_b = _pallas_bulk2(
                     p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                     bcs_static=bcs_static, interpret=interpret,
                     stx=stx, sty=sty, n_live=int(mixed_ids.shape[0]),
-                    has_prev=True, bits=bits,
+                    has_prev=True, bits=bits, force=force,
                 )
                 return out, vs_a + vs_b
             if tids is not None:
@@ -2253,7 +2341,7 @@ def make_pallas_step(
             return _pallas_bulk2(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, n_live=n_live,
-                bits=bits,
+                bits=bits, force=force,
             )
 
         return step
@@ -2301,12 +2389,14 @@ def make_pallas_step(
                 p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
+                force=force,
             )
             p_bulk, vs_b = _pallas_bulk(
                 p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                 bcs_static=bcs_static, interpret=interpret,
                 stx=stx, sty=sty, ring=ring,
                 n_live=int(mixed_ids.shape[0]), has_prev=True, bits=bits,
+                force=force,
             )
             vs = vs_a + vs_b
         else:
@@ -2315,7 +2405,7 @@ def make_pallas_step(
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=n_live, bits=bits,
                 in_place=True if in_place else None,
-                has_seam=need_seam,
+                has_seam=need_seam, force=force,
             )
         k = 0
         for bc, win in zip(fixup_bcs, wins):

@@ -28,9 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lbm_tpu.core.lattice import D3Q19, phi
 from lbm_tpu.engine.compile import CompiledCase
-from lbm_tpu.engine.step import apply_bc_fixup
-
-import numpy as np
+from lbm_tpu.engine.step import apply_bc_fixup, guo_source, half_force_shift
 
 _E = D3Q19.E
 _OPP = D3Q19.OPP
@@ -146,12 +144,14 @@ def make_halo_step(
             pulled.append(jnp.where(nbr_wall[i], f[_OPP[i]], direct))
         pulled = jnp.stack(pulled)
         for bc, arrs in zip(cc.bcs, bc_data):
-            pulled = apply_bc_fixup(pulled, f, dataclasses.replace(bc, **arrs), t)
+            pulled = apply_bc_fixup(pulled, f, dataclasses.replace(bc, **arrs), t,
+                                    force=cc.force)
         rho = jnp.sum(pulled, axis=0)
         mom = jnp.tensordot(
             jnp.asarray(_EF.T), pulled, axes=([1], [0]),
             precision=jax.lax.Precision.HIGHEST,
         )
+        mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
         if cc.tau_minus is None:
@@ -163,6 +163,8 @@ def make_halo_step(
             f_post = (pulled
                       - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
                       - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
+        if cc.force is not None:
+            f_post = f_post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
         f_new = jnp.where(fluid[None], f_post, f)
         return f_new, rho, u
 

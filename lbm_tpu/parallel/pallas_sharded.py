@@ -294,6 +294,7 @@ def make_pallas_sharded_step(
     tau = float(cc_pad.tau)  # static float (BGK) or pair (TRT)
     if cc_pad.tau_minus is not None:
         tau = (tau, float(cc_pad.tau_minus))
+    force = cc_pad.force  # static 3-tuple (Guo body force) or None
 
     # Per-shard block-sparse tile lists (see shard_tile_lists).
     tids_all = None
@@ -434,6 +435,7 @@ def make_pallas_sharded_step(
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
             n_live=n_max, in_place=in_place, has_seam=need_seam,
+            force=force,
         )
         if fixup_bcs:
             for bc, loc, win, sub in zip(fixup_bcs, fix_dicts, wins,

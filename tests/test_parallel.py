@@ -57,6 +57,7 @@ def test_gspmd_sharded_matches_single_device(case_name, kwargs):
     ("lid_driven_cavity", dict(n=16)),
     ("poiseuille", dict(n=16)),
     ("poiseuille", dict(n=16, collision="trt")),
+    ("poiseuille", dict(n=16, force=(0.0, 1e-5, 0.0))),
 ])
 def test_halo_exchange_matches_single_device(case_name, kwargs):
     spec = get_case(case_name, **kwargs)
