@@ -29,21 +29,36 @@ def build(
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     force=None,
+    lid: str = "nee",
 ) -> CaseSpec:
+    """lid='nee' is the reference's scheme (NEE velocity plane,
+    ldc.cu:373-458). lid='bounceback' (beyond-reference) replaces it
+    with a MOVING-labeled wall driven by half-way bounce-back + the
+    Ladd momentum term (CaseSpec.wall_velocity) — the moving-boundary
+    treatment the reference's README explicitly excludes; the two
+    converge to the same cavity flow (tests/test_moving_wall.py)."""
+    assert lid in ("nee", "bounceback")
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_lid_phys / C_U
     mask = cavity_mask(n, n, n)
-    # Lid NEE: inward normal -y, rho extrapolated, u = (0, 0, u_max)
-    # (ldc.cu:373-458; directions {4,8,10,16,18}).
-    lid = PlaneBC(
-        mask_value=int(CellType.INLET),
-        axis=1,
-        coord=n - 2,
-        normal=-1,
-        rho_mode="extrapolate",
-        u_mode="fixed",
-        u_value=(0.0, 0.0, u_max),
-    )
+    wall_velocity = None
+    if lid == "nee":
+        # Lid NEE: inward normal -y, rho extrapolated, u = (0, 0, u_max)
+        # (ldc.cu:373-458; directions {4,8,10,16,18}).
+        boundaries = [PlaneBC(
+            mask_value=int(CellType.INLET),
+            axis=1,
+            coord=n - 2,
+            normal=-1,
+            rho_mode="extrapolate",
+            u_mode="fixed",
+            u_value=(0.0, 0.0, u_max),
+        )]
+    else:
+        mask = np.where(mask == int(CellType.INLET),
+                        np.int32(int(CellType.MOVING)), mask)
+        boundaries = []
+        wall_velocity = (0.0, 0.0, u_max)
     u0 = np.zeros((3, n, n, n), np.float32)
     # ldc.cu:522-532: uz = u_max on the full y = NY-1 and y = NY-2 planes.
     u0[2, :, n - 1, :] = u_max
@@ -54,7 +69,7 @@ def build(
         tau=tau,
         units=units,
         mask=mask,
-        boundaries=[lid],
+        boundaries=boundaries,
         u0=u0,
         max_steps=max_steps,
         time_save=time_save,
@@ -66,4 +81,5 @@ def build(
         collision=collision,
         magic_lambda=magic_lambda,
         force=force,
+        wall_velocity=wall_velocity,
     )

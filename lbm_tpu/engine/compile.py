@@ -75,6 +75,8 @@ class CompiledBC:
     phi_star_series: Any = None      # (T, D, A, B) f32 for series
     series_stride: int = 1
     omega: float = 0.0               # (1 - 1/tau)
+    nbr_moving_plane: Any = None     # (19, A, B) bool | None: MOVING
+    #   analogue of nbr_wall_plane (cases with moving walls only)
     nbr_wall_plane: Any = None       # (19, A, B) bool: per-direction
     #   wall-neighbor mask ON the consumer plane — lets plane fixups run
     #   without the full (19, nx, ny, nz) nbr_wall array on device
@@ -95,6 +97,8 @@ class CompiledCase:
     tau: float
     tau_minus: Optional[float]       # TRT second rate; None => BGK
     force: Optional[tuple[float, float, float]]  # Guo body force | None
+    wall_velocity: Optional[tuple[float, float, float]]  # MOVING walls
+    nbr_moving: Any                  # (19,X,Y,Z) bool jnp | None
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -109,7 +113,7 @@ class CompiledCase:
 
 
 def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float,
-               dtype=np.float32) -> CompiledBC:
+               dtype=np.float32, has_moving: bool = False) -> CompiledBC:
     dirs = D3Q19.dirs_into(bc.axis, bc.normal)
     lat = _lat_axes(bc.axis)
     plane_mask = np.take(mask, bc.coord, axis=bc.axis) == bc.mask_value
@@ -147,14 +151,19 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float,
         )  # (T, D, A, B)
 
     # Wall-neighbor masks restricted to the consumer plane (for fixups).
-    wall = mask == CellType.WALL
     c = bc.coord + bc.normal
-    planes = [np.take(wall, c, axis=bc.axis) & False]
-    for i in range(1, D3Q19.Q):
-        ex, ey, ez = (int(v) for v in D3Q19.E[i])
-        rolled = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
-        planes.append(np.take(rolled, c, axis=bc.axis))
-    nbr_wall_plane = np.stack(planes)
+
+    def _nbr_planes(cellset):
+        planes = [np.take(cellset, c, axis=bc.axis) & False]
+        for i in range(1, D3Q19.Q):
+            ex, ey, ez = (int(v) for v in D3Q19.E[i])
+            rolled = np.roll(cellset, shift=(ex, ey, ez), axis=(0, 1, 2))
+            planes.append(np.take(rolled, c, axis=bc.axis))
+        return np.stack(planes)
+
+    nbr_wall_plane = _nbr_planes(mask == CellType.WALL)
+    nbr_moving_plane = (
+        _nbr_planes(mask == CellType.MOVING) if has_moving else None)
 
     return CompiledBC(
         axis=bc.axis,
@@ -169,6 +178,8 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float,
         # fp32-compose like the reference's (1.0f - 1.0f/tau)
         # (ldc.cu:403 etc.), not f64-then-round.
         omega=float(dtype(1.0) - dtype(1.0) / dtype(tau)),
+        nbr_moving_plane=(None if nbr_moving_plane is None
+                          else jnp.asarray(nbr_moving_plane)),
         nbr_wall_plane=jnp.asarray(nbr_wall_plane),
     )
 
@@ -191,6 +202,8 @@ def compile_case(spec: CaseSpec, light: bool = False,
     mask = spec.mask
     fluid = mask == CellType.FLUID
     wall = mask == CellType.WALL
+    has_moving = spec.wall_velocity is not None
+    nbr_moving = None
     if light:
         nbr_wall = None
     else:
@@ -198,6 +211,13 @@ def compile_case(spec: CaseSpec, light: bool = False,
         for i in range(1, D3Q19.Q):
             ex, ey, ez = (int(v) for v in D3Q19.E[i])
             nbr_wall[i] = np.roll(wall, shift=(ex, ey, ez), axis=(0, 1, 2))
+        if has_moving:
+            moving = mask == CellType.MOVING
+            nbr_moving = np.zeros((D3Q19.Q,) + mask.shape, dtype=bool)
+            for i in range(1, D3Q19.Q):
+                ex, ey, ez = (int(v) for v in D3Q19.E[i])
+                nbr_moving[i] = np.roll(moving, shift=(ex, ey, ez),
+                                        axis=(0, 1, 2))
 
     u0 = spec.u0.astype(dtype)
     rho0 = spec.rho0.astype(dtype)
@@ -212,9 +232,11 @@ def compile_case(spec: CaseSpec, light: bool = False,
         tau=float(spec.tau),
         tau_minus=tau_minus_of(spec),
         force=spec.force,
+        wall_velocity=spec.wall_velocity,
+        nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
-        bcs=[compile_bc(bc, mask, spec.tau, dtype)
+        bcs=[compile_bc(bc, mask, spec.tau, dtype, has_moving=has_moving)
              for bc in spec.boundaries],
         rho0=rho0 if host_arrays else jnp.asarray(rho0),
         u0=u0 if host_arrays else jnp.asarray(u0),

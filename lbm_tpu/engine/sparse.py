@@ -32,7 +32,7 @@ import numpy as np
 
 from lbm_tpu.core.lattice import D3Q19, phi
 from lbm_tpu.engine.compile import CompiledBC, compile_bc, tau_minus_of
-from lbm_tpu.engine.step import guo_source, half_force_shift
+from lbm_tpu.engine.step import guo_source, half_force_shift, moving_bb_terms
 from lbm_tpu.engine.spec import CaseSpec
 from lbm_tpu.geometry.mask import CellType, compact_index
 
@@ -61,6 +61,8 @@ class SparseCase:
     tau: float
     tau_minus: Any      # TRT second rate (float) | None => BGK
     force: Any          # Guo body force (3-tuple) | None
+    wall_velocity: Any  # MOVING wall velocity (3-tuple) | None
+    nbr_moving: Any     # (19, n_pad) bool | None
     fluid: Any          # (n_pad,) bool
     nbr_idx: Any        # (19, n_pad) int32 (clamped to valid range)
     nbr_wall: Any       # (19, n_pad) bool
@@ -95,12 +97,16 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
 
     nbr_idx = np.zeros((19, n_pad), np.int32)
     nbr_wall = np.zeros((19, n_pad), bool)
+    has_moving = spec.wall_velocity is not None
+    nbr_moving = np.zeros((19, n_pad), bool) if has_moving else None
     shape = np.array([nx, ny, nz])
     for i in range(1, 19):
         src = (live - _E[i]) % shape  # pull source, with roll-style wrap
         sid = _flatten_ids(index, src)
         smask = mask[src[:, 0], src[:, 1], src[:, 2]]
         nbr_wall[i, :n_live] = smask == CellType.WALL
+        if has_moving:
+            nbr_moving[i, :n_live] = smask == CellType.MOVING
         # Dead sources (only reachable from non-fluid cells) clamp to 0.
         nbr_idx[i, :n_live] = np.where(sid >= 0, sid, 0)
 
@@ -161,6 +167,8 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         tau=float(spec.tau),
         tau_minus=tau_minus_of(spec),
         force=spec.force,
+        wall_velocity=spec.wall_velocity,
+        nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         fluid=jnp.asarray(fluid),
         nbr_idx=jnp.asarray(nbr_idx),
         nbr_wall=jnp.asarray(nbr_wall),
@@ -213,11 +221,17 @@ def make_sparse_step(sc: SparseCase) -> Callable:
     hp = None if sc.tau_minus is None else np.float32(0.5 * inv_tau)
     hm = None if sc.tau_minus is None else np.float32(0.5 / sc.tau_minus)
 
+    bb = (None if sc.wall_velocity is None
+          else moving_bb_terms(sc.wall_velocity))
+
     def step(f_s, t):
         pulled = [f_s[0]]
         for i in range(1, 19):
             g = jnp.take(f_s[i], sc.nbr_idx[i], axis=0)
-            pulled.append(jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g))
+            v = jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g)
+            if bb is not None:
+                v = jnp.where(sc.nbr_moving[i], f_s[_OPP[i]] + bb[i], v)
+            pulled.append(v)
         pulled = jnp.stack(pulled)
         for bc in sc.bcs:
             pulled = _bc_apply(pulled, f_s, bc, t, sc.tau, force=sc.force)

@@ -94,6 +94,13 @@ class CaseSpec:
     # composes exactly with both BGK and TRT. None => no forcing (the
     # force-free code path is bit-identical to before).
     force: Optional[tuple[float, float, float]] = None
+    # Velocity (lattice units) of MOVING-labeled wall cells
+    # (CellType.MOVING), realized as half-way bounce-back with the Ladd
+    # momentum term: pulled_i = f_opp + 6 w_i rho0 (e_i . u_w) with
+    # rho0 = 1 (beyond-reference: the README excludes moving boundaries;
+    # "moving boundary ... NOT considered", /root/reference/README.md:2).
+    # Required iff the mask contains MOVING cells.
+    wall_velocity: Optional[tuple[float, float, float]] = None
     residual_flavor: str = "velsum"      # 'velsum' (per-step sum|u|,
     #                                       ldc.cu:460-466,668) |
     #                                      'usq' (windowed sum u^2,
@@ -122,6 +129,14 @@ class CaseSpec:
         if self.force is not None:
             self.force = tuple(float(c) for c in self.force)
             assert len(self.force) == 3
+        from lbm_tpu.geometry.mask import CellType as _CT
+        has_moving = bool((self.mask == int(_CT.MOVING)).any())
+        if self.wall_velocity is not None:
+            self.wall_velocity = tuple(float(c) for c in self.wall_velocity)
+            assert len(self.wall_velocity) == 3
+            assert has_moving, "wall_velocity set but no MOVING cells"
+        else:
+            assert not has_moving, "MOVING cells need wall_velocity"
         if self.rho0 is None:
             self.rho0 = np.ones(self.shape, np.float32)
         if self.u0 is None:

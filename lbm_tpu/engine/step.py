@@ -157,12 +157,27 @@ def collide(pulled, f_eq, tau, tau_minus=None):
     return pulled - s_neq / (2.0 * tau) - d_neq / (2.0 * tau_minus)
 
 
-def streamed(f, nbr_wall):
-    """Pull-stream all 19 directions with fused half-way bounce-back."""
+def moving_bb_terms(wall_velocity):
+    """(19,) Ladd momentum terms for a translating no-slip wall:
+    pulled_i gains 6 w_i rho_w (e_i . u_w) over plain bounce-back
+    (rho_w = 1 — the standard incompressible-scale approximation;
+    the O(Ma * drho) residual is far below fp32 noise here)."""
+    uw = np.asarray(wall_velocity, np.float64)
+    e = D3Q19.E.astype(np.float64)
+    return (6.0 * D3Q19.W.astype(np.float64) * (e @ uw)).astype(np.float32)
+
+
+def streamed(f, nbr_wall, nbr_moving=None, bb_terms=None):
+    """Pull-stream all 19 directions with fused half-way bounce-back.
+    nbr_moving/bb_terms: MOVING-wall sources add the Ladd momentum term
+    (moving_bb_terms) on top of the reflected population."""
     pulled = [f[0]]
     for i in range(1, D3Q19.Q):
         direct = pull_one(f[i], _E[i])
-        pulled.append(jnp.where(nbr_wall[i], f[_OPP[i]], direct))
+        v = jnp.where(nbr_wall[i], f[_OPP[i]], direct)
+        if nbr_moving is not None:
+            v = jnp.where(nbr_moving[i], f[_OPP[i]] + bb_terms[i], v)
+        pulled.append(v)
     return jnp.stack(pulled)
 
 
@@ -210,10 +225,12 @@ def make_step(cc: CompiledCase) -> Callable:
     which `macro_fields` does).
     """
     fluid3 = cc.fluid[None]
+    bb = (None if cc.wall_velocity is None
+          else moving_bb_terms(cc.wall_velocity))
 
     def step(f, t):
         tau = jnp.asarray(cc.tau, f.dtype)
-        pulled = streamed(f, cc.nbr_wall)
+        pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb)
         for bc in cc.bcs:
             pulled = apply_bc_fixup(pulled, f, bc, t, force=cc.force)
         rho = jnp.sum(pulled, axis=0)
@@ -262,4 +279,4 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 __all__ = ["make_step", "make_first_step", "initial_f", "macro_fields",
            "streamed", "pull_one", "collide", "guo_source",
-           "half_force_shift"]
+           "half_force_shift", "moving_bb_terms"]

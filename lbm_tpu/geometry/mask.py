@@ -29,7 +29,14 @@ class CellType(enum.IntEnum):
     INLET = 2
     OUTLET = 3
     FLUID = 4
-    # Extra boundary labels (coronary sub-outlets) use values >= 5.
+    # Extra boundary labels (coronary sub-outlets) use values >= 5, so
+    # the positive space is open-ended and case-owned. MOVING
+    # (beyond-reference) therefore lives in the negative space next to
+    # GHOST: a no-slip wall translating at CaseSpec.wall_velocity,
+    # realized as half-way bounce-back with the Ladd momentum term
+    # (see engine/step.streamed). Negative also keeps it out of the
+    # usq-residual's `label > 4` BC-offset convention.
+    MOVING = -2
 
 
 def _min6(flag: np.ndarray) -> np.ndarray:

@@ -238,7 +238,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   gx0=None, gy0=None, bcs_static=(),
                   stx: int | None = None, sty: int | None = None,
                   vs_win=None, pure_zspan=None, bits=False,
-                  vs_scr=None, force=None):
+                  vs_scr=None, force=None, wall_velocity=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -294,6 +294,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     gx0, gy0, bcs_static, vs_win, bits=bits,
                     vs_scr=vs_scr, force=force,
+                    wall_velocity=wall_velocity,
                 )
     return total
 
@@ -460,7 +461,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                      gx0, gy0, bcs_static, vs_win, bits=False,
-                     vs_scr=None, force=None):
+                     vs_scr=None, force=None, wall_velocity=None):
     # Storage may be bf16 (pack_state dtype=): every pdf load widens to
     # fp32 (_f32), collision runs in fp32, stores narrow to ot's dtype
     # (_st). Both casts are no-ops for f32 storage. Mask-channel values
@@ -488,9 +489,15 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     # shifted-mask load + compare; e_z != 0 reads the PRE-ROLLED mask
     # channels (20/21), so only the pdf planes pay a lane roll.
     if bits:
+        if wall_velocity is not None:
+            raise ValueError("bits kernel path has no mask loads for "
+                             "the MOVING test — use bits=False")
         mb = jax.lax.bitcast_convert_type(
             ft[cx, cy, BITS_CH, :], jnp.int32
         )
+    if wall_velocity is not None:
+        from lbm_tpu.engine.step import moving_bb_terms
+        bb = moving_bb_terms(wall_velocity)
 
     def pulled(i):
         ex, ey, ez = (int(v) for v in _E[i])
@@ -511,7 +518,12 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         else:
             nbr = ft[sx, sy, MASK_CH, :].astype(jnp.float32)
             src_wall = nbr == np.float32(int(CellType.WALL))
-        return jnp.where(src_wall, own_opp, piece).astype(jnp.float32)
+        v = jnp.where(src_wall, own_opp, piece)
+        if wall_velocity is not None:  # Ladd term: same nbr load,
+            # one extra compare+select, static per-direction constant
+            src_mov = nbr == np.float32(int(CellType.MOVING))
+            v = jnp.where(src_mov, own_opp + np.float32(bb[i]), v)
+        return v.astype(jnp.float32)
 
     # Pass 1: moments (VPU adds; a 19x3 contraction needs no MXU). Pulled
     # values are kept live in VMEM for the collide pass.
@@ -648,7 +660,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 
 def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
-             vs_scr=None, force=None):
+             vs_scr=None, force=None, wall_velocity=None):
     """Recompute ONE consumer-plane row of a tile with the NEE boundary
     applied, and overwrite it in the output tile. Runs only for tiles
     intersecting the plane (under pl.when in the kernel), so the whole
@@ -735,6 +747,10 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
         )
 
     wall_f = np.float32(int(CellType.WALL))
+    if wall_velocity is not None:
+        from lbm_tpu.engine.step import moving_bb_terms
+        bb_mov = moving_bb_terms(wall_velocity)
+        moving_f = np.float32(int(CellType.MOVING))
     pulls = []
     for i in range(19):
         if i == 0:
@@ -744,6 +760,9 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
         piece = read(i, -ex, -ey, ez)
         nbr = read(MASK_CH, -ex, -ey, ez)
         v = jnp.where(nbr == wall_f, srcs[_OPP[i]], piece)
+        if wall_velocity is not None:
+            v = jnp.where(nbr == moving_f,
+                          srcs[_OPP[i]] + np.float32(bb_mov[i]), v)
         if i in bc.dirs:
             d = bc.dirs.index(i)
             phiv = lat_expand(nee[pl.ds(lat0, lat_len), d, :])
@@ -864,7 +883,7 @@ def _kernel(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     has_seam: bool = False, bits: bool = False, bounce: bool = False,
-    force=None,
+    force=None, wall_velocity=None,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -1048,6 +1067,7 @@ def _kernel(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
+            wall_velocity=wall_velocity,
         )
         acc[0] = acc[0] + vs
 
@@ -1067,6 +1087,7 @@ def _kernel(
                 dv = _row_fix(
                     ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau,
                     vs_scr=vs_scr, force=force,
+                    wall_velocity=wall_velocity,
                 )
                 acc[0] = acc[0] + dv
 
@@ -1229,6 +1250,7 @@ def _kernel2(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     bits: bool = False, bounce: bool = False, force=None,
+    wall_velocity=None,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -1292,6 +1314,7 @@ def _kernel2(
             def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_, n_=n_):
                 dv = _row_fix(
                     src, dst, bc_, nee_, r_, lat0_, tau, force=force,
+                    wall_velocity=wall_velocity,
                     vs_lat=((1, (nlim[1] if bc_.axis == 0 else nlim[0]) - 1)
                             if owned else None),
                     vs_scr=vs_scr,
@@ -1311,6 +1334,7 @@ def _kernel2(
             gx0=g1x, gy0=g1y, bcs_static=bcs_static,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
             bits=bits, vs_scr=vs_scr, force=force,
+            wall_velocity=wall_velocity,
         )
         acc[0] = acc[0] + vs1
         row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
@@ -1321,6 +1345,7 @@ def _kernel2(
             mt, ot.at[slot], tau, tx, ty,
             gx0=g2x, gy0=g2y, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
+            wall_velocity=wall_velocity,
         )
         acc[1] = acc[1] + vs2
         row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
@@ -1412,13 +1437,13 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
                      "interpret", "stx", "sty", "ring", "n_live",
                      "in_place", "pure", "zspan", "has_prev",
-                     "has_seam", "bits", "force"),
+                     "has_seam", "bits", "force", "wall_velocity"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
                  zspan=(0, -1), has_prev=False, has_seam=False,
-                 bits=False, force=None):
+                 bits=False, force=None, wall_velocity=None):
     """extra = [*nee_tables][, tile id list][, prev_out][, seam]
     [, lo, hi].
 
@@ -1459,7 +1484,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         ntiles=n_live, skip=skip, in_place=in_place,
         pure=pure, zspan=zspan, has_prev=has_prev,
         has_seam=has_seam, bits=bits,
-        bounce=bounce, force=force,
+        bounce=bounce, force=force, wall_velocity=wall_velocity,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError(
@@ -1531,12 +1556,12 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
                      "stx", "sty", "n_live", "pure", "zspan", "has_prev",
-                     "bits", "force"),
+                     "bits", "force", "wall_velocity"),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
                   pure=False, zspan=(0, -1), has_prev=False, bits=False,
-                  force=None):
+                  force=None, wall_velocity=None):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
     [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
     has_prev: pure/mixed split as in _pallas_bulk. Returns
@@ -1552,6 +1577,7 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         ntiles=n_live, skip=skip, in_place=sparse,
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
         bounce=p.dtype != jnp.float32, force=force,
+        wall_velocity=wall_velocity,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError("bits=True needs an f32 bits-packed state "
@@ -1607,11 +1633,14 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
 _SPATIAL_DIM = {0: 0, 1: 1, 2: 3}  # lattice axis -> packed array dim
 
 
-def _plane_pull_packed(p, nbr_wall_plane, axis: int, c: int):
+def _plane_pull_packed(p, nbr_wall_plane, axis: int, c: int,
+                       nbr_moving_plane=None, bb=None):
     """Pulled populations (19, A, B) on plane `c` along `axis` of the
     packed state, with fused wall bounce-back (plane-restricted
     engine/step.streamed). nbr_wall_plane: (19, A, B) per-direction
-    wall-neighbor masks for THIS plane (CompiledBC.nbr_wall_plane)."""
+    wall-neighbor masks for THIS plane (CompiledBC.nbr_wall_plane).
+    nbr_moving_plane/bb: MOVING-wall sources add the Ladd term
+    (engine/step.moving_bb_terms)."""
     dim = _SPATIAL_DIM[axis]
 
     def plane(ch, coord):
@@ -1631,7 +1660,11 @@ def _plane_pull_packed(p, nbr_wall_plane, axis: int, c: int):
         if ax:
             nbr_plane = jnp.roll(nbr_plane, [shifts[k] for k in ax], axis=ax)
         own_opp = plane(_OPP[i], c)
-        out.append(jnp.where(nbr_wall_plane[i], own_opp, nbr_plane))
+        v = jnp.where(nbr_wall_plane[i], own_opp, nbr_plane)
+        if nbr_moving_plane is not None:
+            v = jnp.where(nbr_moving_plane[i],
+                          own_opp + np.float32(bb[i]), v)
+        out.append(v)
     return jnp.stack(out)
 
 
@@ -1696,12 +1729,17 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     residual_flavor='velsum' honest for z-plane BCs."""
     from lbm_tpu.core.lattice import phi
     from lbm_tpu.engine.step import (apply_bc_fixup, collide, guo_source,
-                                     half_force_shift)
+                                     half_force_shift, moving_bb_terms)
 
     x0, x1, y0, y1 = win
     c = bc.consumer_coord
     nbr_w = bc.nbr_wall_plane[:, x0:x1, y0:y1]
-    pulled = _plane_pull_packed(sub, nbr_w, 2, 1)  # (19, wx, wy)
+    nbr_m = (None if bc.nbr_moving_plane is None
+             else bc.nbr_moving_plane[:, x0:x1, y0:y1])
+    bb = (None if cc.wall_velocity is None
+          else moving_bb_terms(cc.wall_velocity))
+    pulled = _plane_pull_packed(sub, nbr_w, 2, 1,
+                                nbr_moving_plane=nbr_m, bb=bb)
     fluid_pl = cc.fluid[x0:x1, y0:y1, c]
 
     def speed_sum(pl):
@@ -2246,6 +2284,7 @@ def make_pallas_step(
     if cc_pad.tau_minus is not None:
         tau = (tau, float(cc_pad.tau_minus))
     force = cc_pad.force  # static 3-tuple (Guo body force) or None
+    wall_velocity = cc_pad.wall_velocity  # static 3-tuple or None
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
@@ -2333,7 +2372,7 @@ def make_pallas_step(
                     p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                     bcs_static=bcs_static, interpret=interpret,
                     stx=stx, sty=sty, n_live=int(mixed_ids.shape[0]),
-                    has_prev=True, bits=bits, force=force,
+                    has_prev=True, bits=bits, force=force, wall_velocity=wall_velocity,
                 )
                 return out, vs_a + vs_b
             if tids is not None:
@@ -2341,7 +2380,7 @@ def make_pallas_step(
             return _pallas_bulk2(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, n_live=n_live,
-                bits=bits, force=force,
+                bits=bits, force=force, wall_velocity=wall_velocity,
             )
 
         return step
@@ -2396,7 +2435,7 @@ def make_pallas_step(
                 bcs_static=bcs_static, interpret=interpret,
                 stx=stx, sty=sty, ring=ring,
                 n_live=int(mixed_ids.shape[0]), has_prev=True, bits=bits,
-                force=force,
+                force=force, wall_velocity=wall_velocity,
             )
             vs = vs_a + vs_b
         else:
@@ -2405,7 +2444,7 @@ def make_pallas_step(
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=n_live, bits=bits,
                 in_place=True if in_place else None,
-                has_seam=need_seam, force=force,
+                has_seam=need_seam, force=force, wall_velocity=wall_velocity,
             )
         k = 0
         for bc, win in zip(fixup_bcs, wins):

@@ -28,7 +28,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lbm_tpu.core.lattice import D3Q19, phi
 from lbm_tpu.engine.compile import CompiledCase
-from lbm_tpu.engine.step import apply_bc_fixup, guo_source, half_force_shift
+from lbm_tpu.engine.step import (apply_bc_fixup, guo_source,
+                                 half_force_shift, moving_bb_terms)
 
 _E = D3Q19.E
 _OPP = D3Q19.OPP
@@ -130,7 +131,10 @@ def make_halo_step(
     dirs_pos = inbound_dirs(shard_axis, +1)
     dirs_neg = inbound_dirs(shard_axis, -1)
 
-    def local_step(f, nbr_wall, fluid, t, bc_data):
+    bb = (None if cc.wall_velocity is None
+          else moving_bb_terms(cc.wall_velocity))
+
+    def local_step(f, nbr_wall, nbr_moving, fluid, t, bc_data):
         lo, hi = _exchange_halos(f, axis_name, shard_axis)
         pulled = [f[0]]
         for i in range(1, D3Q19.Q):
@@ -141,7 +145,10 @@ def make_halo_step(
             else:
                 plane = None
             direct = _pull_ext(f[i], plane, _E[i], shard_axis)
-            pulled.append(jnp.where(nbr_wall[i], f[_OPP[i]], direct))
+            v = jnp.where(nbr_wall[i], f[_OPP[i]], direct)
+            if bb is not None:
+                v = jnp.where(nbr_moving[i], f[_OPP[i]] + bb[i], v)
+            pulled.append(v)
         pulled = jnp.stack(pulled)
         for bc, arrs in zip(cc.bcs, bc_data):
             pulled = apply_bc_fixup(pulled, f, dataclasses.replace(bc, **arrs), t,
@@ -177,12 +184,16 @@ def make_halo_step(
     shard_step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(fspec, fspec, sspec(0), P(), bc_specs),
+        in_specs=(fspec, fspec, fspec, sspec(0), P(), bc_specs),
         out_specs=(fspec, sspec(0), sspec(1)),
     )
+    # nbr_moving is None for ordinary cases; shard_map needs a real
+    # array operand, so reuse nbr_wall as an ignored stand-in then.
+    nbr_moving = cc.nbr_moving if cc.nbr_moving is not None else cc.nbr_wall
 
     def step(f, t):
-        return shard_step(f, cc.nbr_wall, cc.fluid, t, bc_arrays)
+        return shard_step(f, cc.nbr_wall, nbr_moving, cc.fluid, t,
+                          bc_arrays)
 
     return step
 

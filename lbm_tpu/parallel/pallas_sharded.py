@@ -295,6 +295,7 @@ def make_pallas_sharded_step(
     if cc_pad.tau_minus is not None:
         tau = (tau, float(cc_pad.tau_minus))
     force = cc_pad.force  # static 3-tuple (Guo body force) or None
+    wall_velocity = cc_pad.wall_velocity  # static 3-tuple or None
 
     # Per-shard block-sparse tile lists (see shard_tile_lists).
     tids_all = None
@@ -435,7 +436,7 @@ def make_pallas_sharded_step(
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
             n_live=n_max, in_place=in_place, has_seam=need_seam,
-            force=force,
+            force=force, wall_velocity=wall_velocity,
         )
         if fixup_bcs:
             for bc, loc, win, sub in zip(fixup_bcs, fix_dicts, wins,

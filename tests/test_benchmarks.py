@@ -47,36 +47,49 @@ GHIA_V = np.array([
 ])
 
 
-def _ghia_cavity_spec(n: int, u_lid: float, re: float) -> CaseSpec:
+def _ghia_cavity_spec(n: int, u_lid: float, re: float,
+                      lid: str = "nee") -> CaseSpec:
     """Quasi-2D cavity: x is INVARIANT (no x walls; the engine's pulls
     wrap, giving exact periodicity), lid at y=n-2 moving along +z —
-    the true 2D benchmark geometry at nx=4 cost."""
+    the true 2D benchmark geometry at nx=4 cost. lid='bounceback'
+    swaps the NEE lid for a MOVING wall (Ladd bounce-back,
+    CaseSpec.wall_velocity) — anchoring the beyond-reference moving-
+    boundary treatment to the same external table."""
     nx = 4
     mask = np.zeros((nx, n, n), np.int32)
     mask[:, 1:-1, 1:-1] = CellType.WALL
     mask[:, 2:-2, 2:-2] = CellType.FLUID
-    mask[:, n - 2, 1:-1] = CellType.INLET
     nu = u_lid * (n - 4) / re
     tau = 0.5 + 3.0 * nu
-    lid = PlaneBC(
-        mask_value=int(CellType.INLET), axis=1, coord=n - 2, normal=-1,
-        rho_mode="extrapolate", u_mode="fixed", u_value=(0.0, 0.0, u_lid),
-    )
+    wall_velocity = None
+    if lid == "nee":
+        mask[:, n - 2, 1:-1] = CellType.INLET
+        boundaries = [PlaneBC(
+            mask_value=int(CellType.INLET), axis=1, coord=n - 2,
+            normal=-1, rho_mode="extrapolate", u_mode="fixed",
+            u_value=(0.0, 0.0, u_lid),
+        )]
+    else:
+        mask[:, n - 2, 1:-1] = CellType.MOVING
+        boundaries = []
+        wall_velocity = (0.0, 0.0, u_lid)
     u0 = np.zeros((3, nx, n, n), np.float32)
     u0[2, :, n - 1, :] = u_lid
     u0[2, :, n - 2, :] = u_lid
     return CaseSpec(
         name="ghia_cavity", shape=(nx, n, n), tau=tau,
         units=UnitSystem(CH=1.0, C_U=1.0, C_rho=1.0),
-        mask=mask, boundaries=[lid], u0=u0,
+        mask=mask, boundaries=boundaries, u0=u0,
+        wall_velocity=wall_velocity,
         max_steps=200000, time_save=1000, tol=1e-8, stag_max=5,
     )
 
 
 @pytest.mark.slow
-def test_ghia_cavity_re100():
+@pytest.mark.parametrize("lid", ["nee", "bounceback"])
+def test_ghia_cavity_re100(lid):
     n, u_lid, re = 64, 0.1, 100.0
-    spec = _ghia_cavity_spec(n, u_lid, re)
+    spec = _ghia_cavity_spec(n, u_lid, re, lid=lid)
     cc = compile_case(spec)
     step = jax.jit(make_step(cc))
 
