@@ -28,6 +28,7 @@ def build(
     time_save: int = 500,
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
+    mrt_rates=None,
     force=None,
     lid: str = "nee",
 ) -> CaseSpec:
@@ -80,6 +81,7 @@ def build(
         vtk_origin_offset=-1,  # ldc.cu:594: round(NX/2-1)*CH
         collision=collision,
         magic_lambda=magic_lambda,
+        mrt_rates=mrt_rates,
         force=force,
         wall_velocity=wall_velocity,
     )

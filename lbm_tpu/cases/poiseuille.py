@@ -29,6 +29,7 @@ def build(
     time_save: int = 500,
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
+    mrt_rates=None,
     force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
@@ -67,6 +68,7 @@ def build(
         vtk_crops=(2, 2, 2),
         collision=collision,
         magic_lambda=magic_lambda,
+        mrt_rates=mrt_rates,
         force=force,
     )
 

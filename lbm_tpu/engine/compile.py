@@ -82,6 +82,15 @@ class CompiledBC:
     #   without the full (19, nx, ny, nz) nbr_wall array on device
 
 
+def mrt_of(spec: CaseSpec):
+    """(K, KF) f32 matrices for collision='mrt', else (None, None)."""
+    if spec.collision != "mrt":
+        return None, None
+    from lbm_tpu.core.mrt import mrt_matrices
+    k, kf = mrt_matrices(spec.tau, spec.mrt_rates)
+    return k.astype(np.float32), kf.astype(np.float32)
+
+
 def tau_minus_of(spec: CaseSpec) -> Optional[float]:
     """TRT odd-moment relaxation time from the magic parameter, or None
     for BGK. tau_minus = 1/2 + Lambda / (tau - 1/2) (see CaseSpec)."""
@@ -99,6 +108,8 @@ class CompiledCase:
     force: Optional[tuple[float, float, float]]  # Guo body force | None
     wall_velocity: Optional[tuple[float, float, float]]  # MOVING walls
     nbr_moving: Any                  # (19,X,Y,Z) bool jnp | None
+    mrt_k: Any                       # (19,19) f32 np | None => not MRT
+    mrt_kf: Any                      # (19,19) f32 np Guo prefactor | None
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -203,6 +214,7 @@ def compile_case(spec: CaseSpec, light: bool = False,
     fluid = mask == CellType.FLUID
     wall = mask == CellType.WALL
     has_moving = spec.wall_velocity is not None
+    mrt_k, mrt_kf = mrt_of(spec)
     nbr_moving = None
     if light:
         nbr_wall = None
@@ -234,6 +246,8 @@ def compile_case(spec: CaseSpec, light: bool = False,
         force=spec.force,
         wall_velocity=spec.wall_velocity,
         nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
+        mrt_k=mrt_k,
+        mrt_kf=mrt_kf,
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype, has_moving=has_moving)
@@ -247,4 +261,4 @@ def compile_case(spec: CaseSpec, light: bool = False,
 
 
 __all__ = ["CompiledBC", "CompiledCase", "compile_case", "compile_bc",
-           "tau_minus_of"]
+           "tau_minus_of", "mrt_of"]

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbm_tpu.core.lattice import D3Q19, phi
-from lbm_tpu.engine.compile import CompiledBC, compile_bc, tau_minus_of
+from lbm_tpu.engine.compile import (CompiledBC, compile_bc, mrt_of,
+                                    tau_minus_of)
 from lbm_tpu.engine.step import guo_source, half_force_shift, moving_bb_terms
 from lbm_tpu.engine.spec import CaseSpec
 from lbm_tpu.geometry.mask import CellType, compact_index
@@ -61,6 +62,8 @@ class SparseCase:
     tau: float
     tau_minus: Any      # TRT second rate (float) | None => BGK
     force: Any          # Guo body force (3-tuple) | None
+    mrt_k: Any          # (19,19) f32 | None (core/mrt)
+    mrt_kf: Any         # (19,19) f32 | None
     wall_velocity: Any  # MOVING wall velocity (3-tuple) | None
     nbr_moving: Any     # (19, n_pad) bool | None
     fluid: Any          # (n_pad,) bool
@@ -84,6 +87,7 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
     index, n_live = compact_index(mask)
     n_pad = -(-n_live // lane_multiple) * lane_multiple
 
+    mrt_k, mrt_kf = mrt_of(spec)
     live = np.argwhere(mask != CellType.DEAD)  # (N, 3) in x,y,z
     order = np.lexsort((live[:, 0], live[:, 1], live[:, 2]))
     live = live[order]  # compaction order: z-major, x fastest
@@ -167,6 +171,8 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         tau=float(spec.tau),
         tau_minus=tau_minus_of(spec),
         force=spec.force,
+        mrt_k=mrt_k,
+        mrt_kf=mrt_kf,
         wall_velocity=spec.wall_velocity,
         nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         fluid=jnp.asarray(fluid),
@@ -241,7 +247,12 @@ def make_sparse_step(sc: SparseCase) -> Callable:
         mom = half_force_shift(mom, sc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        if hp is None:
+        if sc.mrt_k is not None:
+            fneq = pulled - f_eq
+            f_post = pulled - jnp.tensordot(
+                jnp.asarray(sc.mrt_k), fneq, axes=([1], [0]),
+                precision=jax.lax.Precision.HIGHEST)
+        elif hp is None:
             f_post = pulled - (pulled - f_eq) * inv_tau
         else:
             opp = jnp.asarray(_OPP)
@@ -249,7 +260,8 @@ def make_sparse_step(sc: SparseCase) -> Callable:
                       - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
                       - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
         if sc.force is not None:
-            f_post = f_post + guo_source(u, sc.force, sc.tau, sc.tau_minus)
+            f_post = f_post + guo_source(u, sc.force, sc.tau,
+                                         sc.tau_minus, sc.mrt_kf)
         f_new = jnp.where(sc.fluid[None], f_post, f_s)
         return f_new, rho, u
 

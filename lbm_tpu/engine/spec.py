@@ -84,8 +84,13 @@ class CaseSpec:
     # half-way bounce-back wall EXACTLY at the mid-plane for parallel
     # flows independent of viscosity (Ginzburg/d'Humieres); with
     # Lambda = (tau - 1/2)^2 TRT degenerates to BGK.
-    collision: str = "bgk"               # 'bgk' | 'trt'
+    collision: str = "bgk"               # 'bgk' | 'trt' | 'mrt'
     magic_lambda: float = 0.1875         # TRT magic parameter (3/16)
+    # MRT rate overrides by class ('e', 'eps', 'q', 'pi', 'm'); shear
+    # rows always relax at 1/tau (viscosity), conserved rows at 0. See
+    # core/mrt.py for the basis, defaults, and the BGK/TRT degeneracy
+    # anchors.
+    mrt_rates: Optional[dict] = None
     # Constant body force density (lattice units, momentum added per
     # cell per step), applied with Guo's exact scheme (beyond-reference:
     # README.md:2 states body force/gravity is NOT considered there):
@@ -122,10 +127,12 @@ class CaseSpec:
 
     def __post_init__(self):
         assert self.mask.shape == tuple(self.shape)
-        assert self.collision in ("bgk", "trt")
+        assert self.collision in ("bgk", "trt", "mrt")
         if self.collision == "trt":
             assert self.tau > 0.5, "TRT needs tau > 1/2"
             assert self.magic_lambda > 0.0
+        if self.collision == "mrt":
+            assert self.tau > 0.5, "MRT needs tau > 1/2"
         if self.force is not None:
             self.force = tuple(float(c) for c in self.force)
             assert len(self.force) == 3

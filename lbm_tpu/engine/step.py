@@ -115,7 +115,7 @@ def half_force_shift(mom, force):
     return mom + 0.5 * fv.reshape((3,) + (1,) * (mom.ndim - 1))
 
 
-def guo_source(u, force, tau, tau_minus=None):
+def guo_source(u, force, tau, tau_minus=None, mrt_kf=None):
     """(19, ...) Guo forcing source term with parity-split prefactors.
 
     Raw source G_i = w_i [3 (e_i - u) + 9 (e_i . u) e_i] . F splits into
@@ -136,19 +136,34 @@ def guo_source(u, force, tau, tau_minus=None):
                        precision=jax.lax.Precision.HIGHEST)
     g_even = w_ * (np.float32(9.0) * eu * eF - np.float32(3.0) * uF)
     g_odd = np.float32(3.0) * w_ * eF
+    if mrt_kf is not None:
+        # moment-space prefactor: S = M^T diag((1 - s/2)/d) M G
+        return jnp.tensordot(
+            jnp.asarray(mrt_kf, jnp.float32), g_even + g_odd,
+            axes=([1], [0]), precision=jax.lax.Precision.HIGHEST,
+        )
     cp = np.float32(1.0 - 0.5 / tau)
     cm = cp if tau_minus is None else np.float32(1.0 - 0.5 / tau_minus)
     return cp * g_even + cm * g_odd
 
 
-def collide(pulled, f_eq, tau, tau_minus=None):
+def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None):
     """Post-collision update. BGK (tau_minus=None): relax everything at
     1/tau, dividing like the reference (see make_step's precision note).
     TRT: split each population into even/odd parity halves about its
     bounce-back partner and relax them at 1/tau and 1/tau_minus —
     f' = f - [(f + f_o) - (feq + feq_o)]/(2 tau)
            - [(f - f_o) - (feq - feq_o)]/(2 tau_minus).
-    The rest population (its own partner) reduces exactly to BGK."""
+    The rest population (its own partner) reduces exactly to BGK.
+    MRT (mrt_k = the (19,19) matrix from core/mrt.mrt_matrices):
+    f' = f - K (f - feq) — one tensordot, so the moment-space
+    relaxation runs as a matmul (MXU on TPU)."""
+    if mrt_k is not None:
+        fneq = pulled - f_eq
+        return pulled - jnp.tensordot(
+            jnp.asarray(mrt_k, fneq.dtype), fneq, axes=([1], [0]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if tau_minus is None:
         return pulled - (pulled - f_eq) / tau
     opp = jnp.asarray(_OPP)
@@ -208,9 +223,10 @@ def make_first_step(cc: CompiledCase) -> Callable:
         mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        f_post = collide(pulled, f_eq, tau, cc.tau_minus)
+        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
         if cc.force is not None:
-            f_post = f_post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
+            f_post = f_post + guo_source(u, cc.force, cc.tau,
+                                         cc.tau_minus, cc.mrt_kf)
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 
@@ -247,9 +263,10 @@ def make_step(cc: CompiledCase) -> Callable:
         # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
         # vs the literal transcription). The Pallas kernel keeps the
         # multiply for VPU throughput; cross-backend tests use rtol.
-        f_post = collide(pulled, f_eq, tau, cc.tau_minus)
+        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
         if cc.force is not None:
-            f_post = f_post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
+            f_post = f_post + guo_source(u, cc.force, cc.tau,
+                                         cc.tau_minus, cc.mrt_kf)
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 

@@ -238,7 +238,8 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   gx0=None, gy0=None, bcs_static=(),
                   stx: int | None = None, sty: int | None = None,
                   vs_win=None, pure_zspan=None, bits=False,
-                  vs_scr=None, force=None, wall_velocity=None):
+                  vs_scr=None, force=None, wall_velocity=None,
+                  mrt=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -287,6 +288,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     pure_zspan, vs_win, vs_scr=vs_scr, force=force,
+                    mrt=mrt,
                 )
             else:
                 total = total + _subtile_compute(
@@ -294,7 +296,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     gx0, gy0, bcs_static, vs_win, bits=bits,
                     vs_scr=vs_scr, force=force,
-                    wall_velocity=wall_velocity,
+                    wall_velocity=wall_velocity, mrt=mrt,
                 )
     return total
 
@@ -317,7 +319,8 @@ def _vs_sum(contrib, vs_scr):
 
 
 def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
-                          zspan, vs_win, vs_scr=None, force=None):
+                          zspan, vs_win, vs_scr=None, force=None,
+                          mrt=None):
     """Fast path for statically-classified PURE tiles (classify_tiles):
     every column of the tile's input region is the standard z-slab
     [DEAD.., WALL, FLUID x (zf1-zf0+1), WALL, DEAD..] with one common
@@ -385,19 +388,64 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
-    f0 = vals[0]
-    feq0 = rho * np.float32(_W[0]) * common
-    post_0 = f0 - (f0 - feq0) * inv_tau
-    if force is not None:
-        post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
-    ot[oxs, oys, 0, :] = jnp.where(z_fluid, post_0, f0).astype(odt)
+    if mrt is not None:
+        # MRT rank-structured collide (see _subtile_compute).
+        rows_m, coefs_m = mrt
+        feqs_m = [None] * 19
+        feqs_m[0] = rho * np.float32(_W[0]) * common
+        for i in range(1, 19):
+            o = int(_OPP[i])
+            if o < i:
+                continue
+            ex, ey, ez = (int(c) for c in _E[i])
+            cu = jnp.zeros_like(ux)
+            if ex:
+                cu = cu + ux if ex > 0 else cu - ux
+            if ey:
+                cu = cu + uy if ey > 0 else cu - uy
+            if ez:
+                cu = cu + uz if ez > 0 else cu - uz
+            w = np.float32(_W[i])
+            ev = rho * (w * (common + np.float32(4.5) * cu * cu))
+            od = rho * (w * np.float32(3.0)) * cu
+            feqs_m[i] = ev + od
+            feqs_m[o] = ev - od
+        fneqs_m = [vals[i] - feqs_m[i] for i in range(19)]
+        moms_m = []
+        for r_row, c_r in zip(rows_m, coefs_m):
+            acc = None
+            for j in range(19):
+                a = float(r_row[j])
+                if a == 0.0:
+                    continue
+                term = fneqs_m[j] if a == 1.0 else (
+                    np.float32(a) * fneqs_m[j])
+                acc = term if acc is None else acc + term
+            moms_m.append(np.float32(c_r) * acc)
+        for i in range(19):
+            out_v = vals[i] - inv_tau * fneqs_m[i]
+            for r_row, mv in zip(rows_m, moms_m):
+                a = float(r_row[i])
+                if a != 0.0:
+                    out_v = out_v + (mv if a == 1.0 else
+                                     np.float32(a) * mv)
+            ot[oxs, oys, i, :] = jnp.where(
+                z_fluid, out_v, ft[cx, cy, i, :]
+            ).astype(odt)
+    else:
+        f0 = vals[0]
+        feq0 = rho * np.float32(_W[0]) * common
+        post_0 = f0 - (f0 - feq0) * inv_tau
+        if force is not None:
+            post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
+        ot[oxs, oys, 0, :] = jnp.where(z_fluid, post_0, f0).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     if inv_tau_m is not None:  # TRT parity split (see _subtile_compute)
         rho_tau_m = rho * inv_tau_m
         hp = np.float32(0.5 * float(inv_tau))
         hm = np.float32(0.5 * float(inv_tau_m))
-    for i in range(1, 19):
+    for i in range(1, 19) if mrt is None else ():
         o = int(_OPP[i])
         if o < i:
             continue
@@ -461,7 +509,8 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                      gx0, gy0, bcs_static, vs_win, bits=False,
-                     vs_scr=None, force=None, wall_velocity=None):
+                     vs_scr=None, force=None, wall_velocity=None,
+                     mrt=None):
     # Storage may be bf16 (pack_state dtype=): every pdf load widens to
     # fp32 (_f32), collision runs in fp32, stores narrow to ot's dtype
     # (_st). Both casts are no-ops for f32 storage. Mask-channel values
@@ -567,12 +616,59 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
-    f0 = vals[0]
-    feq0 = rho * np.float32(_W[0]) * common
-    post_0 = f0 - (f0 - feq0) * inv_tau
-    if force is not None:
-        post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
-    ot[oxs, oys, 0, :] = jnp.where(is_fluid, post_0, f0).astype(odt)
+    if mrt is not None:
+        # MRT (core/mrt.mrt_rank_update): BGK relax at s_nu = 1/tau plus
+        # <=10 static moment-projection rank-1 updates. feq per
+        # direction still comes from the shared pair terms.
+        rows_m, coefs_m = mrt
+        feqs_m = [None] * 19
+        feqs_m[0] = rho * np.float32(_W[0]) * common
+        for i in range(1, 19):
+            o = int(_OPP[i])
+            if o < i:
+                continue
+            ex, ey, ez = (int(c) for c in _E[i])
+            cu = jnp.zeros_like(ux)
+            if ex:
+                cu = cu + ux if ex > 0 else cu - ux
+            if ey:
+                cu = cu + uy if ey > 0 else cu - uy
+            if ez:
+                cu = cu + uz if ez > 0 else cu - uz
+            w = np.float32(_W[i])
+            ev = rho * (w * (common + np.float32(4.5) * cu * cu))
+            od = rho * (w * np.float32(3.0)) * cu
+            feqs_m[i] = ev + od
+            feqs_m[o] = ev - od
+        fneqs_m = [vals[i] - feqs_m[i] for i in range(19)]
+        moms_m = []
+        for r_row, c_r in zip(rows_m, coefs_m):
+            acc = None
+            for j in range(19):
+                a = float(r_row[j])
+                if a == 0.0:
+                    continue
+                term = fneqs_m[j] if a == 1.0 else (
+                    np.float32(a) * fneqs_m[j])
+                acc = term if acc is None else acc + term
+            moms_m.append(np.float32(c_r) * acc)
+        for i in range(19):
+            out_v = vals[i] - inv_tau * fneqs_m[i]
+            for r_row, mv in zip(rows_m, moms_m):
+                a = float(r_row[i])
+                if a != 0.0:
+                    out_v = out_v + (mv if a == 1.0 else
+                                     np.float32(a) * mv)
+            ot[oxs, oys, i, :] = jnp.where(
+                is_fluid, out_v, ft[cx, cy, i, :]
+            ).astype(odt)
+    if mrt is None:
+        f0 = vals[0]
+        feq0 = rho * np.float32(_W[0]) * common
+        post_0 = f0 - (f0 - feq0) * inv_tau
+        if force is not None:
+            post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
+        ot[oxs, oys, 0, :] = jnp.where(is_fluid, post_0, f0).astype(odt)
     rho_tau = rho * inv_tau
     keep = np.float32(1.0) - inv_tau
     if inv_tau_m is not None:
@@ -582,7 +678,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         rho_tau_m = rho * inv_tau_m
         hp = np.float32(0.5 * float(inv_tau))
         hm = np.float32(0.5 * float(inv_tau_m))
-    for i in range(1, 19):
+    for i in range(1, 19) if mrt is None else ():
         o = int(_OPP[i])
         if o < i:
             continue  # handled with its partner
@@ -660,7 +756,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 
 def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
-             vs_scr=None, force=None, wall_velocity=None):
+             vs_scr=None, force=None, wall_velocity=None, mrt=None):
     """Recompute ONE consumer-plane row of a tile with the NEE boundary
     applied, and overwrite it in the output tile. Runs only for tiles
     intersecting the plane (under pl.when in the kernel), so the whole
@@ -823,10 +919,32 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
+    moms_m = None
+    if mrt is not None:  # MRT rank update (see _subtile_compute)
+        rows_m, coefs_m = mrt
+        fneqs_m = [pulls[i] - feqs[i] for i in range(19)]
+        moms_m = []
+        for r_row, c_r in zip(rows_m, coefs_m):
+            acc = None
+            for j in range(19):
+                a_ = float(r_row[j])
+                if a_ == 0.0:
+                    continue
+                term = fneqs_m[j] if a_ == 1.0 else (
+                    np.float32(a_) * fneqs_m[j])
+                acc = term if acc is None else acc + term
+            moms_m.append(np.float32(c_r) * acc)
     outs = []
     for i in range(19):
         v = pulls[i]
-        if inv_tau_m is None:
+        if mrt is not None:
+            post = v - inv_tau * fneqs_m[i]
+            for r_row, mv in zip(rows_m, moms_m):
+                a_ = float(r_row[i])
+                if a_ != 0.0:
+                    post = post + (mv if a_ == 1.0 else
+                                   np.float32(a_) * mv)
+        elif inv_tau_m is None:
             post = v - (v - feqs[i]) * inv_tau
         else:  # TRT parity split (engine/step.collide semantics)
             o = int(_OPP[i])
@@ -883,7 +1001,7 @@ def _kernel(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     has_seam: bool = False, bits: bool = False, bounce: bool = False,
-    force=None, wall_velocity=None,
+    force=None, wall_velocity=None, mrt=None,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -1067,7 +1185,7 @@ def _kernel(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
-            wall_velocity=wall_velocity,
+            wall_velocity=wall_velocity, mrt=mrt,
         )
         acc[0] = acc[0] + vs
 
@@ -1087,7 +1205,7 @@ def _kernel(
                 dv = _row_fix(
                     ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau,
                     vs_scr=vs_scr, force=force,
-                    wall_velocity=wall_velocity,
+                    wall_velocity=wall_velocity, mrt=mrt,
                 )
                 acc[0] = acc[0] + dv
 
@@ -1095,7 +1213,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
-            force=force,
+            force=force, mrt=mrt,
         )
         acc[0] = acc[0] + vs
 
@@ -1250,7 +1368,7 @@ def _kernel2(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     bits: bool = False, bounce: bool = False, force=None,
-    wall_velocity=None,
+    wall_velocity=None, mrt=None,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -1314,7 +1432,7 @@ def _kernel2(
             def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_, n_=n_):
                 dv = _row_fix(
                     src, dst, bc_, nee_, r_, lat0_, tau, force=force,
-                    wall_velocity=wall_velocity,
+                    wall_velocity=wall_velocity, mrt=mrt,
                     vs_lat=((1, (nlim[1] if bc_.axis == 0 else nlim[0]) - 1)
                             if owned else None),
                     vs_scr=vs_scr,
@@ -1334,7 +1452,7 @@ def _kernel2(
             gx0=g1x, gy0=g1y, bcs_static=bcs_static,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
             bits=bits, vs_scr=vs_scr, force=force,
-            wall_velocity=wall_velocity,
+            wall_velocity=wall_velocity, mrt=mrt,
         )
         acc[0] = acc[0] + vs1
         row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
@@ -1345,7 +1463,7 @@ def _kernel2(
             mt, ot.at[slot], tau, tx, ty,
             gx0=g2x, gy0=g2y, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
-            wall_velocity=wall_velocity,
+            wall_velocity=wall_velocity, mrt=mrt,
         )
         acc[1] = acc[1] + vs2
         row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
@@ -1355,13 +1473,13 @@ def _kernel2(
         vs1 = _tile_compute(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
-            pure_zspan=zspan, vs_scr=vs_scr, force=force,
+            pure_zspan=zspan, vs_scr=vs_scr, force=force, mrt=mrt,
         )
         acc[0] = acc[0] + vs1
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
             stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
-            force=force,
+            force=force, mrt=mrt,
         )
         acc[1] = acc[1] + vs2
 
@@ -1437,13 +1555,14 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
     static_argnames=("tau", "tx", "ty", "bcs_static", "halo_axis",
                      "interpret", "stx", "sty", "ring", "n_live",
                      "in_place", "pure", "zspan", "has_prev",
-                     "has_seam", "bits", "force", "wall_velocity"),
+                     "has_seam", "bits", "force", "wall_velocity",
+                     "mrt"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
                  zspan=(0, -1), has_prev=False, has_seam=False,
-                 bits=False, force=None, wall_velocity=None):
+                 bits=False, force=None, wall_velocity=None, mrt=None):
     """extra = [*nee_tables][, tile id list][, prev_out][, seam]
     [, lo, hi].
 
@@ -1485,6 +1604,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         pure=pure, zspan=zspan, has_prev=has_prev,
         has_seam=has_seam, bits=bits,
         bounce=bounce, force=force, wall_velocity=wall_velocity,
+        mrt=mrt,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError(
@@ -1556,12 +1676,12 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
                      "stx", "sty", "n_live", "pure", "zspan", "has_prev",
-                     "bits", "force", "wall_velocity"),
+                     "bits", "force", "wall_velocity", "mrt"),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
                   pure=False, zspan=(0, -1), has_prev=False, bits=False,
-                  force=None, wall_velocity=None):
+                  force=None, wall_velocity=None, mrt=None):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
     [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
     has_prev: pure/mixed split as in _pallas_bulk. Returns
@@ -1577,7 +1697,7 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         ntiles=n_live, skip=skip, in_place=sparse,
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
         bounce=p.dtype != jnp.float32, force=force,
-        wall_velocity=wall_velocity,
+        wall_velocity=wall_velocity, mrt=mrt,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError("bits=True needs an f32 bits-packed state "
@@ -1780,9 +1900,10 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     mom = half_force_shift(mom, cc.force)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     feq = rho[None] * phi(u)
-    post = collide(pulled, feq, cc.tau, cc.tau_minus)
+    post = collide(pulled, feq, cc.tau, cc.tau_minus, cc.mrt_k)
     if cc.force is not None:
-        post = post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
+        post = post + guo_source(u, cc.force, cc.tau, cc.tau_minus,
+                                 cc.mrt_kf)
     vs_after = speed_sum(pulled)
     newplane = jnp.where(fluid_pl[None], post, src_plane)
     # Write the window interior only (border ring may be wrap-corrupted).
@@ -2285,6 +2406,16 @@ def make_pallas_step(
         tau = (tau, float(cc_pad.tau_minus))
     force = cc_pad.force  # static 3-tuple (Guo body force) or None
     wall_velocity = cc_pad.wall_velocity  # static 3-tuple or None
+    mrt = None
+    if cc_pad.mrt_k is not None:
+        if force is not None:
+            raise ValueError(
+                "MRT + body force needs the moment-space source matmul "
+                "— run it on the xla/sparse backends (the kernel "
+                "supports MRT without force)")
+        from lbm_tpu.core.mrt import mrt_rank_update
+        spec0 = cc_pad.spec
+        mrt = mrt_rank_update(float(cc_pad.tau), spec0.mrt_rates)
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
@@ -2366,13 +2497,13 @@ def make_pallas_step(
                     p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
                     interpret=interpret, stx=stx, sty=sty,
                     n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
-                    force=force,
+                    force=force, mrt=mrt,
                 )
                 out, vs_b = _pallas_bulk2(
                     p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                     bcs_static=bcs_static, interpret=interpret,
                     stx=stx, sty=sty, n_live=int(mixed_ids.shape[0]),
-                    has_prev=True, bits=bits, force=force, wall_velocity=wall_velocity,
+                    has_prev=True, bits=bits, force=force, wall_velocity=wall_velocity, mrt=mrt,
                 )
                 return out, vs_a + vs_b
             if tids is not None:
@@ -2380,7 +2511,7 @@ def make_pallas_step(
             return _pallas_bulk2(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, n_live=n_live,
-                bits=bits, force=force, wall_velocity=wall_velocity,
+                bits=bits, force=force, wall_velocity=wall_velocity, mrt=mrt,
             )
 
         return step
@@ -2428,14 +2559,14 @@ def make_pallas_step(
                 p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
-                force=force,
+                force=force, mrt=mrt,
             )
             p_bulk, vs_b = _pallas_bulk(
                 p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                 bcs_static=bcs_static, interpret=interpret,
                 stx=stx, sty=sty, ring=ring,
                 n_live=int(mixed_ids.shape[0]), has_prev=True, bits=bits,
-                force=force, wall_velocity=wall_velocity,
+                force=force, wall_velocity=wall_velocity, mrt=mrt,
             )
             vs = vs_a + vs_b
         else:
@@ -2444,7 +2575,7 @@ def make_pallas_step(
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=n_live, bits=bits,
                 in_place=True if in_place else None,
-                has_seam=need_seam, force=force, wall_velocity=wall_velocity,
+                has_seam=need_seam, force=force, wall_velocity=wall_velocity, mrt=mrt,
             )
         k = 0
         for bc, win in zip(fixup_bcs, wins):

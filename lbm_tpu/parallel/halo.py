@@ -161,7 +161,12 @@ def make_halo_step(
         mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        if cc.tau_minus is None:
+        if cc.mrt_k is not None:
+            fneq = pulled - f_eq
+            f_post = pulled - jnp.tensordot(
+                jnp.asarray(cc.mrt_k), fneq, axes=([1], [0]),
+                precision=jax.lax.Precision.HIGHEST)
+        elif cc.tau_minus is None:
             f_post = pulled - (pulled - f_eq) * inv_tau
         else:  # TRT parity split (engine/step.collide semantics)
             opp = jnp.asarray(D3Q19.OPP)
@@ -171,7 +176,8 @@ def make_halo_step(
                       - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
                       - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
         if cc.force is not None:
-            f_post = f_post + guo_source(u, cc.force, cc.tau, cc.tau_minus)
+            f_post = f_post + guo_source(u, cc.force, cc.tau,
+                                         cc.tau_minus, cc.mrt_kf)
         f_new = jnp.where(fluid[None], f_post, f)
         return f_new, rho, u
 

@@ -296,6 +296,13 @@ def make_pallas_sharded_step(
         tau = (tau, float(cc_pad.tau_minus))
     force = cc_pad.force  # static 3-tuple (Guo body force) or None
     wall_velocity = cc_pad.wall_velocity  # static 3-tuple or None
+    mrt = None
+    if cc_pad.mrt_k is not None:
+        if force is not None:
+            raise ValueError("MRT + body force: use the xla backend "
+                             "under the mesh (see make_pallas_step)")
+        from lbm_tpu.core.mrt import mrt_rank_update
+        mrt = mrt_rank_update(float(cc_pad.tau), cc_pad.spec.mrt_rates)
 
     # Per-shard block-sparse tile lists (see shard_tile_lists).
     tids_all = None
@@ -436,7 +443,7 @@ def make_pallas_sharded_step(
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
             n_live=n_max, in_place=in_place, has_seam=need_seam,
-            force=force, wall_velocity=wall_velocity,
+            force=force, wall_velocity=wall_velocity, mrt=mrt,
         )
         if fixup_bcs:
             for bc, loc, win, sub in zip(fixup_bcs, fix_dicts, wins,
