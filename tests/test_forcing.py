@@ -89,6 +89,7 @@ def test_forced_pallas_matches_dense(collision):
     )
 
 
+@pytest.mark.slow  # fuse2 interpret traces dominate the fast suite; BGK fuse2 stays fast via the runner odd-chunk test
 def test_forced_pallas_fuse2_matches_dense():
     spec = pad_spec(dataclasses.replace(
         get_case("lid_driven_cavity", n=16), force=(1e-5, 0.0, 2e-5)),

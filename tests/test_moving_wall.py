@@ -104,6 +104,7 @@ def test_bb_lid_pallas_matches_dense(kwargs):
     )
 
 
+@pytest.mark.slow  # fuse2 interpret traces dominate the fast suite; BGK fuse2 stays fast via the runner odd-chunk test
 def test_bb_lid_pallas_fuse2_matches_dense():
     spec = pad_spec(get_case("lid_driven_cavity", n=16, lid="bounceback"),
                     halo=2)

@@ -107,6 +107,7 @@ def test_trt_pallas_matches_dense(case_name, kwargs):
     )
 
 
+@pytest.mark.slow  # fuse2 interpret traces dominate the fast suite; BGK fuse2 stays fast via the runner odd-chunk test
 def test_trt_pallas_fuse2_matches_dense():
     spec = pad_spec(get_case("lid_driven_cavity", n=16, collision="trt"),
                     halo=2)
