@@ -57,6 +57,10 @@ def build(
     strict_reference: bool = False,
     max_steps: int = 4400,
     time_save: int = 4400,
+    collision: str = "bgk",
+    magic_lambda: float = 0.1875,
+    mrt_rates=None,
+    force=None,
 ) -> CaseSpec:
     nx, ny, nz = SHAPE
     units = UnitSystem(CH=0.000248925, C_U=0.24159041, C_rho=998.2)
@@ -88,6 +92,10 @@ def build(
     u0[1, :, 1, :] = np.where(live[:, 1, :], inlet_map, 0.0)
     u0[1, :, ny - 2, :] = np.where(live[:, ny - 2, :], outlet_map, 0.0)
     return CaseSpec(
+        collision=collision,
+        magic_lambda=magic_lambda,
+        mrt_rates=mrt_rates,
+        force=force,
         name="bifurcation",
         shape=SHAPE,
         tau=tau,

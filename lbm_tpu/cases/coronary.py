@@ -114,6 +114,10 @@ def build(
     # synthetic-geometry knobs (used when geo_path is None):
     shape: tuple[int, int, int] = (128, 64, 96),
     radius: int = 10,
+    collision: str = "bgk",
+    magic_lambda: float = 0.1875,
+    mrt_rates=None,
+    force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     if geo_path is not None:
@@ -153,6 +157,10 @@ def build(
     for label in (5, 6, 7):
         u0[2][mask == label] = 0.02 / C_U
     return CaseSpec(
+        collision=collision,
+        magic_lambda=magic_lambda,
+        mrt_rates=mrt_rates,
+        force=force,
         name="coronary",
         shape=tuple(shape),
         tau=tau,

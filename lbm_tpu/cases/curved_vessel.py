@@ -38,6 +38,10 @@ def build(
     period_steps: int = 2000,
     max_steps: int = 20000,
     time_save: int = 500,
+    collision: str = "bgk",
+    magic_lambda: float = 0.1875,
+    mrt_rates=None,
+    force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_max_phys / C_U
@@ -72,6 +76,10 @@ def build(
     live = mask != CellType.DEAD
     u0[1, :, 1, :] = np.where(live[:, 1, :], series[0, 1], 0.0)
     return CaseSpec(
+        collision=collision,
+        magic_lambda=magic_lambda,
+        mrt_rates=mrt_rates,
+        force=force,
         name="curved_vessel",
         shape=(n, n, n),
         tau=tau,

@@ -30,6 +30,7 @@ def build(
     fz: float = 1e-5,
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
+    mrt_rates=None,
     CH: float = 0.0000655737,
     C_U: float = 2.4705,
     max_steps: int = 20000,
@@ -49,6 +50,7 @@ def build(
         force=(0.0, 0.0, fz),
         collision=collision,
         magic_lambda=magic_lambda,
+        mrt_rates=mrt_rates,
         max_steps=max_steps,
         time_save=time_save,
         tol=1e-6,

@@ -94,6 +94,11 @@ class Simulation:
                 # fall back to the dense GSPMD/halo path for cases whose
                 # only BC-free axis is z (curved_vessel).
                 backend = "xla"
+            if (backend == "pallas" and spec.collision == "mrt"
+                    and spec.force is not None):
+                # The kernel refuses MRT + Guo force (moment-space source
+                # matmul); the dense backend takes both as tensordots.
+                backend = "xla"
         if backend == "pallas" and mesh is not None and shard_axis == 2:
             raise ValueError(
                 "backend='pallas' cannot shard along z (the packed layout "
