@@ -389,14 +389,21 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
     if mrt is not None:
-        # MRT rank-structured collide (see _subtile_compute).
+        # MRT (core/mrt.mrt_rank_update) in PARITY-PAIRED form: basis
+        # rows have definite parity, so even rows consume only the 9
+        # pair SUMS of f_neq (+ the rest), odd rows only the 9 pair
+        # DIFFS, and the scatter back shares one even/odd accumulator
+        # per pair — roughly half the FMAs of the naive 19x19 walk
+        # (measured 1250 -> see PARITY for the current number).
         rows_m, coefs_m = mrt
-        feqs_m = [None] * 19
-        feqs_m[0] = rho * np.float32(_W[0]) * common
-        for i in range(1, 19):
-            o = int(_OPP[i])
-            if o < i:
-                continue
+        pairs_m = [(i, int(_OPP[i])) for i in range(1, 19)
+                   if int(_OPP[i]) > i]
+        feq0_m = rho * np.float32(_W[0]) * common
+        fneq0_m = vals[0] - feq0_m
+        base_m = [None] * 19
+        base_m[0] = vals[0] - inv_tau * fneq0_m
+        s_m, d_m = {}, {}
+        for i, o in pairs_m:
             ex, ey, ez = (int(c) for c in _E[i])
             cu = jnp.zeros_like(ux)
             if ex:
@@ -408,29 +415,62 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             w = np.float32(_W[i])
             ev = rho * (w * (common + np.float32(4.5) * cu * cu))
             od = rho * (w * np.float32(3.0)) * cu
-            feqs_m[i] = ev + od
-            feqs_m[o] = ev - od
-        fneqs_m = [vals[i] - feqs_m[i] for i in range(19)]
-        moms_m = []
+            fni = vals[i] - (ev + od)
+            fno = vals[o] - (ev - od)
+            s_m[i] = fni + fno
+            d_m[i] = fni - fno
+            base_m[i] = vals[i] - inv_tau * fni
+            base_m[o] = vals[o] - inv_tau * fno
+        movs_m = []  # (is_even, mv, row)
         for r_row, c_r in zip(rows_m, coefs_m):
+            is_even = all(
+                abs(r_row[j] - r_row[int(_OPP[j])]) < 1e-9
+                for j in range(19))
             acc = None
-            for j in range(19):
-                a = float(r_row[j])
+            if is_even and r_row[0] != 0.0:
+                acc = (fneq0_m if r_row[0] == 1.0
+                       else np.float32(r_row[0]) * fneq0_m)
+            for i, o in pairs_m:
+                a = float(r_row[i])
                 if a == 0.0:
                     continue
-                term = fneqs_m[j] if a == 1.0 else (
-                    np.float32(a) * fneqs_m[j])
+                src_v = s_m[i] if is_even else d_m[i]
+                term = src_v if a == 1.0 else np.float32(a) * src_v
                 acc = term if acc is None else acc + term
-            moms_m.append(np.float32(c_r) * acc)
-        for i in range(19):
-            out_v = vals[i] - inv_tau * fneqs_m[i]
-            for r_row, mv in zip(rows_m, moms_m):
+            movs_m.append((is_even, np.float32(c_r) * acc, r_row))
+        out0 = base_m[0]
+        for is_even, mv, r_row in movs_m:
+            if is_even and r_row[0] != 0.0:
+                out0 = out0 + (mv if r_row[0] == 1.0
+                               else np.float32(r_row[0]) * mv)
+        ot[oxs, oys, 0, :] = jnp.where(
+            z_fluid, out0, ft[cx, cy, 0, :]
+        ).astype(odt)
+        for i, o in pairs_m:
+            ev_acc = None
+            od_acc = None
+            for is_even, mv, r_row in movs_m:
                 a = float(r_row[i])
-                if a != 0.0:
-                    out_v = out_v + (mv if a == 1.0 else
-                                     np.float32(a) * mv)
+                if a == 0.0:
+                    continue
+                term = mv if a == 1.0 else np.float32(a) * mv
+                if is_even:
+                    ev_acc = term if ev_acc is None else ev_acc + term
+                else:
+                    od_acc = term if od_acc is None else od_acc + term
+            out_i = base_m[i]
+            out_o = base_m[o]
+            if ev_acc is not None:
+                out_i = out_i + ev_acc
+                out_o = out_o + ev_acc
+            if od_acc is not None:
+                out_i = out_i + od_acc
+                out_o = out_o - od_acc
             ot[oxs, oys, i, :] = jnp.where(
-                z_fluid, out_v, ft[cx, cy, i, :]
+                z_fluid, out_i, ft[cx, cy, i, :]
+            ).astype(odt)
+            ot[oxs, oys, o, :] = jnp.where(
+                z_fluid, out_o, ft[cx, cy, o, :]
             ).astype(odt)
     else:
         f0 = vals[0]
@@ -617,16 +657,21 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
     if mrt is not None:
-        # MRT (core/mrt.mrt_rank_update): BGK relax at s_nu = 1/tau plus
-        # <=10 static moment-projection rank-1 updates. feq per
-        # direction still comes from the shared pair terms.
+        # MRT (core/mrt.mrt_rank_update) in PARITY-PAIRED form: basis
+        # rows have definite parity, so even rows consume only the 9
+        # pair SUMS of f_neq (+ the rest), odd rows only the 9 pair
+        # DIFFS, and the scatter back shares one even/odd accumulator
+        # per pair — roughly half the FMAs of the naive 19x19 walk
+        # (measured 1250 -> see PARITY for the current number).
         rows_m, coefs_m = mrt
-        feqs_m = [None] * 19
-        feqs_m[0] = rho * np.float32(_W[0]) * common
-        for i in range(1, 19):
-            o = int(_OPP[i])
-            if o < i:
-                continue
+        pairs_m = [(i, int(_OPP[i])) for i in range(1, 19)
+                   if int(_OPP[i]) > i]
+        feq0_m = rho * np.float32(_W[0]) * common
+        fneq0_m = vals[0] - feq0_m
+        base_m = [None] * 19
+        base_m[0] = vals[0] - inv_tau * fneq0_m
+        s_m, d_m = {}, {}
+        for i, o in pairs_m:
             ex, ey, ez = (int(c) for c in _E[i])
             cu = jnp.zeros_like(ux)
             if ex:
@@ -638,29 +683,62 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             w = np.float32(_W[i])
             ev = rho * (w * (common + np.float32(4.5) * cu * cu))
             od = rho * (w * np.float32(3.0)) * cu
-            feqs_m[i] = ev + od
-            feqs_m[o] = ev - od
-        fneqs_m = [vals[i] - feqs_m[i] for i in range(19)]
-        moms_m = []
+            fni = vals[i] - (ev + od)
+            fno = vals[o] - (ev - od)
+            s_m[i] = fni + fno
+            d_m[i] = fni - fno
+            base_m[i] = vals[i] - inv_tau * fni
+            base_m[o] = vals[o] - inv_tau * fno
+        movs_m = []  # (is_even, mv, row)
         for r_row, c_r in zip(rows_m, coefs_m):
+            is_even = all(
+                abs(r_row[j] - r_row[int(_OPP[j])]) < 1e-9
+                for j in range(19))
             acc = None
-            for j in range(19):
-                a = float(r_row[j])
+            if is_even and r_row[0] != 0.0:
+                acc = (fneq0_m if r_row[0] == 1.0
+                       else np.float32(r_row[0]) * fneq0_m)
+            for i, o in pairs_m:
+                a = float(r_row[i])
                 if a == 0.0:
                     continue
-                term = fneqs_m[j] if a == 1.0 else (
-                    np.float32(a) * fneqs_m[j])
+                src_v = s_m[i] if is_even else d_m[i]
+                term = src_v if a == 1.0 else np.float32(a) * src_v
                 acc = term if acc is None else acc + term
-            moms_m.append(np.float32(c_r) * acc)
-        for i in range(19):
-            out_v = vals[i] - inv_tau * fneqs_m[i]
-            for r_row, mv in zip(rows_m, moms_m):
+            movs_m.append((is_even, np.float32(c_r) * acc, r_row))
+        out0 = base_m[0]
+        for is_even, mv, r_row in movs_m:
+            if is_even and r_row[0] != 0.0:
+                out0 = out0 + (mv if r_row[0] == 1.0
+                               else np.float32(r_row[0]) * mv)
+        ot[oxs, oys, 0, :] = jnp.where(
+            is_fluid, out0, ft[cx, cy, 0, :]
+        ).astype(odt)
+        for i, o in pairs_m:
+            ev_acc = None
+            od_acc = None
+            for is_even, mv, r_row in movs_m:
                 a = float(r_row[i])
-                if a != 0.0:
-                    out_v = out_v + (mv if a == 1.0 else
-                                     np.float32(a) * mv)
+                if a == 0.0:
+                    continue
+                term = mv if a == 1.0 else np.float32(a) * mv
+                if is_even:
+                    ev_acc = term if ev_acc is None else ev_acc + term
+                else:
+                    od_acc = term if od_acc is None else od_acc + term
+            out_i = base_m[i]
+            out_o = base_m[o]
+            if ev_acc is not None:
+                out_i = out_i + ev_acc
+                out_o = out_o + ev_acc
+            if od_acc is not None:
+                out_i = out_i + od_acc
+                out_o = out_o - od_acc
             ot[oxs, oys, i, :] = jnp.where(
-                is_fluid, out_v, ft[cx, cy, i, :]
+                is_fluid, out_i, ft[cx, cy, i, :]
+            ).astype(odt)
+            ot[oxs, oys, o, :] = jnp.where(
+                is_fluid, out_o, ft[cx, cy, o, :]
             ).astype(odt)
     if mrt is None:
         f0 = vals[0]

@@ -239,6 +239,26 @@ def test_trt_magic_wall_placement_beats_bgk():
     )
 
 
+def test_trt_series_bc_pallas_matches_dense():
+    """Pulsatile (u_mode='series') NEE under TRT on the kernel path —
+    closes the BC-mode x operator matrix (fixed/field/extrapolate/z
+    are covered above)."""
+    spec = pad_spec(get_case("curved_vessel", n=24, nphase=2,
+                             period_steps=4, collision="trt"))
+    cc = compile_case(spec)
+    f0 = initial_f(cc)
+    f_ref = _dense_run(cc, f0, 5)
+    step = jax.jit(make_pallas_step(cc, interpret=True))
+    p = pack_state(f0, jnp.asarray(np.asarray(cc.spec.mask)))
+    for t in range(5):
+        p, _ = step(p, jnp.int32(t))
+    f = np.asarray(unpack_state(p))
+    interior = (slice(None), slice(1, -1), slice(1, -1), slice(None))
+    np.testing.assert_allclose(
+        f[interior], f_ref[interior], rtol=3e-6, atol=1e-7
+    )
+
+
 @pytest.mark.slow
 def test_trt_magic_lambda_stability_tradeoff():
     """Characterization: the accuracy-oriented default Lambda = 3/16 at
