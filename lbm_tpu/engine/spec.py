@@ -94,9 +94,10 @@ class CaseSpec:
     # Constant body force density (lattice units, momentum added per
     # cell per step), applied with Guo's exact scheme (beyond-reference:
     # README.md:2 states body force/gravity is NOT considered there):
-    # u = (sum e_i f_i + F/2)/rho, and a parity-split source term whose
-    # even/odd parts carry the (1 - 1/(2 tau^{+/-})) prefactors, so it
-    # composes exactly with both BGK and TRT. None => no forcing (the
+    # u = (sum e_i f_i + F/2)/rho, and a source term carrying
+    # (1 - rate/2) of each moment's own relaxation rate — parity-split
+    # for BGK/TRT, the moment-space matrix KF for MRT — so it composes
+    # exactly with every collision operator. None => no forcing (the
     # force-free code path is bit-identical to before).
     force: Optional[tuple[float, float, float]] = None
     # Velocity (lattice units) of MOVING-labeled wall cells

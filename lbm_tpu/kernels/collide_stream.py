@@ -483,8 +483,13 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     keep = np.float32(1.0) - inv_tau
     if inv_tau_m is not None:  # TRT parity split (see _subtile_compute)
         rho_tau_m = rho * inv_tau_m
-        hp = np.float32(0.5 * float(inv_tau))
-        hm = np.float32(0.5 * float(inv_tau_m))
+        # f' = a f_i + b f_o + even + odd with STATIC a = 1-hp-hm,
+        # b = hm-hp (the parity split distributed over the pair) —
+        # same op count as BGK plus one FMA.
+        hp = 0.5 * float(inv_tau)
+        hm = 0.5 * float(inv_tau_m)
+        keep_a = np.float32(1.0 - hp - hm)
+        keep_b = np.float32(hm - hp)
     for i in range(1, 19) if mrt is None else ():
         o = int(_OPP[i])
         if o < i:
@@ -505,10 +510,8 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             post_o = vals[o] * keep + even - odd
         else:
             odd = rho_tau_m * (w * np.float32(3.0)) * cu
-            s = vals[i] + vals[o]
-            d = vals[i] - vals[o]
-            post_i = vals[i] - hp * s - hm * d + even + odd
-            post_o = vals[o] - hp * s + hm * d + even - odd
+            post_i = keep_a * vals[i] + keep_b * vals[o] + even + odd
+            post_o = keep_a * vals[o] + keep_b * vals[i] + even - odd
         if force is not None:
             eF = float(_E[i].astype(np.float64) @ np.asarray(force))
             se = np.float32(-3.0 * cp_f * w) * uF
@@ -754,8 +757,13 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         # even/odd equilibrium terms, so the parity split costs only
         # the two pair sums + two extra FMAs per pair.
         rho_tau_m = rho * inv_tau_m
-        hp = np.float32(0.5 * float(inv_tau))
-        hm = np.float32(0.5 * float(inv_tau_m))
+        # f' = a f_i + b f_o + even + odd with STATIC a = 1-hp-hm,
+        # b = hm-hp (the parity split distributed over the pair) —
+        # same op count as BGK plus one FMA.
+        hp = 0.5 * float(inv_tau)
+        hm = 0.5 * float(inv_tau_m)
+        keep_a = np.float32(1.0 - hp - hm)
+        keep_b = np.float32(hm - hp)
     for i in range(1, 19) if mrt is None else ():
         o = int(_OPP[i])
         if o < i:
@@ -776,10 +784,8 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             post_o = vals[o] * keep + even - odd
         else:
             odd = rho_tau_m * (w * np.float32(3.0)) * cu
-            s = vals[i] + vals[o]
-            d = vals[i] - vals[o]
-            post_i = vals[i] - hp * s - hm * d + even + odd
-            post_o = vals[o] - hp * s + hm * d + even - odd
+            post_i = keep_a * vals[i] + keep_b * vals[o] + even + odd
+            post_o = keep_a * vals[o] + keep_b * vals[i] + even - odd
         if force is not None:
             eF = float(_E[i].astype(np.float64) @ np.asarray(force))
             se = np.float32(-3.0 * cp_f * w) * uF
@@ -1024,13 +1030,14 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
                                    np.float32(a_) * mv)
         elif inv_tau_m is None:
             post = v - (v - feqs[i]) * inv_tau
-        else:  # TRT parity split (engine/step.collide semantics)
+        else:  # TRT parity split, pair-distributed static weights
             o = int(_OPP[i])
-            hp = np.float32(0.5 * float(inv_tau))
-            hm = np.float32(0.5 * float(inv_tau_m))
-            post = (v
-                    - ((v + pulls[o]) - (feqs[i] + feqs[o])) * hp
-                    - ((v - pulls[o]) - (feqs[i] - feqs[o])) * hm)
+            hp = 0.5 * float(inv_tau)
+            hm = 0.5 * float(inv_tau_m)
+            post = (np.float32(1.0 - hp - hm) * v
+                    + np.float32(hm - hp) * pulls[o]
+                    + np.float32(hp + hm) * feqs[i]
+                    + np.float32(hp - hm) * feqs[o])
         if force is not None:
             w = float(_W[i])
             eF = float(_E[i].astype(np.float64) @ np.asarray(force))
