@@ -121,7 +121,9 @@ def main() -> int:
         json.dumps(
             {
                 "metric": f"MLUPS (D3Q19 "
-                f"{spec.collision.upper()} {args.case} {dims} "
+                f"{spec.collision.upper()}"
+                f"{'+LES' if spec.smagorinsky_cs else ''} "
+                f"{args.case} {dims} "
                 f"{'bf16-store' if args.dtype == 'bf16' else 'fp32'}, "
                 f"{chips})",
                 "value": round(mlups, 1),

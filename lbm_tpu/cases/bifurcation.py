@@ -60,6 +60,7 @@ def build(
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     mrt_rates=None,
+    smagorinsky_cs=None,
     force=None,
 ) -> CaseSpec:
     nx, ny, nz = SHAPE
@@ -95,6 +96,7 @@ def build(
         collision=collision,
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
+        smagorinsky_cs=smagorinsky_cs,
         force=force,
         name="bifurcation",
         shape=SHAPE,

@@ -41,6 +41,7 @@ def build(
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     mrt_rates=None,
+    smagorinsky_cs=None,
     force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
@@ -79,6 +80,7 @@ def build(
         collision=collision,
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
+        smagorinsky_cs=smagorinsky_cs,
         force=force,
         name="curved_vessel",
         shape=(n, n, n),

@@ -29,6 +29,7 @@ def build(
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     mrt_rates=None,
+    smagorinsky_cs=None,
     force=None,
     lid: str = "nee",
 ) -> CaseSpec:
@@ -82,6 +83,7 @@ def build(
         collision=collision,
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
+        smagorinsky_cs=smagorinsky_cs,
         force=force,
         wall_velocity=wall_velocity,
     )

@@ -30,6 +30,7 @@ def build(
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     mrt_rates=None,
+    smagorinsky_cs=None,
     force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
@@ -69,6 +70,7 @@ def build(
         collision=collision,
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
+        smagorinsky_cs=smagorinsky_cs,
         force=force,
     )
 

@@ -110,6 +110,7 @@ class CompiledCase:
     nbr_moving: Any                  # (19,X,Y,Z) bool jnp | None
     mrt_k: Any                       # (19,19) f32 np | None => not MRT
     mrt_kf: Any                      # (19,19) f32 np Guo prefactor | None
+    smagorinsky_cs: Any              # LES Cs (float) | None
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -248,6 +249,7 @@ def compile_case(spec: CaseSpec, light: bool = False,
         nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         mrt_k=mrt_k,
         mrt_kf=mrt_kf,
+        smagorinsky_cs=spec.smagorinsky_cs,
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype, has_moving=has_moving)

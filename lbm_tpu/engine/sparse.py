@@ -64,6 +64,7 @@ class SparseCase:
     force: Any          # Guo body force (3-tuple) | None
     mrt_k: Any          # (19,19) f32 | None (core/mrt)
     mrt_kf: Any         # (19,19) f32 | None
+    smagorinsky_cs: Any  # LES Cs (float) | None
     wall_velocity: Any  # MOVING wall velocity (3-tuple) | None
     nbr_moving: Any     # (19, n_pad) bool | None
     fluid: Any          # (n_pad,) bool
@@ -173,6 +174,7 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         force=spec.force,
         mrt_k=mrt_k,
         mrt_kf=mrt_kf,
+        smagorinsky_cs=spec.smagorinsky_cs,
         wall_velocity=spec.wall_velocity,
         nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         fluid=jnp.asarray(fluid),
@@ -247,7 +249,12 @@ def make_sparse_step(sc: SparseCase) -> Callable:
         mom = half_force_shift(mom, sc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        if sc.mrt_k is not None:
+        if sc.smagorinsky_cs is not None:
+            from lbm_tpu.engine.step import les_tau_eff
+            fneq = pulled - f_eq
+            te = les_tau_eff(fneq, rho, sc.tau, sc.smagorinsky_cs)
+            f_post = pulled - fneq / te[None]
+        elif sc.mrt_k is not None:
             fneq = pulled - f_eq
             f_post = pulled - jnp.tensordot(
                 jnp.asarray(sc.mrt_k), fneq, axes=([1], [0]),

@@ -91,6 +91,15 @@ class CaseSpec:
     # core/mrt.py for the basis, defaults, and the BGK/TRT degeneracy
     # anchors.
     mrt_rates: Optional[dict] = None
+    # Smagorinsky LES closure (beyond-reference; the reference is
+    # laminar-only): per-cell effective relaxation
+    # tau_eff = (tau + sqrt(tau^2 + 18 Cs^2 P / rho))/2 with
+    # P = sqrt(2 Pi:Pi), Pi_ab = sum_i e_ia e_ib f_neq_i — the standard
+    # closed-form eddy viscosity nu_t = (Cs D)^2 |S| (Hou et al.),
+    # D = 1 lattice cell. Typical Cs ~ 0.1-0.2. Requires
+    # collision='bgk' and force=None (the variable-rate Guo prefactor
+    # is not wired). None => no LES (bit-identical code path).
+    smagorinsky_cs: Optional[float] = None
     # Constant body force density (lattice units, momentum added per
     # cell per step), applied with Guo's exact scheme (beyond-reference:
     # README.md:2 states body force/gravity is NOT considered there):
@@ -134,6 +143,13 @@ class CaseSpec:
             assert self.magic_lambda > 0.0
         if self.collision == "mrt":
             assert self.tau > 0.5, "MRT needs tau > 1/2"
+        if self.smagorinsky_cs is not None:
+            self.smagorinsky_cs = float(self.smagorinsky_cs)
+            assert self.smagorinsky_cs > 0.0
+            assert self.collision == "bgk", \
+                "LES closure is wired for collision='bgk'"
+            assert self.force is None, \
+                "LES + body force needs the variable-rate Guo prefactor"
         if self.force is not None:
             self.force = tuple(float(c) for c in self.force)
             assert len(self.force) == 3

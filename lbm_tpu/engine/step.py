@@ -147,7 +147,23 @@ def guo_source(u, force, tau, tau_minus=None, mrt_kf=None):
     return cp * g_even + cm * g_odd
 
 
-def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None):
+def les_tau_eff(fneq, rho, tau, cs):
+    """Per-cell Smagorinsky effective relaxation time (see
+    CaseSpec.smagorinsky_cs): tau_eff = (tau + sqrt(tau^2
+    + 18 Cs^2 P / rho))/2, P = sqrt(2 Pi:Pi) with the non-equilibrium
+    momentum flux Pi_ab = sum_i e_ia e_ib fneq_i."""
+    ee = np.stack([np.outer(e, e) for e in _E.astype(np.float32)])
+    pi = jnp.tensordot(jnp.asarray(ee), fneq, axes=([0], [0]),
+                       precision=jax.lax.Precision.HIGHEST)  # (3,3,...)
+    p = jnp.sqrt(2.0 * jnp.sum(pi * pi, axis=(0, 1)))
+    tau0 = jnp.asarray(tau, jnp.float32)  # python float or traced scalar
+    k = np.float32(18.0 * float(cs) * float(cs))
+    safe_rho = jnp.where(rho == 0, 1.0, rho)
+    return 0.5 * (tau0 + jnp.sqrt(tau0 * tau0 + k * p / safe_rho))
+
+
+def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
+            smagorinsky_cs=None, rho=None):
     """Post-collision update. BGK (tau_minus=None): relax everything at
     1/tau, dividing like the reference (see make_step's precision note).
     TRT: split each population into even/odd parity halves about its
@@ -157,7 +173,15 @@ def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None):
     The rest population (its own partner) reduces exactly to BGK.
     MRT (mrt_k = the (19,19) matrix from core/mrt.mrt_matrices):
     f' = f - K (f - feq) — one tensordot, so the moment-space
-    relaxation runs as a matmul (MXU on TPU)."""
+    relaxation runs as a matmul (MXU on TPU).
+    LES (smagorinsky_cs set, needs rho): BGK at the per-cell
+    tau_eff from les_tau_eff."""
+    if smagorinsky_cs is not None:
+        fneq = pulled - f_eq
+        if rho is None:
+            rho = jnp.sum(pulled, axis=0)
+        te = les_tau_eff(fneq, rho, tau, smagorinsky_cs)
+        return pulled - fneq / te[None]
     if mrt_k is not None:
         fneq = pulled - f_eq
         return pulled - jnp.tensordot(
@@ -223,7 +247,8 @@ def make_first_step(cc: CompiledCase) -> Callable:
         mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
+        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k,
+                         cc.smagorinsky_cs, rho)
         if cc.force is not None:
             f_post = f_post + guo_source(u, cc.force, cc.tau,
                                          cc.tau_minus, cc.mrt_kf)
@@ -263,7 +288,8 @@ def make_step(cc: CompiledCase) -> Callable:
         # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
         # vs the literal transcription). The Pallas kernel keeps the
         # multiply for VPU throughput; cross-backend tests use rtol.
-        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
+        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k,
+                         cc.smagorinsky_cs, rho)
         if cc.force is not None:
             f_post = f_post + guo_source(u, cc.force, cc.tau,
                                          cc.tau_minus, cc.mrt_kf)
@@ -296,4 +322,4 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 __all__ = ["make_step", "make_first_step", "initial_f", "macro_fields",
            "streamed", "pull_one", "collide", "guo_source",
-           "half_force_shift", "moving_bb_terms"]
+           "half_force_shift", "moving_bb_terms", "les_tau_eff"]

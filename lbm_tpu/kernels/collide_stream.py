@@ -239,7 +239,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   stx: int | None = None, sty: int | None = None,
                   vs_win=None, pure_zspan=None, bits=False,
                   vs_scr=None, force=None, wall_velocity=None,
-                  mrt=None):
+                  mrt=None, les=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -288,7 +288,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                     ft, ot, inv_tau, ox, oy,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     pure_zspan, vs_win, vs_scr=vs_scr, force=force,
-                    mrt=mrt,
+                    mrt=mrt, les=les,
                 )
             else:
                 total = total + _subtile_compute(
@@ -296,7 +296,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                     min(stx, ex_x - ox), min(sty, ex_y - oy), nz,
                     gx0, gy0, bcs_static, vs_win, bits=bits,
                     vs_scr=vs_scr, force=force,
-                    wall_velocity=wall_velocity, mrt=mrt,
+                    wall_velocity=wall_velocity, mrt=mrt, les=les,
                 )
     return total
 
@@ -320,7 +320,7 @@ def _vs_sum(contrib, vs_scr):
 
 def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                           zspan, vs_win, vs_scr=None, force=None,
-                          mrt=None):
+                          mrt=None, les=None):
     """Fast path for statically-classified PURE tiles (classify_tiles):
     every column of the tile's input region is the standard z-slab
     [DEAD.., WALL, FLUID x (zf1-zf0+1), WALL, DEAD..] with one common
@@ -388,7 +388,58 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
-    if mrt is not None:
+    if les is not None:
+        # Smagorinsky LES (engine/step.les_tau_eff): Pi_ab is parity-
+        # EVEN, so only the 9 pair sums of f_neq feed it (the rest and
+        # all pair diffs drop); the per-cell tau_eff then drives a
+        # plain BGK relax. Static coefficients of Pi are e_a e_b in
+        # {0, +-1} — pure adds.
+        pairs_l = [(i, int(_OPP[i])) for i in range(1, 19)
+                   if int(_OPP[i]) > i]
+        feq0_l = rho * np.float32(_W[0]) * common
+        fneq_l = [None] * 19
+        fneq_l[0] = vals[0] - feq0_l
+        s_l = {}
+        for i, o in pairs_l:
+            ex, ey, ez = (int(c) for c in _E[i])
+            cu = jnp.zeros_like(ux)
+            if ex:
+                cu = cu + ux if ex > 0 else cu - ux
+            if ey:
+                cu = cu + uy if ey > 0 else cu - uy
+            if ez:
+                cu = cu + uz if ez > 0 else cu - uz
+            w = np.float32(_W[i])
+            ev = rho * (w * (common + np.float32(4.5) * cu * cu))
+            od = rho * (w * np.float32(3.0)) * cu
+            fneq_l[i] = vals[i] - (ev + od)
+            fneq_l[o] = vals[o] - (ev - od)
+            s_l[i] = fneq_l[i] + fneq_l[o]
+        def _pi(a, b):
+            acc = None
+            for i, o in pairs_l:
+                cab = int(_E[i][a]) * int(_E[i][b])
+                if cab == 0:
+                    continue
+                term = s_l[i] if cab == 1 else -s_l[i]
+                acc = term if acc is None else acc + term
+            return acc
+        pxx, pyy, pzz = _pi(0, 0), _pi(1, 1), _pi(2, 2)
+        pxy, pxz, pyz = _pi(0, 1), _pi(0, 2), _pi(1, 2)
+        p_l = jnp.sqrt(np.float32(2.0) * (
+            pxx * pxx + pyy * pyy + pzz * pzz
+            + np.float32(2.0) * (pxy * pxy + pxz * pxz + pyz * pyz)))
+        tau0_l = np.float32(1.0 / float(inv_tau))
+        k_l = np.float32(18.0 * float(les) * float(les))
+        te = np.float32(0.5) * (tau0_l + jnp.sqrt(
+            tau0_l * tau0_l + k_l * p_l * inv_rho))
+        inv_te = np.float32(1.0) / te
+        for i in range(19):
+            out_v = vals[i] - inv_te * fneq_l[i]
+            ot[oxs, oys, i, :] = jnp.where(
+                z_fluid, out_v, ft[cx, cy, i, :]
+            ).astype(odt)
+    elif mrt is not None:
         # MRT (core/mrt.mrt_rank_update) in PARITY-PAIRED form: basis
         # rows have definite parity, so even rows consume only the 9
         # pair SUMS of f_neq (+ the rest), odd rows only the 9 pair
@@ -490,7 +541,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         hm = 0.5 * float(inv_tau_m)
         keep_a = np.float32(1.0 - hp - hm)
         keep_b = np.float32(hm - hp)
-    for i in range(1, 19) if mrt is None else ():
+    for i in range(1, 19) if (mrt is None and les is None) else ():
         o = int(_OPP[i])
         if o < i:
             continue
@@ -553,7 +604,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                      gx0, gy0, bcs_static, vs_win, bits=False,
                      vs_scr=None, force=None, wall_velocity=None,
-                     mrt=None):
+                     mrt=None, les=None):
     # Storage may be bf16 (pack_state dtype=): every pdf load widens to
     # fp32 (_f32), collision runs in fp32, stores narrow to ot's dtype
     # (_st). Both casts are no-ops for f32 storage. Mask-channel values
@@ -659,7 +710,58 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
-    if mrt is not None:
+    if les is not None:
+        # Smagorinsky LES (engine/step.les_tau_eff): Pi_ab is parity-
+        # EVEN, so only the 9 pair sums of f_neq feed it (the rest and
+        # all pair diffs drop); the per-cell tau_eff then drives a
+        # plain BGK relax. Static coefficients of Pi are e_a e_b in
+        # {0, +-1} — pure adds.
+        pairs_l = [(i, int(_OPP[i])) for i in range(1, 19)
+                   if int(_OPP[i]) > i]
+        feq0_l = rho * np.float32(_W[0]) * common
+        fneq_l = [None] * 19
+        fneq_l[0] = vals[0] - feq0_l
+        s_l = {}
+        for i, o in pairs_l:
+            ex, ey, ez = (int(c) for c in _E[i])
+            cu = jnp.zeros_like(ux)
+            if ex:
+                cu = cu + ux if ex > 0 else cu - ux
+            if ey:
+                cu = cu + uy if ey > 0 else cu - uy
+            if ez:
+                cu = cu + uz if ez > 0 else cu - uz
+            w = np.float32(_W[i])
+            ev = rho * (w * (common + np.float32(4.5) * cu * cu))
+            od = rho * (w * np.float32(3.0)) * cu
+            fneq_l[i] = vals[i] - (ev + od)
+            fneq_l[o] = vals[o] - (ev - od)
+            s_l[i] = fneq_l[i] + fneq_l[o]
+        def _pi(a, b):
+            acc = None
+            for i, o in pairs_l:
+                cab = int(_E[i][a]) * int(_E[i][b])
+                if cab == 0:
+                    continue
+                term = s_l[i] if cab == 1 else -s_l[i]
+                acc = term if acc is None else acc + term
+            return acc
+        pxx, pyy, pzz = _pi(0, 0), _pi(1, 1), _pi(2, 2)
+        pxy, pxz, pyz = _pi(0, 1), _pi(0, 2), _pi(1, 2)
+        p_l = jnp.sqrt(np.float32(2.0) * (
+            pxx * pxx + pyy * pyy + pzz * pzz
+            + np.float32(2.0) * (pxy * pxy + pxz * pxz + pyz * pyz)))
+        tau0_l = np.float32(1.0 / float(inv_tau))
+        k_l = np.float32(18.0 * float(les) * float(les))
+        te = np.float32(0.5) * (tau0_l + jnp.sqrt(
+            tau0_l * tau0_l + k_l * p_l * inv_rho))
+        inv_te = np.float32(1.0) / te
+        for i in range(19):
+            out_v = vals[i] - inv_te * fneq_l[i]
+            ot[oxs, oys, i, :] = jnp.where(
+                is_fluid, out_v, ft[cx, cy, i, :]
+            ).astype(odt)
+    elif mrt is not None:
         # MRT (core/mrt.mrt_rank_update) in PARITY-PAIRED form: basis
         # rows have definite parity, so even rows consume only the 9
         # pair SUMS of f_neq (+ the rest), odd rows only the 9 pair
@@ -743,7 +845,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             ot[oxs, oys, o, :] = jnp.where(
                 is_fluid, out_o, ft[cx, cy, o, :]
             ).astype(odt)
-    if mrt is None:
+    if mrt is None and les is None:
         f0 = vals[0]
         feq0 = rho * np.float32(_W[0]) * common
         post_0 = f0 - (f0 - feq0) * inv_tau
@@ -764,7 +866,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         hm = 0.5 * float(inv_tau_m)
         keep_a = np.float32(1.0 - hp - hm)
         keep_b = np.float32(hm - hp)
-    for i in range(1, 19) if mrt is None else ():
+    for i in range(1, 19) if (mrt is None and les is None) else ():
         o = int(_OPP[i])
         if o < i:
             continue  # handled with its partner
@@ -840,7 +942,8 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 
 
 def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
-             vs_scr=None, force=None, wall_velocity=None, mrt=None):
+             vs_scr=None, force=None, wall_velocity=None, mrt=None,
+             les=None):
     """Recompute ONE consumer-plane row of a tile with the NEE boundary
     applied, and overwrite it in the output tile. Runs only for tiles
     intersecting the plane (under pl.when in the kernel), so the whole
@@ -1003,6 +1106,29 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
+    inv_te_row = None
+    if les is not None:  # LES (see _subtile_compute): per-cell tau_eff
+        fneq_row = [pulls[i] - feqs[i] for i in range(19)]
+        def _pi_row(a_, b_):
+            acc = None
+            for i in range(1, 19):
+                cab = int(_E[i][a_]) * int(_E[i][b_])
+                if cab == 0:
+                    continue
+                term = fneq_row[i] if cab == 1 else -fneq_row[i]
+                acc = term if acc is None else acc + term
+            return acc
+        pxx_r, pyy_r, pzz_r = _pi_row(0, 0), _pi_row(1, 1), _pi_row(2, 2)
+        pxy_r, pxz_r, pyz_r = _pi_row(0, 1), _pi_row(0, 2), _pi_row(1, 2)
+        p_r = jnp.sqrt(np.float32(2.0) * (
+            pxx_r * pxx_r + pyy_r * pyy_r + pzz_r * pzz_r
+            + np.float32(2.0) * (pxy_r * pxy_r + pxz_r * pxz_r
+                                 + pyz_r * pyz_r)))
+        tau0_r = np.float32(1.0 / float(inv_tau))
+        k_r = np.float32(18.0 * float(les) * float(les))
+        te_r = np.float32(0.5) * (tau0_r + jnp.sqrt(
+            tau0_r * tau0_r + k_r * p_r * ir))
+        inv_te_row = np.float32(1.0) / te_r
     moms_m = None
     if mrt is not None:  # MRT rank update (see _subtile_compute)
         rows_m, coefs_m = mrt
@@ -1021,7 +1147,9 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
     outs = []
     for i in range(19):
         v = pulls[i]
-        if mrt is not None:
+        if les is not None:
+            post = v - inv_te_row * fneq_row[i]
+        elif mrt is not None:
             post = v - inv_tau * fneqs_m[i]
             for r_row, mv in zip(rows_m, moms_m):
                 a_ = float(r_row[i])
@@ -1086,7 +1214,7 @@ def _kernel(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     has_seam: bool = False, bits: bool = False, bounce: bool = False,
-    force=None, wall_velocity=None, mrt=None,
+    force=None, wall_velocity=None, mrt=None, les=None,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -1270,7 +1398,7 @@ def _kernel(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
-            wall_velocity=wall_velocity, mrt=mrt,
+            wall_velocity=wall_velocity, mrt=mrt, les=les,
         )
         acc[0] = acc[0] + vs
 
@@ -1290,7 +1418,7 @@ def _kernel(
                 dv = _row_fix(
                     ft.at[slot], ot.at[slot], bc_, nee_, r_, lat0_, tau,
                     vs_scr=vs_scr, force=force,
-                    wall_velocity=wall_velocity, mrt=mrt,
+                    wall_velocity=wall_velocity, mrt=mrt, les=les,
                 )
                 acc[0] = acc[0] + dv
 
@@ -1298,7 +1426,7 @@ def _kernel(
         vs = _tile_compute(
             ft.at[slot], ot.at[slot], tau, tx, ty,
             stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
-            force=force, mrt=mrt,
+            force=force, mrt=mrt, les=les,
         )
         acc[0] = acc[0] + vs
 
@@ -1453,7 +1581,7 @@ def _kernel2(
     ntiles: int | None = None, skip: bool = False, in_place: bool = False,
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     bits: bool = False, bounce: bool = False, force=None,
-    wall_velocity=None, mrt=None,
+    wall_velocity=None, mrt=None, les=None,
 ):
     """TWO fused LBM steps per HBM round-trip (temporal blocking): the
     input tile carries a 2-cell halo skirt; step 1 computes a mid tile
@@ -1517,7 +1645,7 @@ def _kernel2(
             def _(bc_=bc_, nee_=nee_, r_=r_, lat0_=lat0_, n_=n_):
                 dv = _row_fix(
                     src, dst, bc_, nee_, r_, lat0_, tau, force=force,
-                    wall_velocity=wall_velocity, mrt=mrt,
+                    wall_velocity=wall_velocity, mrt=mrt, les=les,
                     vs_lat=((1, (nlim[1] if bc_.axis == 0 else nlim[0]) - 1)
                             if owned else None),
                     vs_scr=vs_scr,
@@ -1537,7 +1665,7 @@ def _kernel2(
             gx0=g1x, gy0=g1y, bcs_static=bcs_static,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
             bits=bits, vs_scr=vs_scr, force=force,
-            wall_velocity=wall_velocity, mrt=mrt,
+            wall_velocity=wall_velocity, mrt=mrt, les=les,
         )
         acc[0] = acc[0] + vs1
         row_fixes(ft.at[slot], mt, nee1, g1x, g1y,
@@ -1548,7 +1676,7 @@ def _kernel2(
             mt, ot.at[slot], tau, tx, ty,
             gx0=g2x, gy0=g2y, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
-            wall_velocity=wall_velocity, mrt=mrt,
+            wall_velocity=wall_velocity, mrt=mrt, les=les,
         )
         acc[1] = acc[1] + vs2
         row_fixes(mt, ot.at[slot], nee2, g2x, g2y, (tx, ty), 1,
@@ -1558,13 +1686,13 @@ def _kernel2(
         vs1 = _tile_compute(
             ft.at[slot], mt, tau, tx + 2, ty + 2,
             stx=stx, sty=sty, vs_win=(1, tx + 1, 1, ty + 1),
-            pure_zspan=zspan, vs_scr=vs_scr, force=force, mrt=mrt,
+            pure_zspan=zspan, vs_scr=vs_scr, force=force, mrt=mrt, les=les,
         )
         acc[0] = acc[0] + vs1
         vs2 = _tile_compute(
             mt, ot.at[slot], tau, tx, ty,
             stx=stx, sty=sty, pure_zspan=zspan, vs_scr=vs_scr,
-            force=force, mrt=mrt,
+            force=force, mrt=mrt, les=les,
         )
         acc[1] = acc[1] + vs2
 
@@ -1641,13 +1769,14 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
                      "interpret", "stx", "sty", "ring", "n_live",
                      "in_place", "pure", "zspan", "has_prev",
                      "has_seam", "bits", "force", "wall_velocity",
-                     "mrt"),
+                     "mrt", "les"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
                  zspan=(0, -1), has_prev=False, has_seam=False,
-                 bits=False, force=None, wall_velocity=None, mrt=None):
+                 bits=False, force=None, wall_velocity=None, mrt=None,
+                 les=None):
     """extra = [*nee_tables][, tile id list][, prev_out][, seam]
     [, lo, hi].
 
@@ -1689,7 +1818,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         pure=pure, zspan=zspan, has_prev=has_prev,
         has_seam=has_seam, bits=bits,
         bounce=bounce, force=force, wall_velocity=wall_velocity,
-        mrt=mrt,
+        mrt=mrt, les=les,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError(
@@ -1761,12 +1890,12 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     jax.jit,
     static_argnames=("tau", "tx", "ty", "bcs_static", "interpret",
                      "stx", "sty", "n_live", "pure", "zspan", "has_prev",
-                     "bits", "force", "wall_velocity", "mrt"),
+                     "bits", "force", "wall_velocity", "mrt", "les"),
 )
 def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
                   interpret=False, stx=None, sty=None, n_live=None,
                   pure=False, zspan=(0, -1), has_prev=False, bits=False,
-                  force=None, wall_velocity=None, mrt=None):
+                  force=None, wall_velocity=None, mrt=None, les=None):
     """Two fused steps (see _kernel2). extra = [*nee_t, *nee_t1]
     [, tile id list][, prev_out]. State ring must be 2. pure/zspan/
     has_prev: pure/mixed split as in _pallas_bulk. Returns
@@ -1782,7 +1911,7 @@ def _pallas_bulk2(p, *extra, tau, tx, ty, bcs_static=(),
         ntiles=n_live, skip=skip, in_place=sparse,
         pure=pure, zspan=zspan, has_prev=has_prev, bits=bits,
         bounce=p.dtype != jnp.float32, force=force,
-        wall_velocity=wall_velocity, mrt=mrt,
+        wall_velocity=wall_velocity, mrt=mrt, les=les,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError("bits=True needs an f32 bits-packed state "
@@ -1985,7 +2114,8 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     mom = half_force_shift(mom, cc.force)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     feq = rho[None] * phi(u)
-    post = collide(pulled, feq, cc.tau, cc.tau_minus, cc.mrt_k)
+    post = collide(pulled, feq, cc.tau, cc.tau_minus, cc.mrt_k,
+                   cc.smagorinsky_cs, rho)
     if cc.force is not None:
         post = post + guo_source(u, cc.force, cc.tau, cc.tau_minus,
                                  cc.mrt_kf)
@@ -2501,6 +2631,8 @@ def make_pallas_step(
         from lbm_tpu.core.mrt import mrt_rank_update
         spec0 = cc_pad.spec
         mrt = mrt_rank_update(float(cc_pad.tau), spec0.mrt_rates)
+    les = (None if cc_pad.smagorinsky_cs is None
+           else float(cc_pad.smagorinsky_cs))  # static LES Cs
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
@@ -2582,13 +2714,13 @@ def make_pallas_step(
                     p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
                     interpret=interpret, stx=stx, sty=sty,
                     n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
-                    force=force, mrt=mrt,
+                    force=force, mrt=mrt, les=les,
                 )
                 out, vs_b = _pallas_bulk2(
                     p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                     bcs_static=bcs_static, interpret=interpret,
                     stx=stx, sty=sty, n_live=int(mixed_ids.shape[0]),
-                    has_prev=True, bits=bits, force=force, wall_velocity=wall_velocity, mrt=mrt,
+                    has_prev=True, bits=bits, force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
                 )
                 return out, vs_a + vs_b
             if tids is not None:
@@ -2596,7 +2728,7 @@ def make_pallas_step(
             return _pallas_bulk2(
                 p, *extra, tau=tau, tx=tx, ty=ty, bcs_static=bcs_static,
                 interpret=interpret, stx=stx, sty=sty, n_live=n_live,
-                bits=bits, force=force, wall_velocity=wall_velocity, mrt=mrt,
+                bits=bits, force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
             )
 
         return step
@@ -2644,14 +2776,14 @@ def make_pallas_step(
                 p, pure_ids, tau=tau, tx=tx, ty=ty, bcs_static=(),
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=int(pure_ids.shape[0]), pure=True, zspan=zs,
-                force=force, mrt=mrt,
+                force=force, mrt=mrt, les=les,
             )
             p_bulk, vs_b = _pallas_bulk(
                 p, *extra, mixed_ids, out_a, tau=tau, tx=tx, ty=ty,
                 bcs_static=bcs_static, interpret=interpret,
                 stx=stx, sty=sty, ring=ring,
                 n_live=int(mixed_ids.shape[0]), has_prev=True, bits=bits,
-                force=force, wall_velocity=wall_velocity, mrt=mrt,
+                force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
             )
             vs = vs_a + vs_b
         else:
@@ -2660,7 +2792,7 @@ def make_pallas_step(
                 interpret=interpret, stx=stx, sty=sty, ring=ring,
                 n_live=n_live, bits=bits,
                 in_place=True if in_place else None,
-                has_seam=need_seam, force=force, wall_velocity=wall_velocity, mrt=mrt,
+                has_seam=need_seam, force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
             )
         k = 0
         for bc, win in zip(fixup_bcs, wins):

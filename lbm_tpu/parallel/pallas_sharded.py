@@ -303,6 +303,8 @@ def make_pallas_sharded_step(
                              "under the mesh (see make_pallas_step)")
         from lbm_tpu.core.mrt import mrt_rank_update
         mrt = mrt_rank_update(float(cc_pad.tau), cc_pad.spec.mrt_rates)
+    les = (None if cc_pad.smagorinsky_cs is None
+           else float(cc_pad.smagorinsky_cs))
 
     # Per-shard block-sparse tile lists (see shard_tile_lists).
     tids_all = None
@@ -443,7 +445,7 @@ def make_pallas_sharded_step(
             bcs_static=bcs_static, halo_axis=shard_axis,
             interpret=interpret, stx=stx, sty=sty,
             n_live=n_max, in_place=in_place, has_seam=need_seam,
-            force=force, wall_velocity=wall_velocity, mrt=mrt,
+            force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
         )
         if fixup_bcs:
             for bc, loc, win, sub in zip(fixup_bcs, fix_dicts, wins,

@@ -57,6 +57,7 @@ def _assert_matches_dense(f, f_ref, mask, rtol=3e-6, atol=1e-7):
     ("poiseuille", dict(n=16, force=(0.0, 1e-5, 0.0))),
     ("lid_driven_cavity", dict(n=16, lid="bounceback")),
     ("poiseuille", dict(n=16, collision="mrt")),
+    ("poiseuille", dict(n=16, smagorinsky_cs=0.17)),
 ])
 def test_sharded_pallas_matches_dense(case_name, kwargs):
     spec = pad_spec(get_case(case_name, **kwargs))

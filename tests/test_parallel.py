@@ -60,6 +60,7 @@ def test_gspmd_sharded_matches_single_device(case_name, kwargs):
     ("poiseuille", dict(n=16, force=(0.0, 1e-5, 0.0))),
     ("lid_driven_cavity", dict(n=16, lid="bounceback")),
     ("poiseuille", dict(n=16, collision="mrt")),
+    ("poiseuille", dict(n=16, smagorinsky_cs=0.17)),
 ])
 def test_halo_exchange_matches_single_device(case_name, kwargs):
     spec = get_case(case_name, **kwargs)
