@@ -122,7 +122,8 @@ def main() -> int:
             {
                 "metric": f"MLUPS (D3Q19 "
                 f"{spec.collision.upper()}"
-                f"{'+LES' if spec.smagorinsky_cs else ''} "
+                f"{'+LES' if spec.smagorinsky_cs else ''}"
+                f"{'+' + spec.rheology['model'] if spec.rheology else ''} "
                 f"{args.case} {dims} "
                 f"{'bf16-store' if args.dtype == 'bf16' else 'fp32'}, "
                 f"{chips})",

@@ -61,6 +61,7 @@ def build(
     magic_lambda: float = 0.1875,
     mrt_rates=None,
     smagorinsky_cs=None,
+    rheology=None,
     force=None,
 ) -> CaseSpec:
     nx, ny, nz = SHAPE
@@ -97,6 +98,7 @@ def build(
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
         smagorinsky_cs=smagorinsky_cs,
+        rheology=rheology,
         force=force,
         name="bifurcation",
         shape=SHAPE,

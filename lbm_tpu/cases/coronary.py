@@ -118,6 +118,7 @@ def build(
     magic_lambda: float = 0.1875,
     mrt_rates=None,
     smagorinsky_cs=None,
+    rheology=None,
     force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
@@ -162,6 +163,7 @@ def build(
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
         smagorinsky_cs=smagorinsky_cs,
+        rheology=rheology,
         force=force,
         name="coronary",
         shape=tuple(shape),

@@ -31,6 +31,8 @@ def build(
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     mrt_rates=None,
+    smagorinsky_cs=None,
+    rheology=None,
     CH: float = 0.0000655737,
     C_U: float = 2.4705,
     max_steps: int = 20000,
@@ -51,6 +53,8 @@ def build(
         collision=collision,
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
+        smagorinsky_cs=smagorinsky_cs,
+        rheology=rheology,
         max_steps=max_steps,
         time_save=time_save,
         tol=1e-6,

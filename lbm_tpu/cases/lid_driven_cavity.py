@@ -30,6 +30,7 @@ def build(
     magic_lambda: float = 0.1875,
     mrt_rates=None,
     smagorinsky_cs=None,
+    rheology=None,
     force=None,
     lid: str = "nee",
 ) -> CaseSpec:
@@ -84,6 +85,7 @@ def build(
         magic_lambda=magic_lambda,
         mrt_rates=mrt_rates,
         smagorinsky_cs=smagorinsky_cs,
+        rheology=rheology,
         force=force,
         wall_velocity=wall_velocity,
     )

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbm_tpu.core.lattice import D3Q19
+from lbm_tpu.core.rheology import normalize_closure
 from lbm_tpu.engine.spec import CaseSpec, PlaneBC
 from lbm_tpu.geometry.mask import CellType
 
@@ -110,7 +111,8 @@ class CompiledCase:
     nbr_moving: Any                  # (19,X,Y,Z) bool jnp | None
     mrt_k: Any                       # (19,19) f32 np | None => not MRT
     mrt_kf: Any                      # (19,19) f32 np Guo prefactor | None
-    smagorinsky_cs: Any              # LES Cs (float) | None
+    closure: Any                     # per-cell tau closure tuple
+    #   (core/rheology.normalize_closure: LES or non-Newtonian) | None
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -249,7 +251,7 @@ def compile_case(spec: CaseSpec, light: bool = False,
         nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         mrt_k=mrt_k,
         mrt_kf=mrt_kf,
-        smagorinsky_cs=spec.smagorinsky_cs,
+        closure=normalize_closure(spec.smagorinsky_cs, spec.rheology),
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype, has_moving=has_moving)

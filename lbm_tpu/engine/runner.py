@@ -94,10 +94,13 @@ class Simulation:
                 # fall back to the dense GSPMD/halo path for cases whose
                 # only BC-free axis is z (curved_vessel).
                 backend = "xla"
-            if (backend == "pallas" and spec.collision == "mrt"
-                    and spec.force is not None):
+            if (backend == "pallas" and spec.force is not None
+                    and (spec.collision == "mrt"
+                         or spec.smagorinsky_cs is not None
+                         or spec.rheology is not None)):
                 # The kernel refuses MRT + Guo force (moment-space source
-                # matmul); the dense backend takes both as tensordots.
+                # matmul) and tau-closure + force (per-cell variable-rate
+                # prefactor); the dense backend takes both.
                 backend = "xla"
         if backend == "pallas" and mesh is not None and shard_axis == 2:
             raise ValueError(
@@ -389,6 +392,40 @@ class Simulation:
             rho = rho[:nx, :ny, :nz]
             u = u[:, :nx, :ny, :nz]
         return rho, u
+
+    def stress(self):
+        """(sigma6, rho, u) deviatoric-stress diagnostics of the current
+        state (engine/stress.stress_fields; lattice units, unpadded
+        layout). Evaluates on a dense pre-collision pull: on the
+        pallas/sparse backends the state round-trips through
+        f_standard() plus a cached dense compile of the unpadded spec —
+        an output-rate operation (like VTK), not a hot-loop one. Dense
+        memory: ~5 full (19,X,Y,Z) arrays — fine through 291^3-class,
+        not 512^3 (use a z-chunked host pass there if ever needed)."""
+        from lbm_tpu.engine.stress import stress_fields
+
+        cc, f = self._dense_cc_f()
+        return stress_fields(cc, f, self.t)
+
+    def wss(self):
+        """(X, Y, Z) wall shear stress magnitude (lattice units;
+        * units.C_pre for Pa), nonzero at wall-adjacent fluid cells
+        (engine/stress.wss_field). Wall normals are cached."""
+        from lbm_tpu.engine.stress import wall_normals, wss_field
+
+        cc, f = self._dense_cc_f()
+        if getattr(self, "_wss_normals", None) is None:
+            self._wss_normals = wall_normals(self.spec.mask)
+        return wss_field(cc, f, self.t, self._wss_normals)
+
+    def _dense_cc_f(self):
+        """(dense unpadded CompiledCase, dense unpadded f) for the
+        stress diagnostics, whatever the run backend."""
+        if self.backend == "xla":
+            return self.cc, self.f
+        if getattr(self, "_stress_cc", None) is None:
+            self._stress_cc = compile_case(self.spec)
+        return self._stress_cc, jnp.asarray(self.f_standard())
 
     def _unpacked(self):
         from lbm_tpu.kernels.collide_stream import unpack_state

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbm_tpu.core.lattice import D3Q19, phi
+from lbm_tpu.core.rheology import normalize_closure
 from lbm_tpu.engine.compile import (CompiledBC, compile_bc, mrt_of,
                                     tau_minus_of)
 from lbm_tpu.engine.step import guo_source, half_force_shift, moving_bb_terms
@@ -64,7 +65,7 @@ class SparseCase:
     force: Any          # Guo body force (3-tuple) | None
     mrt_k: Any          # (19,19) f32 | None (core/mrt)
     mrt_kf: Any         # (19,19) f32 | None
-    smagorinsky_cs: Any  # LES Cs (float) | None
+    closure: Any        # per-cell tau closure tuple (core/rheology) | None
     wall_velocity: Any  # MOVING wall velocity (3-tuple) | None
     nbr_moving: Any     # (19, n_pad) bool | None
     fluid: Any          # (n_pad,) bool
@@ -174,7 +175,7 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         force=spec.force,
         mrt_k=mrt_k,
         mrt_kf=mrt_kf,
-        smagorinsky_cs=spec.smagorinsky_cs,
+        closure=normalize_closure(spec.smagorinsky_cs, spec.rheology),
         wall_velocity=spec.wall_velocity,
         nbr_moving=None if nbr_moving is None else jnp.asarray(nbr_moving),
         fluid=jnp.asarray(fluid),
@@ -249,12 +250,17 @@ def make_sparse_step(sc: SparseCase) -> Callable:
         mom = half_force_shift(mom, sc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        if sc.smagorinsky_cs is not None:
-            from lbm_tpu.engine.step import les_tau_eff
+        if sc.closure is not None:
+            from lbm_tpu.core.rheology import tau_eff
             fneq = pulled - f_eq
-            te = les_tau_eff(fneq, rho, sc.tau, sc.smagorinsky_cs)
+            te = tau_eff(fneq, rho, sc.tau, sc.closure)
             f_post = pulled - fneq / te[None]
-        elif sc.mrt_k is not None:
+            if sc.force is not None:
+                f_post = f_post + guo_source(u, sc.force, sc.tau,
+                                             tau_local=te)
+            f_new = jnp.where(sc.fluid[None], f_post, f_s)
+            return f_new, rho, u
+        if sc.mrt_k is not None:
             fneq = pulled - f_eq
             f_post = pulled - jnp.tensordot(
                 jnp.asarray(sc.mrt_k), fneq, axes=([1], [0]),

@@ -97,9 +97,23 @@ class CaseSpec:
     # P = sqrt(2 Pi:Pi), Pi_ab = sum_i e_ia e_ib f_neq_i — the standard
     # closed-form eddy viscosity nu_t = (Cs D)^2 |S| (Hou et al.),
     # D = 1 lattice cell. Typical Cs ~ 0.1-0.2. Requires
-    # collision='bgk' and force=None (the variable-rate Guo prefactor
-    # is not wired). None => no LES (bit-identical code path).
+    # collision='bgk'. Composes with `force` on the matmul backends
+    # (per-cell variable-rate Guo prefactor 1 - 1/(2 tau_eff)); the
+    # Pallas kernel refuses the combination (backend='auto' falls back
+    # to xla). None => no LES (bit-identical code path).
     smagorinsky_cs: Optional[float] = None
+    # Shear-rate-dependent (non-Newtonian) rheology closure
+    # (core/rheology.py; beyond-reference — the reference is Newtonian,
+    # while blood is shear-thinning). A dict, e.g.
+    #   {'model': 'power_law', 'K': 0.05, 'n': 0.7}
+    #   {'model': 'carreau', 'nu0': 0.1, 'nu_inf': 0.01,
+    #    'lam': 100.0, 'n': 0.4, 'a': 2.0}
+    # optional keys: 'tau_bounds' (default (0.5005, 20.0)) clipping the
+    # per-cell tau_eff, 'iters' (default 8) Picard iterations of the
+    # implicit tau_eff = 1/2 + 3 nu(gamma(tau_eff)) fixed point. All in
+    # lattice units. Exclusive with smagorinsky_cs; same constraints
+    # (collision='bgk'; force only on the matmul backends).
+    rheology: Optional[dict] = None
     # Constant body force density (lattice units, momentum added per
     # cell per step), applied with Guo's exact scheme (beyond-reference:
     # README.md:2 states body force/gravity is NOT considered there):
@@ -145,11 +159,12 @@ class CaseSpec:
             assert self.tau > 0.5, "MRT needs tau > 1/2"
         if self.smagorinsky_cs is not None:
             self.smagorinsky_cs = float(self.smagorinsky_cs)
-            assert self.smagorinsky_cs > 0.0
+        if self.smagorinsky_cs is not None or self.rheology is not None:
+            from lbm_tpu.core.rheology import normalize_closure
+            # validates params and the exclusivity of the two knobs
+            normalize_closure(self.smagorinsky_cs, self.rheology)
             assert self.collision == "bgk", \
-                "LES closure is wired for collision='bgk'"
-            assert self.force is None, \
-                "LES + body force needs the variable-rate Guo prefactor"
+                "per-cell tau closures are wired for collision='bgk'"
         if self.force is not None:
             self.force = tuple(float(c) for c in self.force)
             assert len(self.force) == 3

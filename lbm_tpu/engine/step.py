@@ -115,7 +115,8 @@ def half_force_shift(mom, force):
     return mom + 0.5 * fv.reshape((3,) + (1,) * (mom.ndim - 1))
 
 
-def guo_source(u, force, tau, tau_minus=None, mrt_kf=None):
+def guo_source(u, force, tau, tau_minus=None, mrt_kf=None,
+               tau_local=None):
     """(19, ...) Guo forcing source term with parity-split prefactors.
 
     Raw source G_i = w_i [3 (e_i - u) + 9 (e_i . u) e_i] . F splits into
@@ -124,7 +125,12 @@ def guo_source(u, force, tau, tau_minus=None, mrt_kf=None):
     OWN relaxation rate (the moment-space form of Guo's scheme), so
     BGK uses (1 - 1/(2 tau)) on both and TRT applies its odd rate to
     the odd half — which is what keeps the magic-Lambda wall placement
-    exact for force-driven channel flow."""
+    exact for force-driven channel flow.
+
+    tau_local: a per-cell tau_eff array (LES / non-Newtonian closures,
+    core/rheology.py) — the variable-rate form of the same prefactor,
+    (1 - 1/(2 tau_eff)) on both halves (the closure collide is BGK at
+    tau_eff)."""
     e = jnp.asarray(_E.astype(np.float32))
     fv = np.asarray(force, np.float32)
     w = jnp.asarray(D3Q19.W.astype(np.float32))
@@ -142,28 +148,23 @@ def guo_source(u, force, tau, tau_minus=None, mrt_kf=None):
             jnp.asarray(mrt_kf, jnp.float32), g_even + g_odd,
             axes=([1], [0]), precision=jax.lax.Precision.HIGHEST,
         )
+    if tau_local is not None:
+        cp_loc = np.float32(1.0) - np.float32(0.5) / tau_local
+        return cp_loc[None] * (g_even + g_odd)
     cp = np.float32(1.0 - 0.5 / tau)
     cm = cp if tau_minus is None else np.float32(1.0 - 0.5 / tau_minus)
     return cp * g_even + cm * g_odd
 
 
 def les_tau_eff(fneq, rho, tau, cs):
-    """Per-cell Smagorinsky effective relaxation time (see
-    CaseSpec.smagorinsky_cs): tau_eff = (tau + sqrt(tau^2
-    + 18 Cs^2 P / rho))/2, P = sqrt(2 Pi:Pi) with the non-equilibrium
-    momentum flux Pi_ab = sum_i e_ia e_ib fneq_i."""
-    ee = np.stack([np.outer(e, e) for e in _E.astype(np.float32)])
-    pi = jnp.tensordot(jnp.asarray(ee), fneq, axes=([0], [0]),
-                       precision=jax.lax.Precision.HIGHEST)  # (3,3,...)
-    p = jnp.sqrt(2.0 * jnp.sum(pi * pi, axis=(0, 1)))
-    tau0 = jnp.asarray(tau, jnp.float32)  # python float or traced scalar
-    k = np.float32(18.0 * float(cs) * float(cs))
-    safe_rho = jnp.where(rho == 0, 1.0, rho)
-    return 0.5 * (tau0 + jnp.sqrt(tau0 * tau0 + k * p / safe_rho))
+    """Back-compat wrapper: Smagorinsky is closure ('smag', cs) of the
+    generalized per-cell machinery in core/rheology.py."""
+    from lbm_tpu.core.rheology import tau_eff
+    return tau_eff(fneq, rho, tau, ("smag", float(cs)))
 
 
 def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
-            smagorinsky_cs=None, rho=None):
+            closure=None, rho=None):
     """Post-collision update. BGK (tau_minus=None): relax everything at
     1/tau, dividing like the reference (see make_step's precision note).
     TRT: split each population into even/odd parity halves about its
@@ -174,13 +175,14 @@ def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
     MRT (mrt_k = the (19,19) matrix from core/mrt.mrt_matrices):
     f' = f - K (f - feq) — one tensordot, so the moment-space
     relaxation runs as a matmul (MXU on TPU).
-    LES (smagorinsky_cs set, needs rho): BGK at the per-cell
-    tau_eff from les_tau_eff."""
-    if smagorinsky_cs is not None:
+    Closure (a core/rheology tuple — LES or non-Newtonian, needs rho):
+    BGK at the per-cell tau_eff."""
+    if closure is not None:
         fneq = pulled - f_eq
         if rho is None:
             rho = jnp.sum(pulled, axis=0)
-        te = les_tau_eff(fneq, rho, tau, smagorinsky_cs)
+        from lbm_tpu.core.rheology import tau_eff
+        te = tau_eff(fneq, rho, tau, closure)
         return pulled - fneq / te[None]
     if mrt_k is not None:
         fneq = pulled - f_eq
@@ -194,6 +196,27 @@ def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
     s_neq = (pulled + pulled[opp]) - (f_eq + f_eq[opp])
     d_neq = (pulled - pulled[opp]) - (f_eq - f_eq[opp])
     return pulled - s_neq / (2.0 * tau) - d_neq / (2.0 * tau_minus)
+
+
+def post_collision(pulled, f_eq, rho, u, tau, cc):
+    """Collide + Guo source for one compiled case — the shared tail of
+    every matmul-backend step. Factored so the per-cell tau closures
+    (LES / non-Newtonian) compute tau_eff ONCE and feed both the BGK
+    relax and the variable-rate Guo prefactor."""
+    if cc.closure is not None:
+        from lbm_tpu.core.rheology import tau_eff
+        fneq = pulled - f_eq
+        te = tau_eff(fneq, rho, tau, cc.closure)
+        f_post = pulled - fneq / te[None]
+        if cc.force is not None:
+            f_post = f_post + guo_source(u, cc.force, cc.tau,
+                                         tau_local=te)
+        return f_post
+    f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
+    if cc.force is not None:
+        f_post = f_post + guo_source(u, cc.force, cc.tau,
+                                     cc.tau_minus, cc.mrt_kf)
+    return f_post
 
 
 def moving_bb_terms(wall_velocity):
@@ -247,15 +270,26 @@ def make_first_step(cc: CompiledCase) -> Callable:
         mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k,
-                         cc.smagorinsky_cs, rho)
-        if cc.force is not None:
-            f_post = f_post + guo_source(u, cc.force, cc.tau,
-                                         cc.tau_minus, cc.mrt_kf)
+        f_post = post_collision(pulled, f_eq, rho, u, tau, cc)
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 
     return first_step
+
+
+def pulled_state(cc: CompiledCase, f, t, bb=None):
+    """The complete pre-collision state at step t: pull-stream with
+    fused bounce-back/moving walls plus every NEE/pressure BC fixup.
+    Shared by make_step's hot path and the stress diagnostics
+    (engine/stress.py), which must evaluate f_neq PRE-collision — the
+    stored f is post-collision, where f_neq is already scaled by the
+    operator's (per-mode, possibly per-cell) 1 - rate factors."""
+    if bb is None and cc.wall_velocity is not None:
+        bb = moving_bb_terms(cc.wall_velocity)
+    pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb)
+    for bc in cc.bcs:
+        pulled = apply_bc_fixup(pulled, f, bc, t, force=cc.force)
+    return pulled
 
 
 def make_step(cc: CompiledCase) -> Callable:
@@ -271,9 +305,7 @@ def make_step(cc: CompiledCase) -> Callable:
 
     def step(f, t):
         tau = jnp.asarray(cc.tau, f.dtype)
-        pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb)
-        for bc in cc.bcs:
-            pulled = apply_bc_fixup(pulled, f, bc, t, force=cc.force)
+        pulled = pulled_state(cc, f, t, bb)
         rho = jnp.sum(pulled, axis=0)
         mom = jnp.tensordot(
             jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
@@ -288,11 +320,7 @@ def make_step(cc: CompiledCase) -> Callable:
         # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
         # vs the literal transcription). The Pallas kernel keeps the
         # multiply for VPU throughput; cross-backend tests use rtol.
-        f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k,
-                         cc.smagorinsky_cs, rho)
-        if cc.force is not None:
-            f_post = f_post + guo_source(u, cc.force, cc.tau,
-                                         cc.tau_minus, cc.mrt_kf)
+        f_post = post_collision(pulled, f_eq, rho, u, tau, cc)
         f_new = jnp.where(fluid3, f_post, f)
         return f_new, rho, u
 
@@ -322,4 +350,5 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 __all__ = ["make_step", "make_first_step", "initial_f", "macro_fields",
            "streamed", "pull_one", "collide", "guo_source",
-           "half_force_shift", "moving_bb_terms", "les_tau_eff"]
+           "half_force_shift", "moving_bb_terms", "les_tau_eff",
+           "post_collision", "pulled_state"]

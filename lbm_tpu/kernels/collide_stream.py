@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core.lattice import D3Q19
+from lbm_tpu.core.rheology import tau_eff_from_p
 from lbm_tpu.geometry.mask import CellType
 
 _E = D3Q19.E
@@ -389,11 +390,12 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
     if les is not None:
-        # Smagorinsky LES (engine/step.les_tau_eff): Pi_ab is parity-
-        # EVEN, so only the 9 pair sums of f_neq feed it (the rest and
-        # all pair diffs drop); the per-cell tau_eff then drives a
-        # plain BGK relax. Static coefficients of Pi are e_a e_b in
-        # {0, +-1} — pure adds.
+        # Per-cell tau closure (core/rheology: Smagorinsky LES or
+        # non-Newtonian nu(gamma)): Pi_ab is parity-EVEN, so only the
+        # 9 pair sums of f_neq feed it (the rest and all pair diffs
+        # drop); the per-cell tau_eff then drives a plain BGK relax.
+        # Static coefficients of Pi are e_a e_b in {0, +-1} — pure
+        # adds.
         pairs_l = [(i, int(_OPP[i])) for i in range(1, 19)
                    if int(_OPP[i]) > i]
         feq0_l = rho * np.float32(_W[0]) * common
@@ -429,10 +431,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         p_l = jnp.sqrt(np.float32(2.0) * (
             pxx * pxx + pyy * pyy + pzz * pzz
             + np.float32(2.0) * (pxy * pxy + pxz * pxz + pyz * pyz)))
-        tau0_l = np.float32(1.0 / float(inv_tau))
-        k_l = np.float32(18.0 * float(les) * float(les))
-        te = np.float32(0.5) * (tau0_l + jnp.sqrt(
-            tau0_l * tau0_l + k_l * p_l * inv_rho))
+        te = tau_eff_from_p(p_l, inv_rho, 1.0 / float(inv_tau), les)
         inv_te = np.float32(1.0) / te
         for i in range(19):
             out_v = vals[i] - inv_te * fneq_l[i]
@@ -711,11 +710,12 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
     if les is not None:
-        # Smagorinsky LES (engine/step.les_tau_eff): Pi_ab is parity-
-        # EVEN, so only the 9 pair sums of f_neq feed it (the rest and
-        # all pair diffs drop); the per-cell tau_eff then drives a
-        # plain BGK relax. Static coefficients of Pi are e_a e_b in
-        # {0, +-1} — pure adds.
+        # Per-cell tau closure (core/rheology: Smagorinsky LES or
+        # non-Newtonian nu(gamma)): Pi_ab is parity-EVEN, so only the
+        # 9 pair sums of f_neq feed it (the rest and all pair diffs
+        # drop); the per-cell tau_eff then drives a plain BGK relax.
+        # Static coefficients of Pi are e_a e_b in {0, +-1} — pure
+        # adds.
         pairs_l = [(i, int(_OPP[i])) for i in range(1, 19)
                    if int(_OPP[i]) > i]
         feq0_l = rho * np.float32(_W[0]) * common
@@ -751,10 +751,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         p_l = jnp.sqrt(np.float32(2.0) * (
             pxx * pxx + pyy * pyy + pzz * pzz
             + np.float32(2.0) * (pxy * pxy + pxz * pxz + pyz * pyz)))
-        tau0_l = np.float32(1.0 / float(inv_tau))
-        k_l = np.float32(18.0 * float(les) * float(les))
-        te = np.float32(0.5) * (tau0_l + jnp.sqrt(
-            tau0_l * tau0_l + k_l * p_l * inv_rho))
+        te = tau_eff_from_p(p_l, inv_rho, 1.0 / float(inv_tau), les)
         inv_te = np.float32(1.0) / te
         for i in range(19):
             out_v = vals[i] - inv_te * fneq_l[i]
@@ -1107,7 +1104,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
     inv_te_row = None
-    if les is not None:  # LES (see _subtile_compute): per-cell tau_eff
+    if les is not None:  # tau closure (see _subtile_compute): tau_eff
         fneq_row = [pulls[i] - feqs[i] for i in range(19)]
         def _pi_row(a_, b_):
             acc = None
@@ -1124,10 +1121,7 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
             pxx_r * pxx_r + pyy_r * pyy_r + pzz_r * pzz_r
             + np.float32(2.0) * (pxy_r * pxy_r + pxz_r * pxz_r
                                  + pyz_r * pyz_r)))
-        tau0_r = np.float32(1.0 / float(inv_tau))
-        k_r = np.float32(18.0 * float(les) * float(les))
-        te_r = np.float32(0.5) * (tau0_r + jnp.sqrt(
-            tau0_r * tau0_r + k_r * p_r * ir))
+        te_r = tau_eff_from_p(p_r, ir, 1.0 / float(inv_tau), les)
         inv_te_row = np.float32(1.0) / te_r
     moms_m = None
     if mrt is not None:  # MRT rank update (see _subtile_compute)
@@ -2115,7 +2109,7 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     feq = rho[None] * phi(u)
     post = collide(pulled, feq, cc.tau, cc.tau_minus, cc.mrt_k,
-                   cc.smagorinsky_cs, rho)
+                   cc.closure, rho)
     if cc.force is not None:
         post = post + guo_source(u, cc.force, cc.tau, cc.tau_minus,
                                  cc.mrt_kf)
@@ -2631,8 +2625,12 @@ def make_pallas_step(
         from lbm_tpu.core.mrt import mrt_rank_update
         spec0 = cc_pad.spec
         mrt = mrt_rank_update(float(cc_pad.tau), spec0.mrt_rates)
-    les = (None if cc_pad.smagorinsky_cs is None
-           else float(cc_pad.smagorinsky_cs))  # static LES Cs
+    les = cc_pad.closure  # static tau-closure tuple (core/rheology)
+    if les is not None and force is not None:
+        raise ValueError(
+            "per-cell tau closure (LES/rheology) + body force needs the "
+            "variable-rate Guo prefactor — run it on the xla/sparse "
+            "backends (the kernel supports closures without force)")
 
     kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
     fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]

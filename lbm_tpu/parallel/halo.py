@@ -161,12 +161,17 @@ def make_halo_step(
         mom = half_force_shift(mom, cc.force)
         u = mom / jnp.where(rho == 0, 1.0, rho)[None]
         f_eq = rho[None] * phi(u)
-        if cc.smagorinsky_cs is not None:
-            from lbm_tpu.engine.step import les_tau_eff
+        if cc.closure is not None:
+            from lbm_tpu.core.rheology import tau_eff
             fneq = pulled - f_eq
-            te = les_tau_eff(fneq, rho, cc.tau, cc.smagorinsky_cs)
+            te = tau_eff(fneq, rho, cc.tau, cc.closure)
             f_post = pulled - fneq / te[None]
-        elif cc.mrt_k is not None:
+            if cc.force is not None:
+                f_post = f_post + guo_source(u, cc.force, cc.tau,
+                                             tau_local=te)
+            f_new = jnp.where(fluid[None], f_post, f)
+            return f_new, rho, u
+        if cc.mrt_k is not None:
             fneq = pulled - f_eq
             f_post = pulled - jnp.tensordot(
                 jnp.asarray(cc.mrt_k), fneq, axes=([1], [0]),

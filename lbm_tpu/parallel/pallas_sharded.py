@@ -303,8 +303,10 @@ def make_pallas_sharded_step(
                              "under the mesh (see make_pallas_step)")
         from lbm_tpu.core.mrt import mrt_rank_update
         mrt = mrt_rank_update(float(cc_pad.tau), cc_pad.spec.mrt_rates)
-    les = (None if cc_pad.smagorinsky_cs is None
-           else float(cc_pad.smagorinsky_cs))
+    les = cc_pad.closure  # static tau-closure tuple (core/rheology)
+    if les is not None and force is not None:
+        raise ValueError("tau closure + body force: use the xla backend "
+                         "under the mesh (see make_pallas_step)")
 
     # Per-shard block-sparse tile lists (see shard_tile_lists).
     tids_all = None

@@ -136,9 +136,9 @@ def test_les_constraint_asserts():
     with pytest.raises(AssertionError):
         get_case("lid_driven_cavity", n=16, collision="trt",
                  smagorinsky_cs=0.17)
-    with pytest.raises(AssertionError):
-        get_case("lid_driven_cavity", n=16, force=(0.0, 0.0, 1e-5),
-                 smagorinsky_cs=0.17)
+    with pytest.raises(ValueError):  # exclusive per-cell tau closures
+        get_case("lid_driven_cavity", n=16, smagorinsky_cs=0.17,
+                 rheology={"model": "power_law", "K": 0.1, "n": 0.7})
 
 
 def _blowup_step(cc, steps, check_every=250):

@@ -58,6 +58,8 @@ def _assert_matches_dense(f, f_ref, mask, rtol=3e-6, atol=1e-7):
     ("lid_driven_cavity", dict(n=16, lid="bounceback")),
     ("poiseuille", dict(n=16, collision="mrt")),
     ("poiseuille", dict(n=16, smagorinsky_cs=0.17)),
+    ("poiseuille", dict(n=16, rheology={"model": "carreau", "nu0": 0.3,
+                            "nu_inf": 0.02, "lam": 3000.0, "n": 0.5})),
 ])
 def test_sharded_pallas_matches_dense(case_name, kwargs):
     spec = pad_spec(get_case(case_name, **kwargs))

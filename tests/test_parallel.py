@@ -61,6 +61,8 @@ def test_gspmd_sharded_matches_single_device(case_name, kwargs):
     ("lid_driven_cavity", dict(n=16, lid="bounceback")),
     ("poiseuille", dict(n=16, collision="mrt")),
     ("poiseuille", dict(n=16, smagorinsky_cs=0.17)),
+    ("poiseuille", dict(n=16, rheology={"model": "carreau", "nu0": 0.3,
+                            "nu_inf": 0.02, "lam": 3000.0, "n": 0.5})),
 ])
 def test_halo_exchange_matches_single_device(case_name, kwargs):
     spec = get_case(case_name, **kwargs)
