@@ -47,6 +47,9 @@ def main(argv=None) -> int:
                       "(per-save VTK on a 31M-cell grid dominates wall "
                       "time; the residual curve still logs every save)")
     runp.add_argument("--binary-vtk", action="store_true")
+    runp.add_argument("--wss", action="store_true",
+                      help="add the wall-shear-stress field (Pa) to VTK "
+                      "outputs (engine/stress.py; beyond-reference)")
     runp.add_argument("--snapshots", action="store_true",
                       help="write end-of-run midplane/BC snapshots "
                            "(meas1.txt, s1_out.txt, vel.csv — the "
@@ -135,7 +138,7 @@ def main(argv=None) -> int:
         log.residual(residual)
         if not args.no_vtk and not args.vtk_final:
             case_vtk(sim, args.out, k, include_density=spec.vtk_density,
-                     binary=args.binary_vtk)
+                     binary=args.binary_vtk, include_wss=args.wss)
         if args.checkpoint_every and save_count % args.checkpoint_every == 0:
             ckpt.save_sim(
                 os.path.join(args.out, f"{spec.name}.ckpt.npz"), sim
@@ -165,7 +168,7 @@ def main(argv=None) -> int:
     log.finish(elapsed_ms, nlattice, result.residual)
     if not args.no_vtk:
         case_vtk(sim, args.out, sim.t, include_density=spec.vtk_density,
-                 binary=args.binary_vtk)
+                 binary=args.binary_vtk, include_wss=args.wss)
     if args.snapshots:
         from lbm_tpu.io.snapshots import (
             write_bc_csv,

@@ -1,0 +1,164 @@
+"""Deviatoric (viscous) stress tensor and wall shear stress (WSS)
+diagnostics.
+
+Beyond-reference: the reference writes velocity and pressure only
+(/root/reference/coronary_cfd/coronary.cu:948-1011) — yet WSS is THE
+clinically reported quantity of coronary hemodynamics (low/oscillatory
+WSS marks atherosclerosis-prone sites). LBM makes it local: the
+non-equilibrium second moment
+
+    Pi_ab = sum_i e_ia e_ib (f_i - f_i^eq)
+
+evaluated PRE-collision relates to the strain rate by the standard
+Chapman-Enskog result S_ab = -3/(2 rho tau) Pi_ab, so the deviatoric
+viscous stress 2 rho nu S_ab is
+
+    sigma_ab = -(1 - 1/(2 tau)) Pi_ab
+
+with no velocity gradients, finite differences, or halo exchange — a
+pointwise pass over the lattice (one (19->6) tensordot: MXU-friendly).
+Refinements carried exactly:
+
+  * Guo body force: the half-shifted u makes the second moment miss
+    (u_a F_b + u_b F_a)/2, which is added back (Guo, Zheng & Shi 2002);
+  * per-cell tau closures (LES / non-Newtonian, core/rheology.py):
+    tau_eff is recomputed from the same Pi by the same fixed point the
+    collide used, so sigma uses the cell's actual apparent viscosity;
+  * TRT relaxes the parity-EVEN part at 1/tau and Pi is parity-even,
+    and this repo's MRT fixes the shear rows at 1/tau (core/mrt.py),
+    so `tau` is the right rate for every operator;
+  * the stored state is POST-collision, where f_neq is already scaled
+    by per-mode (1 - rate) factors — stress therefore evaluates on the
+    pre-collision pulled state (engine/step.pulled_state), i.e. the
+    stress field of step t+1's collision, one half-step ahead of the
+    last macro() fields (identical at steady state).
+
+Trace note: tr(Pi_neq) carries the bulk-viscous mode, O(Ma^2) in these
+weakly-compressible runs; sigma keeps it (callers wanting the traceless
+part subtract tr/3). WSS is unaffected either way — an isotropic stress
+contributes purely normal traction.
+
+WSS itself: at each fluid cell adjacent to a solid (WALL/MOVING) cell,
+the unit inward wall normal n is estimated from the lattice directions
+pointing into solid cells (w_i-weighted — the standard voxel-normal
+estimate), and
+
+    WSS = | sigma . n - (n . sigma . n) n |
+
+i.e. the tangential traction magnitude, reported at the near-wall cell
+center (half a cell off the half-way bounce-back wall plane; first
+order, the standard local LBM evaluation). Physical scale:
+sigma_phys = sigma_lat * C_pre (core/units.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.core.lattice import D3Q19, phi
+from lbm_tpu.engine.compile import CompiledCase
+from lbm_tpu.engine.step import half_force_shift, pulled_state
+from lbm_tpu.geometry.mask import CellType
+
+_E = D3Q19.E
+
+# (19, 6) second-moment basis; component order xx yy zz xy xz yz.
+_PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+_EE6 = np.stack(
+    [_E[:, a].astype(np.float32) * _E[:, b].astype(np.float32)
+     for a, b in _PAIRS], axis=1)
+
+
+def stress_fields(cc: CompiledCase, f, t=0):
+    """(sigma6, rho, u) of the pre-collision state pulled from f at
+    step t. sigma6 is (6, X, Y, Z) in the xx yy zz xy xz yz order,
+    lattice units, zero at non-fluid cells; rho/u follow the
+    macro_fields convention (init values at non-fluid cells)."""
+    pulled = pulled_state(cc, f, t)
+    rho = jnp.sum(pulled, axis=0)
+    mom = jnp.tensordot(
+        jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mom = half_force_shift(mom, cc.force)
+    safe_rho = jnp.where(rho == 0, np.float32(1.0), rho)
+    u = mom / safe_rho[None]
+    f_eq = rho[None] * phi(u)
+    pi6 = jnp.tensordot(
+        jnp.asarray(_EE6.T), pulled - f_eq, axes=([1], [0]),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6, X, Y, Z)
+    if cc.closure is not None:
+        # the cell's actual apparent viscosity: same P, same fixed point
+        # as the collide (core/rheology)
+        from lbm_tpu.core.rheology import tau_eff_from_p
+
+        p = jnp.sqrt(np.float32(2.0) * (
+            pi6[0] * pi6[0] + pi6[1] * pi6[1] + pi6[2] * pi6[2]
+            + np.float32(2.0) * (pi6[3] * pi6[3] + pi6[4] * pi6[4]
+                                 + pi6[5] * pi6[5])))
+        te = tau_eff_from_p(p, np.float32(1.0) / safe_rho, cc.tau,
+                            cc.closure)
+        pref = -(np.float32(1.0) - np.float32(0.5) / te)[None]
+    else:
+        pref = np.float32(-(1.0 - 0.5 / float(cc.tau)))
+    if cc.force is not None:
+        fv = np.asarray(cc.force, np.float32)
+        corr = jnp.stack([
+            np.float32(0.5) * (u[a] * np.float32(fv[b])
+                               + u[b] * np.float32(fv[a]))
+            for a, b in _PAIRS])
+        pi6 = pi6 + corr
+    sigma = jnp.where(cc.fluid[None], pref * pi6, np.float32(0.0))
+    rho = jnp.where(cc.fluid, rho, cc.rho0)
+    u = jnp.where(cc.fluid[None], u, cc.u0)
+    return sigma, rho, u
+
+
+def wall_normals(mask) -> np.ndarray:
+    """(3, X, Y, Z) f32 unit inward (fluid->solid) wall normals at
+    fluid cells with at least one WALL/MOVING lattice neighbor; zero
+    elsewhere. NumPy precompute (one pass of 18 shifts over the int
+    mask at case-build cost, not per-output cost)."""
+    m = np.asarray(mask)
+    solid = (m == CellType.WALL) | (m == CellType.MOVING)
+    fluid = m == CellType.FLUID
+    n = np.zeros((3,) + m.shape, np.float32)
+    w = D3Q19.W.astype(np.float32)
+    for i in range(1, D3Q19.Q):
+        e = _E[i]
+        # neighbor at x + e_i (axis-wise roll by -e)
+        nb = np.roll(solid, shift=[-int(s) for s in e], axis=(0, 1, 2))
+        sel = fluid & nb
+        for a in range(3):
+            if e[a]:
+                n[a][sel] += w[i] * float(e[a])
+    mag = np.sqrt((n * n).sum(axis=0))
+    np.divide(n, mag[None], out=n, where=mag[None] > 0)
+    return n
+
+
+def wss_field(cc: CompiledCase, f, t=0, normals=None):
+    """(X, Y, Z) wall shear stress magnitude (lattice units; multiply
+    by units.C_pre for Pa), nonzero exactly at wall-adjacent fluid
+    cells. normals: a precomputed wall_normals(mask) to amortize over
+    repeated outputs."""
+    if normals is None:
+        normals = wall_normals(cc.spec.mask)
+    sigma, _, _ = stress_fields(cc, f, t)
+    n = jnp.asarray(normals)
+    # traction t_a = sigma_ab n_b from the packed 6 components
+    tx = sigma[0] * n[0] + sigma[3] * n[1] + sigma[4] * n[2]
+    ty = sigma[3] * n[0] + sigma[1] * n[1] + sigma[5] * n[2]
+    tz = sigma[4] * n[0] + sigma[5] * n[1] + sigma[2] * n[2]
+    tn = tx * n[0] + ty * n[1] + tz * n[2]
+    wx, wy, wz = tx - tn * n[0], ty - tn * n[1], tz - tn * n[2]
+    has_wall = jnp.asarray((normals != 0).any(axis=0))
+    return jnp.where(has_wall,
+                     jnp.sqrt(wx * wx + wy * wy + wz * wz),
+                     np.float32(0.0))
+
+
+__all__ = ["stress_fields", "wall_normals", "wss_field"]

@@ -70,6 +70,7 @@ def case_vtk(
     step: int,
     include_density: bool = False,
     binary: bool = False,
+    include_wss: bool = False,
 ) -> str:
     """Write the per-save VTK snapshot for a Simulation, in physical units
     with dead cells zeroed (the reference writes 0 for index -1 cells)."""
@@ -92,6 +93,10 @@ def case_vtk(
         fields["DENSITY"] = np.where(live, rho, 0.0) * units.C_rho
         fields["PRESSURE"] = np.where(live, rho, 0.0) * units.C_pre / 3.0
     fields["VELOCITY"] = u
+    if include_wss:
+        # beyond-reference: wall shear stress in Pa (engine/stress.py;
+        # the reference writes velocity/pressure only)
+        fields["WSS"] = np.asarray(sim.wss()) * units.C_pre
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{spec.name}_{step}.vtk")
     write_structured_points(
