@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     runp.add_argument("--wss", action="store_true",
                       help="add the wall-shear-stress field (Pa) to VTK "
                       "outputs (engine/stress.py; beyond-reference)")
+    runp.add_argument("--wss-stats", action="store_true",
+                      help="accumulate TAWSS (Pa) and OSI over the run "
+                      "(sampled at every save; for pulsatile cases make "
+                      "--time-save divide the period) and write both "
+                      "into the FINAL VTK (engine/stress.WSSAccumulator)")
     runp.add_argument("--snapshots", action="store_true",
                       help="write end-of-run midplane/BC snapshots "
                            "(meas1.txt, s1_out.txt, vel.csv — the "
@@ -131,11 +136,16 @@ def main(argv=None) -> int:
     log = ConvergenceLog(args.out)
     t0 = time.perf_counter()
     save_count = 0
+    wss_acc = None
 
     def on_save(sim, k, residual):
-        nonlocal save_count
+        nonlocal save_count, wss_acc
         save_count += 1
         log.residual(residual)
+        if args.wss_stats:
+            if wss_acc is None:
+                wss_acc = sim.wss_accumulator()
+            wss_acc.sample_sim(sim)
         if not args.no_vtk and not args.vtk_final:
             case_vtk(sim, args.out, k, include_density=spec.vtk_density,
                      binary=args.binary_vtk, include_wss=args.wss)
@@ -167,8 +177,16 @@ def main(argv=None) -> int:
     print(f"Residual is {result.residual:g}")
     log.finish(elapsed_ms, nlattice, result.residual)
     if not args.no_vtk:
+        extra = None
+        if wss_acc is not None and wss_acc.n_samples:
+            extra = {
+                "TAWSS": np.asarray(wss_acc.tawss())
+                * spec.units.C_pre,
+                "OSI": np.asarray(wss_acc.osi()),
+            }
         case_vtk(sim, args.out, sim.t, include_density=spec.vtk_density,
-                 binary=args.binary_vtk, include_wss=args.wss)
+                 binary=args.binary_vtk, include_wss=args.wss,
+                 extra_fields=extra)
     if args.snapshots:
         from lbm_tpu.io.snapshots import (
             write_bc_csv,

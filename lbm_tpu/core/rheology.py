@@ -40,6 +40,10 @@ Closure canonical form (static, hashable — safe as a jit constant):
     ('cy', nu0, nu_inf, lam, n, a, te_lo, te_hi, iters)
         nu = nu_inf + (nu0-nu_inf) (1 + (lam gamma)^a)^((n-1)/a)
         (a = 2 is Carreau; general a is Carreau-Yasuda)
+    ('casson', nu_c, tau_y, te_lo, te_hi, iters)
+        nu = (sqrt(nu_c) + sqrt(tau_y/gamma))^2  (yield stress tau_y,
+        kinematic: stress/rho; the plug core rides the te_hi clip —
+        the standard regularization of yield-stress LBM)
 
 All parameters are in lattice units (nu_lat = (tau-1/2)/3; convert
 physical Carreau constants through core/units.py).
@@ -83,6 +87,12 @@ def normalize_closure(smagorinsky_cs, rheology: Optional[dict]):
         assert k > 0.0 and n > 0.0
         assert not r, f"unknown power_law keys: {sorted(r)}"
         return ("plaw", k, n, lo, hi, iters)
+    if model == "casson":
+        nu_c = float(r.pop("nu_c"))
+        tau_y = float(r.pop("tau_y"))
+        assert nu_c > 0.0 and tau_y >= 0.0
+        assert not r, f"unknown casson keys: {sorted(r)}"
+        return ("casson", nu_c, tau_y, lo, hi, iters)
     if model in ("carreau", "carreau_yasuda"):
         nu0 = float(r.pop("nu0"))
         nu_inf = float(r.pop("nu_inf"))
@@ -94,7 +104,27 @@ def normalize_closure(smagorinsky_cs, rheology: Optional[dict]):
         assert not r, f"unknown carreau keys: {sorted(r)}"
         return ("cy", nu0, nu_inf, lam, n, a, lo, hi, iters)
     raise ValueError(f"unknown rheology model {model!r} "
-                     "(power_law | carreau | carreau_yasuda)")
+                     "(power_law | carreau | carreau_yasuda | casson)")
+
+
+def carreau_blood(units, rho: float = 1060.0, mu0: float = 0.056,
+                  mu_inf: float = 0.00345, lam: float = 3.313,
+                  n: float = 0.3568, a: float = 2.0, **kw) -> dict:
+    """CaseSpec.rheology dict for physiological blood in the given
+    UnitSystem — the Carreau fit of Cho & Kensey (1991), the standard
+    constants of the hemodynamics CFD literature (mu0 = 56 mPa.s,
+    mu_inf = 3.45 mPa.s, lambda = 3.313 s, n = 0.3568).
+
+    Conversion: nu_lat = nu_phys / (CH C_U), lam_lat = lam_phys / C_T.
+    At the coronary case's scales (CH = 6.56e-5 m, C_U = 2.47 m/s)
+    blood spans tau_eff in about [0.56, 1.5] with the Carreau
+    transition landing right in the resolved shear-rate band — i.e.
+    the non-Newtonian correction is physically active, not decorative.
+    Extra keys (tau_bounds, iters) pass through."""
+    nu_scale = units.CH * units.C_U  # lattice kinematic-viscosity unit
+    return {"model": "carreau", "nu0": mu0 / rho / nu_scale,
+            "nu_inf": mu_inf / rho / nu_scale,
+            "lam": lam / units.C_T, "n": n, "a": a, **kw}
 
 
 def nu_of_gamma(gamma, closure):
@@ -108,6 +138,9 @@ def nu_of_gamma(gamma, closure):
         nu0, nu_inf, lam, n, a = closure[1:6]
         return nu_inf + (nu0 - nu_inf) * (
             1.0 + (lam * gamma) ** a) ** ((n - 1.0) / a)
+    if closure[0] == "casson":
+        nu_c, tau_y = closure[1], closure[2]
+        return (np.sqrt(nu_c) + np.sqrt(tau_y / gamma)) ** 2
     raise ValueError(f"{closure[0]!r} has no nu(gamma)")
 
 
@@ -143,11 +176,40 @@ def tau_eff_from_p(p, inv_rho, tau0, closure):
         ex = np.float32((n - 1.0) / a)
         lam_f = np.float32(lam)
         for _ in range(int(iters)):
-            lg = jnp.log(jnp.maximum(lam_f * g0 / te, _TINY))
-            x = jnp.exp(ea * lg)              # (lam gamma)^a
+            if a == 2.0:
+                # standard Carreau: (lam gamma)^2 is an exact square —
+                # one transcendental pair fewer per iteration (measured
+                # on the kernel hot loop, see PARITY)
+                z = lam_f * g0 / te
+                x = z * z
+            else:
+                lg = jnp.log(jnp.maximum(lam_f * g0 / te, _TINY))
+                x = jnp.exp(ea * lg)          # (lam gamma)^a
             nu3 = dnu3 * jnp.exp(ex * jnp.log1p(x))
             te = jnp.clip(base + nu3, np.float32(lo), np.float32(hi))
         return te
+    if kind == "casson":
+        # nu = (sqrt(nu_c) + sqrt(tau_y/gamma))^2 with gamma = g0/te
+        # makes the fixed point QUADRATIC in s = sqrt(te):
+        #   te = B + C sqrt(te/g0) + D te/g0,  B = 1/2 + 3 nu_c,
+        #   C = 6 sqrt(nu_c tau_y), D = 3 tau_y
+        # => (1 - D/g0) s^2 - (C/sqrt(g0)) s - B = 0, solved in CLOSED
+        # FORM (no Picard loop; `iters` is ignored). When D/g0 >= 1
+        # there is no finite root — the plug core — and te rides the
+        # hi clip, the standard yield-stress regularization. tau_y = 0
+        # degenerates exactly to Newtonian nu_c.
+        _, nu_c, tau_y, lo, hi, _ = closure
+        b = np.float32(0.5 + 3.0 * nu_c)
+        cc = np.float32(6.0 * np.sqrt(nu_c * tau_y))
+        dd = np.float32(3.0 * tau_y)
+        g = jnp.maximum(g0, _TINY)
+        a = np.float32(1.0) - dd / g
+        c = cc / jnp.sqrt(g)
+        disc = c * c + np.float32(4.0) * a * b
+        s = ((c + jnp.sqrt(jnp.maximum(disc, np.float32(0.0))))
+             / (np.float32(2.0) * jnp.maximum(a, _TINY)))
+        te = jnp.where(a > 0, s * s, np.float32(hi))
+        return jnp.clip(te, np.float32(lo), np.float32(hi))
     raise ValueError(f"unknown closure kind {kind!r}")
 
 
@@ -167,4 +229,4 @@ def tau_eff(fneq, rho, tau, closure):
 
 
 __all__ = ["normalize_closure", "nu_of_gamma", "tau_eff_from_p",
-           "tau_eff"]
+           "tau_eff", "carreau_blood"]

@@ -418,6 +418,19 @@ class Simulation:
             self._wss_normals = wall_normals(self.spec.mask)
         return wss_field(cc, f, self.t, self._wss_normals)
 
+    def wss_accumulator(self):
+        """A WSSAccumulator (TAWSS/OSI over a pulsatile window) bound
+        to this simulation's case; call acc.sample_sim(self) at each
+        sampling time (engine/stress.WSSAccumulator)."""
+        from lbm_tpu.engine.stress import WSSAccumulator
+
+        cc, _ = self._dense_cc_f()
+        if getattr(self, "_wss_normals", None) is None:
+            from lbm_tpu.engine.stress import wall_normals
+
+            self._wss_normals = wall_normals(self.spec.mask)
+        return WSSAccumulator(cc, self._wss_normals)
+
     def _dense_cc_f(self):
         """(dense unpadded CompiledCase, dense unpadded f) for the
         stress diagnostics, whatever the run backend."""

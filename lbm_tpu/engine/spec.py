@@ -108,6 +108,7 @@ class CaseSpec:
     #   {'model': 'power_law', 'K': 0.05, 'n': 0.7}
     #   {'model': 'carreau', 'nu0': 0.1, 'nu_inf': 0.01,
     #    'lam': 100.0, 'n': 0.4, 'a': 2.0}
+    #   {'model': 'casson', 'nu_c': 0.02, 'tau_y': 1e-5}  (closed form)
     # optional keys: 'tau_bounds' (default (0.5005, 20.0)) clipping the
     # per-cell tau_eff, 'iters' (default 8) Picard iterations of the
     # implicit tau_eff = 1/2 + 3 nu(gamma(tau_eff)) fixed point. All in

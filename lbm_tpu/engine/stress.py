@@ -140,11 +140,11 @@ def wall_normals(mask) -> np.ndarray:
     return n
 
 
-def wss_field(cc: CompiledCase, f, t=0, normals=None):
-    """(X, Y, Z) wall shear stress magnitude (lattice units; multiply
-    by units.C_pre for Pa), nonzero exactly at wall-adjacent fluid
-    cells. normals: a precomputed wall_normals(mask) to amortize over
-    repeated outputs."""
+def tangential_traction(cc: CompiledCase, f, t=0, normals=None):
+    """(3, X, Y, Z) tangential wall-traction VECTOR (lattice units) at
+    wall-adjacent fluid cells, zero elsewhere — the directional
+    quantity under WSS, kept separate because pulsatile statistics
+    (OSI) need the vector's time average, not the magnitude's."""
     if normals is None:
         normals = wall_normals(cc.spec.mask)
     sigma, _, _ = stress_fields(cc, f, t)
@@ -154,11 +154,75 @@ def wss_field(cc: CompiledCase, f, t=0, normals=None):
     ty = sigma[3] * n[0] + sigma[1] * n[1] + sigma[5] * n[2]
     tz = sigma[4] * n[0] + sigma[5] * n[1] + sigma[2] * n[2]
     tn = tx * n[0] + ty * n[1] + tz * n[2]
-    wx, wy, wz = tx - tn * n[0], ty - tn * n[1], tz - tn * n[2]
+    return jnp.stack([tx - tn * n[0], ty - tn * n[1], tz - tn * n[2]])
+
+
+def wss_field(cc: CompiledCase, f, t=0, normals=None):
+    """(X, Y, Z) wall shear stress magnitude (lattice units; multiply
+    by units.C_pre for Pa), nonzero exactly at wall-adjacent fluid
+    cells. normals: a precomputed wall_normals(mask) to amortize over
+    repeated outputs."""
+    if normals is None:
+        normals = wall_normals(cc.spec.mask)
+    w = tangential_traction(cc, f, t, normals)
     has_wall = jnp.asarray((normals != 0).any(axis=0))
     return jnp.where(has_wall,
-                     jnp.sqrt(wx * wx + wy * wy + wz * wz),
+                     jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]),
                      np.float32(0.0))
 
 
-__all__ = ["stress_fields", "wall_normals", "wss_field"]
+class WSSAccumulator:
+    """Time statistics of the wall traction over a sampling window —
+    the clinical pair for pulsatile hemodynamics:
+
+        TAWSS = < |t_w| >                    (time-averaged WSS)
+        OSI   = 1/2 (1 - |<t_w>| / <|t_w|>)  (oscillatory shear index)
+
+    OSI = 0 for unidirectional traction, -> 1/2 for fully reversing
+    flow; low-TAWSS/high-OSI sites mark atherosclerosis-prone
+    endothelium (Ku et al. 1985 — the reason WSS is computed at all).
+    Sampling cost is one stress pass per call; sample uniformly over
+    whole periods (e.g. from a Simulation on_save callback, or
+    `acc.sample_sim(sim)` after each chunk)."""
+
+    def __init__(self, cc: CompiledCase, normals=None):
+        self.cc = cc
+        self.normals = (wall_normals(cc.spec.mask)
+                        if normals is None else normals)
+        self._vec = jnp.zeros((3,) + tuple(cc.spec.shape), jnp.float32)
+        self._mag = jnp.zeros(tuple(cc.spec.shape), jnp.float32)
+        self.n_samples = 0
+
+    def sample(self, f, t=0):
+        w = tangential_traction(self.cc, f, t, self.normals)
+        self._vec = self._vec + w
+        self._mag = self._mag + jnp.sqrt(
+            w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
+        self.n_samples += 1
+
+    def sample_sim(self, sim):
+        """Sample a Simulation's current state (any backend)."""
+        cc, f = sim._dense_cc_f()
+        assert cc is self.cc, "accumulator bound to a different case"
+        self.sample(f, sim.t)
+
+    def tawss(self):
+        """(X, Y, Z) time-averaged WSS (lattice units)."""
+        assert self.n_samples > 0
+        return self._mag / np.float32(self.n_samples)
+
+    def osi(self):
+        """(X, Y, Z) oscillatory shear index in [0, 1/2], zero where
+        there is no wall (and where TAWSS is identically zero)."""
+        assert self.n_samples > 0
+        mean_vec = jnp.sqrt(self._vec[0] ** 2 + self._vec[1] ** 2
+                            + self._vec[2] ** 2)
+        safe = jnp.where(self._mag > 0, self._mag, np.float32(1.0))
+        return jnp.where(
+            self._mag > 0,
+            np.float32(0.5) * (np.float32(1.0) - mean_vec / safe),
+            np.float32(0.0))
+
+
+__all__ = ["stress_fields", "wall_normals", "wss_field",
+           "tangential_traction", "WSSAccumulator"]

@@ -71,6 +71,7 @@ def case_vtk(
     include_density: bool = False,
     binary: bool = False,
     include_wss: bool = False,
+    extra_fields: dict | None = None,
 ) -> str:
     """Write the per-save VTK snapshot for a Simulation, in physical units
     with dead cells zeroed (the reference writes 0 for index -1 cells)."""
@@ -97,6 +98,8 @@ def case_vtk(
         # beyond-reference: wall shear stress in Pa (engine/stress.py;
         # the reference writes velocity/pressure only)
         fields["WSS"] = np.asarray(sim.wss()) * units.C_pre
+    for name, arr in (extra_fields or {}).items():
+        fields[name] = np.asarray(arr)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{spec.name}_{step}.vtk")
     write_structured_points(

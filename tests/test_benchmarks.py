@@ -299,3 +299,48 @@ def test_womersley_pipe():
         err = np.sqrt(np.mean((sim.ravel() - pred) ** 2)) / np.abs(pred).max()
         best = min(best, float(err))
     assert best < 0.05, f"Womersley shape RMS dev {best:.3f} (>5% of peak)"
+
+
+# --- Taylor-Green vortex: exact viscous decay ---------------------------
+# u = U0 ( sin kx cos ky, -cos kx sin ky, 0 ) on a fully periodic box is
+# an exact Navier-Stokes solution decaying as e^{-2 nu k^2 t}; fitting
+# the kinetic-energy decay rate measures the solver's effective
+# viscosity directly (the one anchor that needs NO boundaries at all —
+# pure bulk physics, dense-roll periodic wrap).
+
+
+def test_taylor_green_viscous_decay():
+    n, tau, U0 = 32, 0.8, 0.02
+    nu = (tau - 0.5) / 3.0
+    k = 2.0 * np.pi / n
+    x = (np.arange(n) * k)[:, None, None]
+    y = (np.arange(n) * k)[None, :, None]
+    u0 = np.zeros((3, n, n, n), np.float32)
+    u0[0] = U0 * np.sin(x) * np.cos(y)
+    u0[1] = -U0 * np.cos(x) * np.sin(y)
+    # the consistent pressure field keeps the feq-only init transient
+    # small: p = rho cs^2 => drho = 3 dp, dp = (rho U0^2/4)(cos 2kx
+    # + cos 2ky)
+    rho0 = (1.0 + 3.0 * (U0 * U0 / 4.0)
+            * (np.cos(2 * x) + np.cos(2 * y))
+            * np.ones((n, n, n))).astype(np.float32)
+    spec = CaseSpec(
+        name="tgv", shape=(n, n, n), tau=tau,
+        units=UnitSystem(CH=1e-4, C_U=1.0, C_rho=1000.0),
+        mask=np.full((n, n, n), CellType.FLUID, np.int32),
+        boundaries=[], rho0=rho0, u0=u0,
+    )
+    cc = compile_case(spec)
+    step = jax.jit(make_step(cc))
+    f = initial_f(cc)
+    ke = {}
+    t_marks = (100, 300)
+    for t in range(t_marks[-1]):
+        f, rho, u = step(f, jnp.int32(t))
+        if t + 1 in t_marks:
+            ke[t + 1] = float(jnp.sum(u * u))
+    rate = -np.log(ke[300] / ke[100]) / (2.0 * (300 - 100))
+    nu_measured = rate / (2.0 * k * k)
+    assert abs(nu_measured - nu) / nu < 0.01, (
+        f"TGV effective viscosity {nu_measured:.5f} vs {nu:.5f}"
+    )

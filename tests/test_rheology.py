@@ -98,6 +98,7 @@ def test_closure_validation():
     CARREAU,
     {"model": "carreau_yasuda", "nu0": 0.3, "nu_inf": 0.02,
      "lam": 3000.0, "n": 0.5, "a": 1.25},
+    {"model": "casson", "nu_c": 0.02, "tau_y": 1e-5},
 ])
 def test_picard_fixed_point_satisfies_closure(rheo):
     """tau_eff from the unrolled Picard iteration satisfies the
@@ -271,3 +272,65 @@ def test_kernel_refuses_closure_plus_force_and_auto_falls_back():
     sim.run(verbose=False)
     _, u = sim.macro()
     assert np.isfinite(np.asarray(u)).all()
+
+
+# ---------------------------------------------------------------------
+# Physiological blood model (core/rheology.carreau_blood)
+
+
+def test_carreau_blood_constructor():
+    """Cho & Kensey constants through the coronary unit system: exact
+    conversion values, and the resulting tau_eff band is physiological
+    (0.56..1.48 over the resolved shear-rate decades — the transition
+    lands in-band, so the correction is active, not decorative)."""
+    from lbm_tpu.core.rheology import carreau_blood
+
+    u = UnitSystem(CH=0.0000655737, C_U=2.4705, C_rho=1060.0)
+    d = carreau_blood(u)
+    nu_scale = u.CH * u.C_U
+    np.testing.assert_allclose(d["nu0"], 0.056 / 1060.0 / nu_scale)
+    np.testing.assert_allclose(d["nu_inf"], 0.00345 / 1060.0 / nu_scale)
+    np.testing.assert_allclose(d["lam"], 3.313 / u.C_T)
+    cl = normalize_closure(None, d)
+    taus = [float(0.5 + 3.0 * nu_of_gamma(g, cl))
+            for g in (1e-7, 1e-5, 1e-3)]
+    assert 1.4 < taus[0] < 1.5 and 0.55 < taus[2] < 0.65
+    # pass-through of the tuning keys
+    assert normalize_closure(
+        None, carreau_blood(u, iters=4))[-1] == 4
+
+
+def test_coronary_runs_on_blood_rheology():
+    """The flagship composition: the coronary tree case under the
+    physiological Carreau model (in ITS OWN unit system) runs finite
+    and measurably non-Newtonian."""
+    from lbm_tpu.core.rheology import carreau_blood
+
+    spec_n = get_case("coronary", shape=(24, 20, 32), radius=4)
+    spec_b = get_case("coronary", shape=(24, 20, 32), radius=4,
+                      rheology=carreau_blood(spec_n.units))
+    f0 = initial_f(compile_case(spec_n))
+    fn = _dense_run(compile_case(spec_n), f0, 30)
+    fb = _dense_run(compile_case(spec_b), f0, 30)
+    assert np.isfinite(fb).all()
+    assert np.abs(fb - fn).max() > 1e-7
+
+
+def test_casson_limits_and_plug():
+    """tau_y = 0 is exactly Newtonian at nu_c (folds back to BGK), and
+    at low shear the plug core rides the te_hi clip — the standard
+    yield-stress regularization."""
+    spec0 = get_case("lid_driven_cavity", n=16)
+    nu = (spec0.tau - 0.5) / 3.0
+    f0 = initial_f(compile_case(spec0))
+    fb = _dense_run(compile_case(spec0), f0, 20)
+    fc = _dense_run(compile_case(dataclasses.replace(
+        spec0, rheology={"model": "casson", "nu_c": nu,
+                         "tau_y": 0.0})), f0, 20)
+    np.testing.assert_allclose(fc, fb, rtol=3e-5, atol=1e-7)
+    # plug: tiny P => te at the hi clip
+    cl = normalize_closure(None, {"model": "casson", "nu_c": 0.02,
+                                  "tau_y": 1e-4})
+    te = tau_eff_from_p(jnp.asarray([1e-9], jnp.float32),
+                        jnp.asarray([1.0], jnp.float32), 0.8, cl)
+    np.testing.assert_allclose(np.asarray(te), cl[-2], rtol=1e-5)

@@ -29,7 +29,7 @@ import pytest
 from lbm_tpu.cases import get_case
 from lbm_tpu.core.units import UnitSystem
 from lbm_tpu.engine.compile import compile_case
-from lbm_tpu.engine.spec import CaseSpec
+from lbm_tpu.engine.spec import CaseSpec, PlaneBC
 from lbm_tpu.engine.step import initial_f, make_step
 from lbm_tpu.engine.stress import stress_fields, wall_normals, wss_field
 from lbm_tpu.geometry.mask import CellType
@@ -170,3 +170,90 @@ def test_vtk_includes_wss(tmp_path):
     path = case_vtk(sim, str(tmp_path), sim.t, include_wss=True)
     txt = open(path).read()
     assert "WSS" in txt
+
+
+# ---------------------------------------------------------------------
+# Pulsatile statistics: TAWSS + OSI (engine/stress.WSSAccumulator)
+
+
+def test_osi_zero_on_steady_flow():
+    """Unidirectional traction: OSI = 0 identically, TAWSS = the
+    instantaneous WSS."""
+    from lbm_tpu.engine.stress import WSSAccumulator
+
+    spec = _channel_spec()
+    cc = compile_case(spec)
+    step = jax.jit(make_step(cc))
+    f = initial_f(cc)
+    for t in range(4000):
+        f, _, _ = step(f, jnp.int32(t))
+    acc = WSSAccumulator(cc)
+    for k in range(5):
+        acc.sample(f, 4000 + 10 * k)
+        for _ in range(10):
+            f, _, _ = step(f, jnp.int32(0))
+    osi = np.asarray(acc.osi())
+    wall = np.asarray((acc.normals != 0).any(axis=0))
+    assert osi[wall].max() < 1e-3
+    w_now = np.asarray(wss_field(cc, f, 0, acc.normals))
+    np.testing.assert_allclose(np.asarray(acc.tawss())[wall],
+                               w_now[wall], rtol=1e-3)
+
+
+def test_osi_half_on_reversing_flow():
+    """A zero-mean oscillatory pipe (series-driven at both ends): the
+    traction reverses each half-period, so OSI -> 1/2 at the wall
+    while a steady-component control stays low."""
+    from lbm_tpu.engine.stress import WSSAccumulator
+    from lbm_tpu.geometry.shapes import pipe_mask
+
+    nxz, ny = 16, 24
+    tau, period, amp = 0.8, 400, 0.02
+    mask = pipe_mask(nxz, ny, nxz)
+    cx = cz = (nxz - 1) / 2.0
+    R = (nxz - 1) / 2.0 - 0.5
+    x = np.arange(nxz)[:, None]
+    z = np.arange(nxz)[None, :]
+    r2 = ((x - cx) ** 2 + (z - cz) ** 2) / R**2
+    prof = np.clip(1.0 - r2, 0.0, None).astype(np.float32)
+    nphase = 16
+    stride = period // nphase
+    series = np.zeros((nphase, 3, nxz, nxz), np.float32)
+    for p in range(nphase):
+        series[p, 1] = amp * prof * np.sin(
+            2 * np.pi * (p + 0.5) * stride / period)
+    bc_kw = dict(rho_mode="extrapolate", u_mode="series",
+                 u_series=series, u_series_stride=stride)
+    spec = CaseSpec(
+        name="osc_pipe", shape=(nxz, ny, nxz), tau=tau,
+        units=_UNITS, mask=mask,
+        boundaries=[
+            PlaneBC(mask_value=int(CellType.INLET), axis=1, coord=1,
+                    normal=+1, **bc_kw),
+            PlaneBC(mask_value=int(CellType.OUTLET), axis=1,
+                    coord=ny - 2, normal=-1, **bc_kw),
+        ])
+    cc = compile_case(spec)
+    step = jax.jit(make_step(cc))
+    f = initial_f(cc)
+    t = 0
+    for _ in range(2 * period):  # spin-up: 2 periods
+        f, _, _ = step(f, jnp.int32(t))
+        t += 1
+    acc = WSSAccumulator(cc)
+    for _ in range(nphase):  # one full period, phase-uniform samples
+        for _ in range(stride):
+            f, _, _ = step(f, jnp.int32(t))
+            t += 1
+        acc.sample(f, t)
+    osi = np.asarray(acc.osi())
+    tawss = np.asarray(acc.tawss())
+    # score where the traction signal is meaningful (mid-pipe wall ring,
+    # away from the driven ends)
+    wall = np.asarray((acc.normals != 0).any(axis=0))
+    ring = wall & (np.arange(ny)[None, :, None] == ny // 2)
+    assert tawss[ring].max() > 0
+    strong = ring & (tawss > 0.25 * tawss[ring].max())
+    assert np.median(osi[strong]) > 0.4, (
+        f"median OSI {np.median(osi[strong]):.3f}"
+    )

@@ -1,0 +1,99 @@
+"""Physiological-blood coronary demo on one real chip: the flagship
+composition of the round-4 beyond-parity features — the synthetic
+coronary tree under the Cho & Kensey Carreau blood model
+(core/rheology.carreau_blood, per-cell tau_eff on the Pallas kernel's
+closure path) with wall-shear-stress output in Pa (engine/stress.py).
+
+The reference solves this geometry Newtonian-only and writes
+velocity/pressure only (/root/reference/coronary_cfd/coronary.cu); WSS
+under non-Newtonian blood is the quantity clinicians actually read.
+
+Usage: python tools/demo_blood_wss.py [--shape 128,128,160] [--radius 8]
+       [--steps 2000] [--newtonian] [--vtk OUT.vtk]
+Prints per-stage summary lines to stdout. Default shape keeps the dense
+stress pass comfortably in HBM (see Simulation.stress's memory note);
+the hot loop itself would take the full 291x291x372.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="128,128,160")
+    ap.add_argument("--radius", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--newtonian", action="store_true",
+                    help="skip the rheology (comparison run)")
+    ap.add_argument("--vtk", default=None)
+    args = ap.parse_args()
+
+    # honor LBM_TPU_PLATFORM like the CLI (the axon plugin ignores
+    # JAX_PLATFORMS; smoke runs need the CPU backend)
+    platform = os.environ.get("LBM_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    import numpy as np
+
+    from lbm_tpu.cases import get_case
+    from lbm_tpu.core.rheology import carreau_blood
+    from lbm_tpu.engine.runner import Simulation
+
+    shape = tuple(int(s) for s in args.shape.split(","))
+    base = get_case("coronary", shape=shape, radius=args.radius)
+    rheo = None if args.newtonian else carreau_blood(base.units)
+    spec = get_case("coronary", shape=shape, radius=args.radius,
+                    rheology=rheo)
+    print(f"case: coronary {shape} radius={args.radius} "
+          f"rheology={'newtonian' if rheo is None else 'carreau_blood'}")
+
+    t0 = time.perf_counter()
+    sim = Simulation(spec)
+    print(f"build: backend={sim.backend} "
+          f"{time.perf_counter() - t0:.1f}s")
+
+    chunk = min(500, args.steps)
+    t0 = time.perf_counter()
+    sim.run(max_steps=chunk, time_save=chunk, verbose=False)
+    print(f"warmup: first chunk (compile; the remote compile service "
+          f"is erratic) {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    res = sim.run(max_steps=args.steps, time_save=chunk, verbose=False)
+    dt = time.perf_counter() - t0
+    ncell = int(np.prod(shape))
+    print(f"run: {args.steps} steps in {dt:.1f}s = "
+          f"{dt / args.steps * 1e3:.2f} ms/step, "
+          f"{ncell * args.steps / dt / 1e6:.1f} MLUPS box-convention, "
+          f"residual {res.residual:.3e}")
+
+    t0 = time.perf_counter()
+    w = np.asarray(sim.wss()) * spec.units.C_pre  # Pa
+    wall = w > 0
+    print(f"wss: {wall.sum()} wall-adjacent cells, "
+          f"mean {w[wall].mean():.3f} Pa, p95 "
+          f"{np.percentile(w[wall], 95):.3f} Pa, max {w[wall].max():.3f} "
+          f"Pa ({time.perf_counter() - t0:.1f}s)")
+    assert np.isfinite(w).all()
+
+    if args.vtk:
+        from lbm_tpu.io.vtk import case_vtk
+
+        t0 = time.perf_counter()
+        path = case_vtk(sim, os.path.dirname(args.vtk) or ".", sim.t,
+                        binary=True, include_wss=True)
+        print(f"vtk: {path} ({os.path.getsize(path) / 1e6:.1f} MB, "
+              f"{time.perf_counter() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
