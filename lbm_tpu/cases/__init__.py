@@ -25,6 +25,7 @@ def get_case(name: str, **kwargs) -> CaseSpec:
         curved_vessel,
         gravity_channel,
         lid_driven_cavity,
+        pipe,
         poiseuille,
     )
 
@@ -40,6 +41,7 @@ def list_cases() -> list[str]:
         curved_vessel,
         gravity_channel,
         lid_driven_cavity,
+        pipe,
         poiseuille,
     )
 

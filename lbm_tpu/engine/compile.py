@@ -113,6 +113,8 @@ class CompiledCase:
     mrt_kf: Any                      # (19,19) f32 np Guo prefactor | None
     closure: Any                     # per-cell tau closure tuple
     #   (core/rheology.normalize_closure: LES or non-Newtonian) | None
+    link_q: Any                      # (19,X,Y,Z) f32 jnp Bouzidi wall
+    #   distances (core/bouzidi.link_q) | None => half-way staircase BB
     fluid: Any                       # (X,Y,Z) bool jnp
     nbr_wall: Any                    # (19,X,Y,Z) bool jnp
     bcs: list[CompiledBC]
@@ -234,6 +236,16 @@ def compile_case(spec: CaseSpec, light: bool = False,
                 nbr_moving[i] = np.roll(moving, shift=(ex, ey, ez),
                                         axis=(0, 1, 2))
 
+    link_q = None
+    if spec.wall_sdf is not None:
+        assert not light, (
+            "wall_sdf (Bouzidi curved walls) is a dense/sparse-backend "
+            "feature; the packed Pallas kernel (light=True) has no "
+            "channel budget for the 19 q-planes"
+        )
+        from lbm_tpu.core.bouzidi import link_q as _link_q
+        link_q = jnp.asarray(_link_q(mask, spec.wall_sdf))
+
     u0 = spec.u0.astype(dtype)
     rho0 = spec.rho0.astype(dtype)
     nonfluid = ~fluid
@@ -252,6 +264,7 @@ def compile_case(spec: CaseSpec, light: bool = False,
         mrt_k=mrt_k,
         mrt_kf=mrt_kf,
         closure=normalize_closure(spec.smagorinsky_cs, spec.rheology),
+        link_q=link_q,
         fluid=fluid if host_arrays else jnp.asarray(fluid),
         nbr_wall=None if nbr_wall is None else jnp.asarray(nbr_wall),
         bcs=[compile_bc(bc, mask, spec.tau, dtype, has_moving=has_moving)

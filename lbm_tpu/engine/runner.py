@@ -102,6 +102,15 @@ class Simulation:
                 # matmul) and tau-closure + force (per-cell variable-rate
                 # prefactor); the dense backend takes both.
                 backend = "xla"
+            if backend == "pallas" and spec.wall_sdf is not None:
+                # Bouzidi curved walls need 19 per-link q planes the
+                # packed kernel layout has no channel budget for.
+                backend = "xla"
+        if backend == "pallas" and spec.wall_sdf is not None:
+            raise ValueError(
+                "backend='pallas' does not support wall_sdf (Bouzidi "
+                "curved walls) — use backend='xla', 'sparse', or 'auto'"
+            )
         if backend == "pallas" and mesh is not None and shard_axis == 2:
             raise ValueError(
                 "backend='pallas' cannot shard along z (the packed layout "
@@ -415,7 +424,8 @@ class Simulation:
 
         cc, f = self._dense_cc_f()
         if getattr(self, "_wss_normals", None) is None:
-            self._wss_normals = wall_normals(self.spec.mask)
+            self._wss_normals = wall_normals(self.spec.mask,
+                                             self.spec.wall_sdf)
         return wss_field(cc, f, self.t, self._wss_normals)
 
     def wss_accumulator(self):
@@ -428,7 +438,8 @@ class Simulation:
         if getattr(self, "_wss_normals", None) is None:
             from lbm_tpu.engine.stress import wall_normals
 
-            self._wss_normals = wall_normals(self.spec.mask)
+            self._wss_normals = wall_normals(self.spec.mask,
+                                             self.spec.wall_sdf)
         return WSSAccumulator(cc, self._wss_normals)
 
     def _dense_cc_f(self):

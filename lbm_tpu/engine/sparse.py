@@ -71,6 +71,8 @@ class SparseCase:
     fluid: Any          # (n_pad,) bool
     nbr_idx: Any        # (19, n_pad) int32 (clamped to valid range)
     nbr_wall: Any       # (19, n_pad) bool
+    link_q: Any         # (19, n_pad) f32 Bouzidi wall distances
+    #   compacted to live cells (core/bouzidi) | None => half-way BB
     bcs: list[SparseBC]
     rho0: Any           # (n_pad,) f32
     u0: Any             # (3, n_pad) f32
@@ -115,6 +117,15 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
             nbr_moving[i, :n_live] = smask == CellType.MOVING
         # Dead sources (only reachable from non-fluid cells) clamp to 0.
         nbr_idx[i, :n_live] = np.where(sid >= 0, sid, 0)
+
+    link_q = None
+    if spec.wall_sdf is not None:
+        from lbm_tpu.core.bouzidi import link_q as _link_q
+        qd = _link_q(mask, spec.wall_sdf)  # (19, nx, ny, nz)
+        link_q = np.full((19, n_pad), 0.5, np.float32)
+        link_q[:, :n_live] = qd[:, live[:, 0], live[:, 1], live[:, 2]]
+        # the q<1/2 far gather rides direction opp(i)'s nbr_idx; dead
+        # fallbacks are already folded to q=1/2 (b_up = 0) by link_q
 
     bcs = []
     for bc in spec.boundaries:
@@ -181,6 +192,7 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
         fluid=jnp.asarray(fluid),
         nbr_idx=jnp.asarray(nbr_idx),
         nbr_wall=jnp.asarray(nbr_wall),
+        link_q=None if link_q is None else jnp.asarray(link_q),
         bcs=bcs,
         rho0=jnp.asarray(rho0),
         u0=jnp.asarray(u0),
@@ -237,7 +249,15 @@ def make_sparse_step(sc: SparseCase) -> Callable:
         pulled = [f_s[0]]
         for i in range(1, 19):
             g = jnp.take(f_s[i], sc.nbr_idx[i], axis=0)
-            v = jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g)
+            if sc.link_q is None:
+                v = jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g)
+            else:
+                from lbm_tpu.core.bouzidi import bouzidi_coeffs
+                a, b_up, b_loc = bouzidi_coeffs(sc.link_q[i])
+                # far node x + e_i == opp(i)'s own gather (XLA CSEs it)
+                up = jnp.take(f_s[_OPP[i]], sc.nbr_idx[_OPP[i]], axis=0)
+                bz = a * f_s[_OPP[i]] + b_up * up + b_loc * f_s[i]
+                v = jnp.where(sc.nbr_wall[i], bz, g)
             if bb is not None:
                 v = jnp.where(sc.nbr_moving[i], f_s[_OPP[i]] + bb[i], v)
             pulled.append(v)

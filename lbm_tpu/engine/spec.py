@@ -124,6 +124,15 @@ class CaseSpec:
     # exactly with every collision operator. None => no forcing (the
     # force-free code path is bit-identical to before).
     force: Optional[tuple[float, float, float]] = None
+    # Signed distance field at cell centers (positive in fluid), same
+    # shape as the mask: opts every FLUID->WALL link into Bouzidi linear
+    # interpolated bounce-back (core/bouzidi.py) — second-order curved
+    # walls instead of the voxel staircase (beyond-reference: the
+    # reference accepts the staircase on all its vessel geometries).
+    # Supported on the dense XLA backend (incl. GSPMD mesh sharding)
+    # and the sparse backend; backend='auto' falls back to xla. Static
+    # walls only (exclusive with wall_velocity/MOVING cells).
+    wall_sdf: Optional[np.ndarray] = None
     # Velocity (lattice units) of MOVING-labeled wall cells
     # (CellType.MOVING), realized as half-way bounce-back with the Ladd
     # momentum term: pulled_i = f_opp + 6 w_i rho0 (e_i . u_w) with
@@ -171,6 +180,12 @@ class CaseSpec:
             assert len(self.force) == 3
         from lbm_tpu.geometry.mask import CellType as _CT
         has_moving = bool((self.mask == int(_CT.MOVING)).any())
+        if self.wall_sdf is not None:
+            self.wall_sdf = np.asarray(self.wall_sdf, np.float32)
+            assert self.wall_sdf.shape == tuple(self.shape), \
+                "wall_sdf must match the lattice shape"
+            assert not has_moving, \
+                "wall_sdf (Bouzidi curved walls) supports static walls only"
         if self.wall_velocity is not None:
             self.wall_velocity = tuple(float(c) for c in self.wall_velocity)
             assert len(self.wall_velocity) == 3

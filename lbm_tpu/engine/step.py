@@ -229,14 +229,26 @@ def moving_bb_terms(wall_velocity):
     return (6.0 * D3Q19.W.astype(np.float64) * (e @ uw)).astype(np.float32)
 
 
-def streamed(f, nbr_wall, nbr_moving=None, bb_terms=None):
+def streamed(f, nbr_wall, nbr_moving=None, bb_terms=None, link_q=None):
     """Pull-stream all 19 directions with fused half-way bounce-back.
     nbr_moving/bb_terms: MOVING-wall sources add the Ladd momentum term
-    (moving_bb_terms) on top of the reflected population."""
+    (moving_bb_terms) on top of the reflected population.
+    link_q: Bouzidi fractional wall distances (core/bouzidi.link_q) —
+    the wall branch becomes the linear interpolated bounce-back. Both
+    interpolation partners are local or direction-opp(i)'s own direct
+    pull, so the fused single-pass structure is unchanged."""
     pulled = [f[0]]
     for i in range(1, D3Q19.Q):
         direct = pull_one(f[i], _E[i])
-        v = jnp.where(nbr_wall[i], f[_OPP[i]], direct)
+        if link_q is None:
+            v = jnp.where(nbr_wall[i], f[_OPP[i]], direct)
+        else:
+            from lbm_tpu.core.bouzidi import bouzidi_coeffs
+            a, b_up, b_loc = bouzidi_coeffs(link_q[i])
+            # f*_opp(i) at x + e_i == opp(i)'s direct pull (XLA CSEs it)
+            up = pull_one(f[_OPP[i]], _E[_OPP[i]])
+            bz = a * f[_OPP[i]] + b_up * up + b_loc * f[i]
+            v = jnp.where(nbr_wall[i], bz, direct)
         if nbr_moving is not None:
             v = jnp.where(nbr_moving[i], f[_OPP[i]] + bb_terms[i], v)
         pulled.append(v)
@@ -286,7 +298,7 @@ def pulled_state(cc: CompiledCase, f, t, bb=None):
     operator's (per-mode, possibly per-cell) 1 - rate factors."""
     if bb is None and cc.wall_velocity is not None:
         bb = moving_bb_terms(cc.wall_velocity)
-    pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb)
+    pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb, cc.link_q)
     for bc in cc.bcs:
         pulled = apply_bc_fixup(pulled, f, bc, t, force=cc.force)
     return pulled

@@ -91,6 +91,10 @@ def make_halo_step(
     """Build a shard_map'd fused step over `mesh`, decomposed along
     `shard_axis`. Arrays must be sharded with PartitionSpec along that
     axis (see mesh.shard_compiled)."""
+    assert cc.link_q is None, (
+        "the explicit halo-exchange path does not thread Bouzidi link_q; "
+        "use the GSPMD dense path (Simulation mesh=) for curved walls"
+    )
     import dataclasses
 
     inv_tau = 1.0 / cc.tau
