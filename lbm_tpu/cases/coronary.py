@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from lbm_tpu.cases import register
+from lbm_tpu.core.lattice import D3Q19
 from lbm_tpu.core.units import UnitSystem
 from lbm_tpu.engine.spec import CaseSpec, PlaneBC
 from lbm_tpu.geometry.io import load_geo
@@ -76,6 +77,78 @@ def synthetic_tree_flag(
     return flag
 
 
+def synthetic_tree_sdf(
+    nx: int, ny: int, nz: int, radius: float,
+    branch_xs: list[int],
+) -> np.ndarray:
+    """Exact signed distance to the branched-tube UNION surface (positive
+    inside): max over the main tube's and each branch's infinite-cylinder
+    SDF. End caps are BC planes (inlet/outlet/sub-outlets), not walls, so
+    they are handled by labels, not by the SDF — the zero level set of
+    the max is exactly the lateral union surface Bouzidi needs."""
+    cy, cz = (ny - 1) / 2.0, nz // 4
+    y = np.arange(ny, dtype=np.float64)[None, :, None]
+    z = np.arange(nz, dtype=np.float64)[None, None, :]
+    x = np.arange(nx, dtype=np.float64)[:, None, None]
+    sdf = radius - np.sqrt((y - cy) ** 2 + (z - cz) ** 2)
+    sdf = np.broadcast_to(sdf, (nx, ny, nz)).copy()
+    for bx in branch_xs:
+        br = radius - np.sqrt((x - bx) ** 2 + (y - cy) ** 2)
+        # the branch exists only above the main axis plane z >= cz
+        # (synthetic_tree_flag's z-range); below it would carve a
+        # phantom tube through the main lumen's mirror side
+        np.maximum(sdf, np.where(z >= cz, br, -np.inf), out=sdf)
+    return sdf.astype(np.float32)
+
+
+def curved_tree_mask(
+    nx: int, ny: int, nz: int, radius: float, inlet_x: int, outlet_x: int,
+    branch_xs: list[int], branch_z_caps: list[int], sdf: np.ndarray,
+) -> np.ndarray:
+    """Curved-wall (Bouzidi) variant of the synthetic-tree mask: FLUID
+    where the analytic SDF is positive (within the axis caps), WALL =
+    the first solid shell on the LATERAL surface only (sdf <= 0 — cells
+    beyond the end caps stay DEAD so the BC planes own those links),
+    then the same ghost dilation as the voxel route. Unlike
+    build_labels' erosion (whose WALL cells sit INSIDE the analytic
+    surface, reference parity), this places the voxel wall exactly
+    around the sdf = 0 crossing so link_q measures true fractions."""
+    cy, cz = (ny - 1) / 2.0, nz // 4
+    y = np.arange(ny)[None, :, None]
+    z = np.arange(nz)[None, None, :]
+    x = np.arange(nx)[:, None, None]
+    in_any = np.broadcast_to((x >= inlet_x) & (x <= outlet_x),
+                             (nx, ny, nz)).copy()
+    for bx, zcap in zip(branch_xs, branch_z_caps):
+        rbr = np.sqrt((x - bx) ** 2 + (y - cy) ** 2)
+        in_any |= (rbr <= radius) & (z >= cz) & (z <= zcap)
+    fluid = (sdf > 0.0) & in_any
+    near = np.zeros_like(fluid)
+    for i in range(1, 19):
+        ex, ey, ez = (int(v) for v in D3Q19.E[i])
+        near |= np.roll(fluid, shift=(ex, ey, ez), axis=(0, 1, 2))
+    wall = near & ~fluid & (sdf <= 0.0)
+    mask = np.zeros((nx, ny, nz), np.int32)
+    mask[wall] = CellType.WALL
+    mask[fluid] = CellType.FLUID
+    return ghost_dilate(mask, source_labels=(CellType.WALL,))
+
+
+def _relabel_plane(mask, axis, coord, label, window=None):
+    """Set FLUID cells on the given plane (optionally windowed in the
+    two lateral axes) to `label` — the curved variant's equivalent of
+    end_plane_min_label (which needs the erosion-labeled geo)."""
+    idx: list = [slice(None)] * 3
+    idx[axis] = coord
+    if window is not None:
+        lat = [a for a in range(3) if a != axis]
+        idx[lat[0]], idx[lat[1]] = window
+    plane = mask[tuple(idx)]
+    plane[plane == CellType.FLUID] = label
+    mask[tuple(idx)] = plane
+    return mask
+
+
 def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels) -> list[PlaneBC]:
     bcs = [
         # coronary.cu:716-792: rho* = 1 AND u* prescribed at the inlet.
@@ -114,6 +187,7 @@ def build(
     # synthetic-geometry knobs (used when geo_path is None):
     shape: tuple[int, int, int] = (128, 64, 96),
     radius: int = 10,
+    curved: bool = False,
     collision: str = "bgk",
     magic_lambda: float = 0.1875,
     mrt_rates=None,
@@ -122,7 +196,12 @@ def build(
     force=None,
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
+    wall_sdf = None
     if geo_path is not None:
+        assert not curved, (
+            "curved=True (Bouzidi walls) needs the analytic synthetic "
+            "tree; file geometries have no SDF"
+        )
         nx, ny, nz = REAL_SHAPE
         flag = load_geo(geo_path, REAL_SHAPE, order="yxz")
         inlet_x, outlet_x = 3, 272
@@ -145,10 +224,24 @@ def build(
                        slice(cy - bw, cy + bw)))
             for k in range(3)
         ]
-        flag = synthetic_tree_flag(
-            nx, ny, nz, radius, inlet_x, outlet_x, branch_xs, caps
-        )
-        mask = build_labels(flag, inlet_x, outlet_x, subs)
+        if curved:
+            # Bouzidi curved-wall variant: mask + exact union SDF (the
+            # voxel route's erosion WALL sits inside the analytic
+            # surface; see curved_tree_mask). Off-grid radius so no
+            # link is accidentally half-way.
+            wall_sdf = synthetic_tree_sdf(nx, ny, nz, radius - 0.28,
+                                          branch_xs)
+            mask = curved_tree_mask(nx, ny, nz, radius - 0.28, inlet_x,
+                                    outlet_x, branch_xs, caps, wall_sdf)
+            mask = _relabel_plane(mask, 0, inlet_x, CellType.INLET)
+            mask = _relabel_plane(mask, 0, outlet_x, CellType.OUTLET)
+            for k, (zc, window) in enumerate(subs):
+                mask = _relabel_plane(mask, 2, zc, 5 + k, window)
+        else:
+            flag = synthetic_tree_flag(
+                nx, ny, nz, radius, inlet_x, outlet_x, branch_xs, caps
+            )
+            mask = build_labels(flag, inlet_x, outlet_x, subs)
 
     sub_planes = [s[0] for s in subs]
     bcs = _boundaries(inlet_x, outlet_x, sub_planes, sub_labels=(5, 6, 7))
@@ -170,6 +263,7 @@ def build(
         tau=tau,
         units=units,
         mask=mask,
+        wall_sdf=wall_sdf,
         boundaries=bcs,
         u0=u0,
         max_steps=max_steps,

@@ -172,6 +172,71 @@ def test_pipe_wss_sdf_normals_beat_voxel_normals():
     np.testing.assert_array_equal(w_auto, w_sdf)
 
 
+def test_coronary_curved_variant_sparse_matches_dense():
+    """The flagship synthetic tree gains a Bouzidi variant
+    (coronary curved=True): pipe-style mask around the exact
+    union-of-cylinders SDF with the same BC topology (inlet / outlet /
+    3 windowed sub-outlets). Dense and sparse agree with link_q
+    active through the multi-BC fixup chain."""
+    spec = get_case("coronary", shape=(48, 24, 40), radius=5,
+                    curved=True)
+    assert spec.wall_sdf is not None
+    nsteps = 6
+    cc, f_dense = _run_dense(spec, nsteps)
+    assert cc.link_q is not None
+    lq = np.asarray(cc.link_q)
+    # real fractional distances, not the all-half-way degenerate case
+    assert (np.abs(lq - 0.5) > 0.05).sum() > 100
+    sc = compile_sparse(spec, lane_multiple=256)
+    step = jax.jit(make_sparse_step(sc))
+    f = initial_f_sparse(sc)
+    for t in range(nsteps):
+        f, rho, u = step(f, jnp.int32(t))
+    f_scattered = np.asarray(scatter_dense(sc, jnp.asarray(f)))
+    fluid = np.asarray(cc.fluid)
+    np.testing.assert_allclose(
+        f_scattered[:, fluid], f_dense[:, fluid], rtol=3e-6, atol=1e-7
+    )
+
+
+@pytest.mark.slow
+def test_coronary_curved_wss_ring():
+    """Physical anchor on the flagship tree: in the straight main-tube
+    segment upstream of the first branch, the WSS ring must be
+    circumferentially uniform (axisymmetric Poiseuille) and match the
+    analytic tau_w = 4 rho nu u_mean / R from the measured flow rate.
+    Measured (3000 steps, tau=0.8, shape 64x32x48, r=6): curved
+    cv 0.070/0.111 vs voxel 0.128/0.147 at x=12/14, mean/pred 0.945
+    (cell centers sit half a link inside the wall) vs voxel 1.09."""
+    from lbm_tpu.geometry.mask import CellType
+
+    def ring_stats(curved):
+        spec = get_case("coronary", shape=(64, 32, 48), radius=6,
+                        curved=curved, tau=0.8, max_steps=10**9)
+        sim = Simulation(spec, backend="xla")
+        sim.run(max_steps=3000, tol=0.0, verbose=False)
+        _, u = sim.macro()
+        ux = np.asarray(u[0])
+        w = np.asarray(sim.wss())
+        m = np.asarray(spec.mask)
+        nu = (0.8 - 0.5) / 3
+        R = 6 - 0.28 if curved else 6
+        out = []
+        for xs in (12, 14):
+            fl = m[xs] == CellType.FLUID
+            pred = 4 * nu * ux[xs][fl].mean()
+            ring = w[xs][w[xs] > 0]
+            out.append((ring.mean() / (pred / R),
+                        ring.std() / ring.mean()))
+        return out
+
+    sc = ring_stats(True)
+    sv = ring_stats(False)
+    for (mc, cvc), (mv, cvv) in zip(sc, sv):
+        assert 0.85 < mc < 1.05, f"curved mean/pred {mc:.3f}"
+        assert cvc < 0.8 * cvv, f"curved cv {cvc:.3f} vs voxel {cvv:.3f}"
+
+
 def test_pallas_backend_refuses_wall_sdf():
     spec = get_case("pipe", n=20, nz=4, radius=5.6)
     with pytest.raises(ValueError, match="wall_sdf"):

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--newtonian", action="store_true",
                     help="skip the rheology (comparison run)")
+    ap.add_argument("--curved", action="store_true",
+                    help="Bouzidi curved walls + SDF-gradient WSS "
+                    "normals (coronary curved=True; runs the dense xla "
+                    "backend — the packed kernel has no q-plane budget)")
     ap.add_argument("--vtk", default=None)
     args = ap.parse_args()
 
@@ -53,9 +57,10 @@ def main():
     base = get_case("coronary", shape=shape, radius=args.radius)
     rheo = None if args.newtonian else carreau_blood(base.units)
     spec = get_case("coronary", shape=shape, radius=args.radius,
-                    rheology=rheo)
+                    rheology=rheo, curved=args.curved)
     print(f"case: coronary {shape} radius={args.radius} "
-          f"rheology={'newtonian' if rheo is None else 'carreau_blood'}")
+          f"rheology={'newtonian' if rheo is None else 'carreau_blood'} "
+          f"walls={'bouzidi' if args.curved else 'staircase'}")
 
     t0 = time.perf_counter()
     sim = Simulation(spec)
