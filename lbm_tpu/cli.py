@@ -180,9 +180,9 @@ def main(argv=None) -> int:
         extra = None
         if wss_acc is not None and wss_acc.n_samples:
             extra = {
-                "TAWSS": np.asarray(wss_acc.tawss())
+                "TAWSS": np.asarray(wss_acc.tawss_field())
                 * spec.units.C_pre,
-                "OSI": np.asarray(wss_acc.osi()),
+                "OSI": np.asarray(wss_acc.osi_field()),
             }
         case_vtk(sim, args.out, sim.t, include_density=spec.vtk_density,
                  binary=args.binary_vtk, include_wss=args.wss,

@@ -77,27 +77,34 @@ def normalize_closure(smagorinsky_cs, rheology: Optional[dict]):
         return None
     r = dict(rheology)
     model = r.pop("model")
+
+    def req(key):
+        try:
+            return r.pop(key)
+        except KeyError:
+            raise ValueError(
+                f"rheology model {model!r} requires {key!r}") from None
     lo, hi = r.pop("tau_bounds", (_TE_LO, _TE_HI))
     lo, hi = float(lo), float(hi)
     assert 0.5 < lo < hi, "tau_bounds must satisfy 0.5 < lo < hi"
     iters = int(r.pop("iters", _ITERS))
     assert iters >= 1
     if model == "power_law":
-        k, n = float(r.pop("K")), float(r.pop("n"))
+        k, n = float(req("K")), float(req("n"))
         assert k > 0.0 and n > 0.0
         assert not r, f"unknown power_law keys: {sorted(r)}"
         return ("plaw", k, n, lo, hi, iters)
     if model == "casson":
-        nu_c = float(r.pop("nu_c"))
-        tau_y = float(r.pop("tau_y"))
+        nu_c = float(req("nu_c"))
+        tau_y = float(req("tau_y"))
         assert nu_c > 0.0 and tau_y >= 0.0
         assert not r, f"unknown casson keys: {sorted(r)}"
         return ("casson", nu_c, tau_y, lo, hi, iters)
     if model in ("carreau", "carreau_yasuda"):
-        nu0 = float(r.pop("nu0"))
-        nu_inf = float(r.pop("nu_inf"))
-        lam = float(r.pop("lam"))
-        n = float(r.pop("n"))
+        nu0 = float(req("nu0"))
+        nu_inf = float(req("nu_inf"))
+        lam = float(req("lam"))
+        n = float(req("n"))
         a = float(r.pop("a", 2.0))
         assert nu0 > 0.0 and nu_inf > 0.0 and lam >= 0.0
         assert n > 0.0 and a > 0.0

@@ -410,16 +410,80 @@ class Simulation:
         f_standard() plus a cached dense compile of the unpadded spec —
         an output-rate operation (like VTK), not a hot-loop one. Dense
         memory: ~5 full (19,X,Y,Z) arrays — fine through 291^3-class,
-        not 512^3 (use a z-chunked host pass there if ever needed)."""
+        not 512^3; there wss() routes through the O(live-cell) sparse
+        stress (engine/stress.stress_fields_sparse), or call it
+        yourself via _sparse_cc_f() for the compacted sigma."""
         from lbm_tpu.engine.stress import stress_fields
 
         cc, f = self._dense_cc_f()
         return stress_fields(cc, f, self.t)
 
+    def _wss_via_sparse(self) -> bool:
+        """wss() routing: the sparse backend never needs the dense
+        round-trip, and pallas vessel runs past ~291^3-class cannot
+        afford the dense pull (~5 full (19,X,Y,Z) arrays next to the
+        packed state) — route those through the compacted stress."""
+        if self.backend == "sparse":
+            return True
+        if self.backend != "pallas":
+            return False
+        ncell = int(np.prod(self.spec.shape))
+        return 5 * 19 * 4 * ncell > 6e9
+
+    def _sparse_cc_f(self):
+        """(SparseCase, compacted (19, n_pad) f) for O(live-cell)
+        stress diagnostics. On the pallas backend the live-cell pdfs
+        gather straight out of the packed device state — never
+        materializing a dense (19,X,Y,Z) array (the 512^3 route)."""
+        if self.backend == "sparse":
+            return self.sc, self.f
+        assert self.backend == "pallas"
+        if getattr(self, "_stress_sc", None) is None:
+            from lbm_tpu.engine.sparse import compile_sparse
+
+            self._stress_sc = compile_sparse(self.spec)
+            mask = np.asarray(self.spec.mask)
+            live = np.argwhere(mask != 0)
+            order = np.lexsort((live[:, 0], live[:, 1], live[:, 2]))
+            self._stress_live = live[order]  # compile_sparse's ordering
+        sc = self._stress_sc
+        live = self._stress_live
+        p = self.f
+        if self.mesh is not None:
+            p = self._sharded()[2](p)  # unblock -> global packed
+        r = self._ring
+        xs = jnp.asarray(live[:, 0] + r)
+        ys = jnp.asarray(live[:, 1] + r)
+        zs = jnp.asarray(live[:, 2])
+        # channels 0..18 of the packed (X, Y, C, Z) layout are the pdfs
+        # (kernels/collide_stream.pack_state)
+        vals = jnp.stack([
+            p[xs, ys, i, zs].astype(jnp.float32) for i in range(19)
+        ])
+        pad = sc.n_pad - sc.n_live
+        return sc, jnp.pad(vals, ((0, 0), (0, pad)))
+
     def wss(self):
         """(X, Y, Z) wall shear stress magnitude (lattice units;
         * units.C_pre for Pa), nonzero at wall-adjacent fluid cells
-        (engine/stress.wss_field). Wall normals are cached."""
+        (engine/stress.wss_field). Wall normals are cached. Sparse and
+        at-scale pallas states route through the compacted stress
+        (_sparse_cc_f) — only this single output field ever goes
+        dense, so WSS works at 512^3 where the dense pull cannot."""
+        if self._wss_via_sparse():
+            from lbm_tpu.engine.sparse import scatter_dense
+            from lbm_tpu.engine.stress import (
+                compact_normals,
+                wall_normals,
+                wss_sparse,
+            )
+
+            sc, f_s = self._sparse_cc_f()
+            if getattr(self, "_wss_normals_sparse", None) is None:
+                self._wss_normals_sparse = compact_normals(
+                    sc, wall_normals(self.spec.mask, self.spec.wall_sdf))
+            w = wss_sparse(sc, f_s, self.t, self._wss_normals_sparse)
+            return scatter_dense(sc, w)
         from lbm_tpu.engine.stress import wall_normals, wss_field
 
         cc, f = self._dense_cc_f()
@@ -431,7 +495,23 @@ class Simulation:
     def wss_accumulator(self):
         """A WSSAccumulator (TAWSS/OSI over a pulsatile window) bound
         to this simulation's case; call acc.sample_sim(self) at each
-        sampling time (engine/stress.WSSAccumulator)."""
+        sampling time (engine/stress.WSSAccumulator). Routes through
+        the compacted layout where wss() does (sparse backend / pallas
+        at scale); there tawss()/osi() come back (n_pad,) — scatter
+        with engine/sparse.scatter_dense(sim._sparse_cc_f()[0], ...)."""
+        if self._wss_via_sparse():
+            from lbm_tpu.engine.stress import SparseWSSAccumulator
+
+            sc, _ = self._sparse_cc_f()
+            if getattr(self, "_wss_normals_sparse", None) is None:
+                from lbm_tpu.engine.stress import (
+                    compact_normals,
+                    wall_normals,
+                )
+
+                self._wss_normals_sparse = compact_normals(
+                    sc, wall_normals(self.spec.mask, self.spec.wall_sdf))
+            return SparseWSSAccumulator(sc, self._wss_normals_sparse)
         from lbm_tpu.engine.stress import WSSAccumulator
 
         cc, _ = self._dense_cc_f()

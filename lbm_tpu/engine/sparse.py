@@ -235,6 +235,34 @@ def _bc_apply(pulled, f_s, bc: SparseBC, t, tau, force=None):
     return pulled
 
 
+def pulled_sparse(sc: SparseCase, f_s, t, bb=None):
+    """The pre-collision pulled state on the compacted layout: gather
+    stream + fused bounce-back (half-way or Bouzidi) + moving walls +
+    NEE BC fixups — the sparse mirror of engine/step.pulled_state,
+    shared by the step and the stress diagnostics."""
+    if bb is None and sc.wall_velocity is not None:
+        bb = moving_bb_terms(sc.wall_velocity)
+    pulled = [f_s[0]]
+    for i in range(1, 19):
+        g = jnp.take(f_s[i], sc.nbr_idx[i], axis=0)
+        if sc.link_q is None:
+            v = jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g)
+        else:
+            from lbm_tpu.core.bouzidi import bouzidi_coeffs
+            a, b_up, b_loc = bouzidi_coeffs(sc.link_q[i])
+            # far node x + e_i == opp(i)'s own gather (XLA CSEs it)
+            up = jnp.take(f_s[_OPP[i]], sc.nbr_idx[_OPP[i]], axis=0)
+            bz = a * f_s[_OPP[i]] + b_up * up + b_loc * f_s[i]
+            v = jnp.where(sc.nbr_wall[i], bz, g)
+        if bb is not None:
+            v = jnp.where(sc.nbr_moving[i], f_s[_OPP[i]] + bb[i], v)
+        pulled.append(v)
+    pulled = jnp.stack(pulled)
+    for bc in sc.bcs:
+        pulled = _bc_apply(pulled, f_s, bc, t, sc.tau, force=sc.force)
+    return pulled
+
+
 def make_sparse_step(sc: SparseCase) -> Callable:
     inv_tau = 1.0 / sc.tau
     # TRT (see engine/step.collide): even/odd parity halves relax at
@@ -246,24 +274,7 @@ def make_sparse_step(sc: SparseCase) -> Callable:
           else moving_bb_terms(sc.wall_velocity))
 
     def step(f_s, t):
-        pulled = [f_s[0]]
-        for i in range(1, 19):
-            g = jnp.take(f_s[i], sc.nbr_idx[i], axis=0)
-            if sc.link_q is None:
-                v = jnp.where(sc.nbr_wall[i], f_s[_OPP[i]], g)
-            else:
-                from lbm_tpu.core.bouzidi import bouzidi_coeffs
-                a, b_up, b_loc = bouzidi_coeffs(sc.link_q[i])
-                # far node x + e_i == opp(i)'s own gather (XLA CSEs it)
-                up = jnp.take(f_s[_OPP[i]], sc.nbr_idx[_OPP[i]], axis=0)
-                bz = a * f_s[_OPP[i]] + b_up * up + b_loc * f_s[i]
-                v = jnp.where(sc.nbr_wall[i], bz, g)
-            if bb is not None:
-                v = jnp.where(sc.nbr_moving[i], f_s[_OPP[i]] + bb[i], v)
-            pulled.append(v)
-        pulled = jnp.stack(pulled)
-        for bc in sc.bcs:
-            pulled = _bc_apply(pulled, f_s, bc, t, sc.tau, force=sc.force)
+        pulled = pulled_sparse(sc, f_s, t, bb)
         rho = jnp.sum(pulled, axis=0)
         mom = jnp.tensordot(jnp.asarray(_EF.T), pulled, axes=([1], [0]),
                             precision=jax.lax.Precision.HIGHEST)

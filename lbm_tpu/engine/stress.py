@@ -77,20 +77,28 @@ def stress_fields(cc: CompiledCase, f, t=0):
     lattice units, zero at non-fluid cells; rho/u follow the
     macro_fields convention (init values at non-fluid cells)."""
     pulled = pulled_state(cc, f, t)
+    return _sigma_from_pulled(pulled, cc.rho0, cc.u0, cc.fluid,
+                              cc.tau, cc.closure, cc.force)
+
+
+def _sigma_from_pulled(pulled, rho0, u0, fluid, tau, closure, force):
+    """Shared stress math on any cell layout: pulled is (19, ...cells),
+    returns (sigma6, rho, u) with the dense stress_fields conventions
+    (sigma zero at non-fluid cells; rho/u init values there)."""
     rho = jnp.sum(pulled, axis=0)
     mom = jnp.tensordot(
-        jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
+        jnp.asarray(_E.T.astype(pulled.dtype)), pulled, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )
-    mom = half_force_shift(mom, cc.force)
+    mom = half_force_shift(mom, force)
     safe_rho = jnp.where(rho == 0, np.float32(1.0), rho)
     u = mom / safe_rho[None]
     f_eq = rho[None] * phi(u)
     pi6 = jnp.tensordot(
         jnp.asarray(_EE6.T), pulled - f_eq, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
-    )  # (6, X, Y, Z)
-    if cc.closure is not None:
+    )  # (6, ...cells)
+    if closure is not None:
         # the cell's actual apparent viscosity: same P, same fixed point
         # as the collide (core/rheology)
         from lbm_tpu.core.rheology import tau_eff_from_p
@@ -99,22 +107,47 @@ def stress_fields(cc: CompiledCase, f, t=0):
             pi6[0] * pi6[0] + pi6[1] * pi6[1] + pi6[2] * pi6[2]
             + np.float32(2.0) * (pi6[3] * pi6[3] + pi6[4] * pi6[4]
                                  + pi6[5] * pi6[5])))
-        te = tau_eff_from_p(p, np.float32(1.0) / safe_rho, cc.tau,
-                            cc.closure)
+        te = tau_eff_from_p(p, np.float32(1.0) / safe_rho, tau, closure)
         pref = -(np.float32(1.0) - np.float32(0.5) / te)[None]
     else:
-        pref = np.float32(-(1.0 - 0.5 / float(cc.tau)))
-    if cc.force is not None:
-        fv = np.asarray(cc.force, np.float32)
+        pref = np.float32(-(1.0 - 0.5 / float(tau)))
+    if force is not None:
+        fv = np.asarray(force, np.float32)
         corr = jnp.stack([
             np.float32(0.5) * (u[a] * np.float32(fv[b])
                                + u[b] * np.float32(fv[a]))
             for a, b in _PAIRS])
         pi6 = pi6 + corr
-    sigma = jnp.where(cc.fluid[None], pref * pi6, np.float32(0.0))
-    rho = jnp.where(cc.fluid, rho, cc.rho0)
-    u = jnp.where(cc.fluid[None], u, cc.u0)
+    sigma = jnp.where(fluid[None], pref * pi6, np.float32(0.0))
+    rho = jnp.where(fluid, rho, rho0)
+    u = jnp.where(fluid[None], u, u0)
     return sigma, rho, u
+
+
+def stress_fields_sparse(sc, f_s, t=0):
+    """(sigma6, rho, u) on the COMPACTED (19, n_pad) layout — the
+    capacity route for vessel trees where the dense pull does not fit
+    (Simulation.stress memory note: ~5 full (19,X,Y,Z) arrays, OOM at
+    512³). The pulled state comes from engine/sparse.pulled_sparse
+    (same gather stream + Bouzidi + BC fixups as the sparse step), the
+    stress math is shared with the dense path; scatter with
+    engine/sparse.scatter_dense for a (X,Y,Z) field."""
+    from lbm_tpu.engine.sparse import pulled_sparse
+
+    pulled = pulled_sparse(sc, f_s, t)
+    return _sigma_from_pulled(pulled, sc.rho0, sc.u0, sc.fluid,
+                              sc.tau, sc.closure, sc.force)
+
+
+def compact_normals(sc, normals_dense) -> np.ndarray:
+    """(3, n_pad) live-cell compaction of a dense wall_normals field
+    (sc.index maps dense cells -> sparse ids; padding gets zeros =
+    'no wall here')."""
+    idx = np.asarray(sc.index)
+    livem = idx >= 0
+    out = np.zeros((3, sc.n_pad), np.float32)
+    out[:, idx[livem]] = np.asarray(normals_dense)[:, livem]
+    return out
 
 
 def wall_normals(mask, sdf=None) -> np.ndarray:
@@ -164,13 +197,35 @@ def tangential_traction(cc: CompiledCase, f, t=0, normals=None):
     if normals is None:
         normals = wall_normals(cc.spec.mask, cc.spec.wall_sdf)
     sigma, _, _ = stress_fields(cc, f, t)
-    n = jnp.asarray(normals)
+    return _tangential(sigma, jnp.asarray(normals))
+
+
+def _tangential(sigma, n):
+    """Tangential traction vector from a packed (6, ...cells) sigma and
+    (3, ...cells) unit normals (any cell layout)."""
     # traction t_a = sigma_ab n_b from the packed 6 components
     tx = sigma[0] * n[0] + sigma[3] * n[1] + sigma[4] * n[2]
     ty = sigma[3] * n[0] + sigma[1] * n[1] + sigma[5] * n[2]
     tz = sigma[4] * n[0] + sigma[5] * n[1] + sigma[2] * n[2]
     tn = tx * n[0] + ty * n[1] + tz * n[2]
     return jnp.stack([tx - tn * n[0], ty - tn * n[1], tz - tn * n[2]])
+
+
+def wss_sparse(sc, f_s, t=0, normals=None):
+    """(n_pad,) wall shear stress magnitude on the compacted layout
+    (stress_fields_sparse; the 512³-capable route — everything here is
+    O(live cells)). normals: a compact_normals(sc, wall_normals(...))
+    to amortize over repeated outputs."""
+    if normals is None:
+        normals = compact_normals(
+            sc, wall_normals(sc.spec.mask, sc.spec.wall_sdf))
+    sigma, _, _ = stress_fields_sparse(sc, f_s, t)
+    n = jnp.asarray(normals)
+    w = _tangential(sigma, n)
+    has_wall = (n != 0).any(axis=0)
+    return jnp.where(has_wall,
+                     jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]),
+                     np.float32(0.0))
 
 
 def wss_field(cc: CompiledCase, f, t=0, normals=None):
@@ -187,9 +242,9 @@ def wss_field(cc: CompiledCase, f, t=0, normals=None):
                      np.float32(0.0))
 
 
-class WSSAccumulator:
-    """Time statistics of the wall traction over a sampling window —
-    the clinical pair for pulsatile hemodynamics:
+class _WSSStats:
+    """Shared TAWSS/OSI math over any cell layout — the clinical pair
+    for pulsatile hemodynamics:
 
         TAWSS = < |t_w| >                    (time-averaged WSS)
         OSI   = 1/2 (1 - |<t_w>| / <|t_w|>)  (oscillatory shear index)
@@ -201,35 +256,26 @@ class WSSAccumulator:
     whole periods (e.g. from a Simulation on_save callback, or
     `acc.sample_sim(sim)` after each chunk)."""
 
-    def __init__(self, cc: CompiledCase, normals=None):
-        self.cc = cc
-        self.normals = (wall_normals(cc.spec.mask, cc.spec.wall_sdf)
-                        if normals is None else normals)
-        self._vec = jnp.zeros((3,) + tuple(cc.spec.shape), jnp.float32)
-        self._mag = jnp.zeros(tuple(cc.spec.shape), jnp.float32)
+    def _init_stats(self, cells_shape):
+        self._vec = jnp.zeros((3,) + tuple(cells_shape), jnp.float32)
+        self._mag = jnp.zeros(tuple(cells_shape), jnp.float32)
         self.n_samples = 0
 
-    def sample(self, f, t=0):
-        w = tangential_traction(self.cc, f, t, self.normals)
+    def _accumulate(self, w):
         self._vec = self._vec + w
         self._mag = self._mag + jnp.sqrt(
             w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
         self.n_samples += 1
 
-    def sample_sim(self, sim):
-        """Sample a Simulation's current state (any backend)."""
-        cc, f = sim._dense_cc_f()
-        assert cc is self.cc, "accumulator bound to a different case"
-        self.sample(f, sim.t)
-
     def tawss(self):
-        """(X, Y, Z) time-averaged WSS (lattice units)."""
+        """Time-averaged WSS (lattice units), on this accumulator's
+        cell layout."""
         assert self.n_samples > 0
         return self._mag / np.float32(self.n_samples)
 
     def osi(self):
-        """(X, Y, Z) oscillatory shear index in [0, 1/2], zero where
-        there is no wall (and where TAWSS is identically zero)."""
+        """Oscillatory shear index in [0, 1/2], zero where there is no
+        wall (and where TAWSS is identically zero)."""
         assert self.n_samples > 0
         mean_vec = jnp.sqrt(self._vec[0] ** 2 + self._vec[1] ** 2
                             + self._vec[2] ** 2)
@@ -240,5 +286,69 @@ class WSSAccumulator:
             np.float32(0.0))
 
 
-__all__ = ["stress_fields", "wall_normals", "wss_field",
-           "tangential_traction", "WSSAccumulator"]
+class WSSAccumulator(_WSSStats):
+    """Dense-layout traction statistics (see _WSSStats); fields come
+    back (X, Y, Z)."""
+
+    def __init__(self, cc: CompiledCase, normals=None):
+        self.cc = cc
+        self.normals = (wall_normals(cc.spec.mask, cc.spec.wall_sdf)
+                        if normals is None else normals)
+        self._init_stats(cc.spec.shape)
+
+    def sample(self, f, t=0):
+        self._accumulate(tangential_traction(self.cc, f, t, self.normals))
+
+    def sample_sim(self, sim):
+        """Sample a Simulation's current state (any backend)."""
+        cc, f = sim._dense_cc_f()
+        assert cc is self.cc, "accumulator bound to a different case"
+        self.sample(f, sim.t)
+
+    # dense-(X,Y,Z)-guaranteed accessors (layout-erasing API shared
+    # with SparseWSSAccumulator, e.g. for VTK writes)
+    tawss_field = _WSSStats.tawss
+    osi_field = _WSSStats.osi
+
+
+class SparseWSSAccumulator(_WSSStats):
+    """Compacted-layout traction statistics (see _WSSStats) — the
+    O(live-cell) route for vessel trees past the dense pull's memory
+    wall (Simulation.stress note; 512³). tawss()/osi() come back
+    (n_pad,); scatter with engine/sparse.scatter_dense."""
+
+    def __init__(self, sc, normals=None):
+        self.sc = sc
+        self.normals = (
+            compact_normals(sc, wall_normals(sc.spec.mask,
+                                             sc.spec.wall_sdf))
+            if normals is None else normals)
+        self._init_stats((sc.n_pad,))
+
+    def sample(self, f_s, t=0):
+        sigma, _, _ = stress_fields_sparse(self.sc, f_s, t)
+        self._accumulate(_tangential(sigma, jnp.asarray(self.normals)))
+
+    def sample_sim(self, sim):
+        """Sample a Simulation's current state (sparse/pallas)."""
+        sc, f_s = sim._sparse_cc_f()
+        assert sc is self.sc, "accumulator bound to a different case"
+        self.sample(f_s, sim.t)
+
+    def tawss_field(self):
+        """(X, Y, Z) dense TAWSS (one scattered field; fine at 512³)."""
+        from lbm_tpu.engine.sparse import scatter_dense
+
+        return scatter_dense(self.sc, self.tawss())
+
+    def osi_field(self):
+        """(X, Y, Z) dense OSI."""
+        from lbm_tpu.engine.sparse import scatter_dense
+
+        return scatter_dense(self.sc, self.osi())
+
+
+__all__ = ["stress_fields", "stress_fields_sparse", "wall_normals",
+           "compact_normals", "wss_field", "wss_sparse",
+           "tangential_traction", "WSSAccumulator",
+           "SparseWSSAccumulator"]

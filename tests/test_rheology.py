@@ -76,6 +76,8 @@ def test_closure_validation():
         normalize_closure(0.17, {"model": "power_law", "K": 0.1,
                                  "n": 0.7})
     with pytest.raises(ValueError):  # unknown model
+        normalize_closure(None, {"model": "bingham"})
+    with pytest.raises(ValueError):  # missing required parameter
         normalize_closure(None, {"model": "casson"})
     with pytest.raises(AssertionError):  # unknown key
         normalize_closure(None, {"model": "power_law", "K": 0.1,

@@ -257,3 +257,81 @@ def test_osi_half_on_reversing_flow():
     assert np.median(osi[strong]) > 0.4, (
         f"median OSI {np.median(osi[strong]):.3f}"
     )
+
+
+def test_wss_sparse_route_matches_dense_on_pallas():
+    """The 512^3 WSS route (Simulation._sparse_cc_f: live-cell pdfs
+    gathered straight from the packed pallas state -> compacted stress)
+    must agree with the dense pull on a shape where both fit. Uses the
+    coronary tree so tile-skip and BC fixups are active."""
+    from lbm_tpu.engine.runner import Simulation
+    from lbm_tpu.engine.sparse import scatter_dense
+    from lbm_tpu.engine.stress import (
+        compact_normals,
+        wss_sparse,
+    )
+
+    spec = get_case("coronary", shape=(48, 24, 40), radius=5)
+    sim = Simulation(spec, backend="pallas")
+    sim.run(max_steps=10, time_save=10, verbose=False)
+    assert not sim._wss_via_sparse()  # small: wss() itself goes dense
+    w_dense = np.asarray(sim.wss())
+    sc, f_s = sim._sparse_cc_f()
+    normals = compact_normals(
+        sc, wall_normals(spec.mask, spec.wall_sdf))
+    w_sparse = np.asarray(
+        scatter_dense(sc, wss_sparse(sc, f_s, sim.t, normals)))
+    assert w_dense.max() > 0
+    np.testing.assert_allclose(w_sparse, w_dense, rtol=3e-5, atol=1e-9)
+
+
+def test_stress_sparse_matches_dense_force_closure():
+    """stress_fields_sparse carries the Guo force correction and the
+    per-cell closure tau_eff exactly like the dense path (the power-law
+    channel spans tau_eff ~0.6-20 across the gap)."""
+    from lbm_tpu.engine.sparse import compile_sparse, scatter_dense
+    from lbm_tpu.engine.runner import Simulation
+    from lbm_tpu.engine.stress import stress_fields_sparse
+
+    spec = _channel_spec(rheology={"model": "power_law", "K": 0.01,
+                                   "n": 0.7})
+    sim_d = Simulation(spec, backend="xla")
+    sim_s = Simulation(spec, backend="sparse")
+    for s in (sim_d, sim_s):
+        s.run(max_steps=30, time_save=30, verbose=False)
+    sig_d, rho_d, _ = sim_d.stress()
+    sig_s, rho_s, _ = stress_fields_sparse(sim_s.sc, sim_s.f, sim_s.t)
+    sig_s = np.asarray(scatter_dense(sim_s.sc, sig_s))
+    fl = np.asarray(spec.mask) == CellType.FLUID
+    assert np.abs(np.asarray(sig_d)[3][fl]).max() > 0
+    np.testing.assert_allclose(sig_s[:, fl], np.asarray(sig_d)[:, fl],
+                               rtol=3e-5, atol=1e-9)
+
+
+def test_sparse_wss_accumulator_matches_dense():
+    """SparseWSSAccumulator (the 512^3 TAWSS/OSI route) must agree with
+    the dense accumulator sample-for-sample; the *_field accessors
+    erase the layout difference."""
+    from lbm_tpu.engine.runner import Simulation
+    from lbm_tpu.engine.stress import WSSAccumulator
+
+    spec = get_case("poiseuille", n=16)
+    sim = Simulation(spec, backend="sparse")
+    acc_s = sim.wss_accumulator()
+    from lbm_tpu.engine.stress import SparseWSSAccumulator
+
+    assert isinstance(acc_s, SparseWSSAccumulator)
+    cc = compile_case(spec)
+    acc_d = WSSAccumulator(cc)
+    for k in range(3):
+        sim.run(max_steps=8, time_save=8, verbose=False)
+        acc_s.sample_sim(sim)
+        acc_d.sample(jnp.asarray(sim.f_standard()), sim.t)
+    wall = np.asarray((acc_d.normals != 0).any(axis=0))
+    ts = np.asarray(acc_s.tawss_field())
+    td = np.asarray(acc_d.tawss_field())
+    assert td[wall].max() > 0
+    np.testing.assert_allclose(ts, td, rtol=3e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(acc_s.osi_field())[wall],
+                               np.asarray(acc_d.osi_field())[wall],
+                               rtol=1e-3, atol=1e-5)

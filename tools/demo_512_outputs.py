@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--force-lowmem", action="store_true",
                     help="exercise the lowmem machinery below the size "
                     "threshold (CPU smoke runs)")
+    ap.add_argument("--no-vtk", action="store_true",
+                    help="skip the VTK stage (tunnel-bound ~7 min; for "
+                    "re-demonstrating a single new stage)")
+    ap.add_argument("--no-ckpt", action="store_true",
+                    help="skip the checkpoint+resume stages (~30 min "
+                    "of tunnel transfers)")
     ap.add_argument("--resume-only", action="store_true",
                     help="skip straight to the restore+step stage from "
                     "an existing checkpoint in --out (the 512^3 "
@@ -149,15 +155,36 @@ def main():
     assert np.isfinite(umax) and umax > 0
     del rho, u  # case_vtk recomputes macro(); two copies won't fit
 
+    # WSS at 512^3: wss() routes through the compacted sparse stress
+    # (live-cell pdfs gathered straight from the packed state); only
+    # the single output field goes dense. The dense pull (~51 GB of
+    # (19,512^3) arrays) could never run here.
+    t1 = time.perf_counter()
+    w = sim.wss()
+    wmax, wsum, wcnt = jax.jit(
+        lambda a: (jnp.max(a), jnp.sum(a), jnp.sum(a > 0)))(w)
+    wmax, wsum, wcnt = float(wmax), float(wsum), int(wcnt)
+    cpre = spec.units.C_pre
+    print(f"wss (sparse stress route): {wcnt} wall-adjacent cells, "
+          f"mean {wsum/max(wcnt,1)*cpre:.3f} Pa, max {wmax*cpre:.3f} Pa "
+          f"in {time.perf_counter()-t1:.1f}s", flush=True)
+    assert np.isfinite(wmax) and wmax > 0
+    del w
+
+    if not args.no_vtk:
+        t1 = time.perf_counter()
+        os.makedirs(args.out, exist_ok=True)
+        path = case_vtk(sim, args.out, sim.t, include_density=True,
+                        binary=True)
+        sz = os.path.getsize(path) / 1e9
+        print(f"VTK written: {path} ({sz:.2f} GB) in "
+              f"{time.perf_counter()-t1:.1f}s", flush=True)
+
+    if args.no_ckpt:
+        stamp("REQUESTED OUTPUT SURFACES OK")
+        return
     t1 = time.perf_counter()
     os.makedirs(args.out, exist_ok=True)
-    path = case_vtk(sim, args.out, sim.t, include_density=True,
-                    binary=True)
-    sz = os.path.getsize(path) / 1e9
-    print(f"VTK written: {path} ({sz:.2f} GB) in "
-          f"{time.perf_counter()-t1:.1f}s", flush=True)
-
-    t1 = time.perf_counter()
     ckpt.save_sim(cpath, sim)
     sz = os.path.getsize(cpath) / 1e9
     print(f"packed checkpoint: {cpath} ({sz:.2f} GB) in "
