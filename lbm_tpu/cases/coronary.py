@@ -149,7 +149,15 @@ def _relabel_plane(mask, axis, coord, label, window=None):
     return mask
 
 
-def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels) -> list[PlaneBC]:
+def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels,
+                windkessel=None) -> list[PlaneBC]:
+    """windkessel: None reproduces the reference's prescribed-velocity
+    outlets (coronary.cu:795-942); a list of four (Rp, C, Rd) lattice
+    tuples — [main outlet, sub-outlet 5, 6, 7] — replaces every outlet
+    with a pressure outlet coupled to its own RCR termination
+    (spec.PlaneBC.windkessel), so the flow SPLIT emerges from the
+    downstream resistances instead of hard-coded outlet speeds — the
+    clinical truncated-vasculature configuration."""
     bcs = [
         # coronary.cu:716-792: rho* = 1 AND u* prescribed at the inlet.
         PlaneBC(
@@ -157,13 +165,31 @@ def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels) -> list[PlaneBC]:
             rho_mode="fixed", rho_value=1.0, u_mode="fixed",
             u_value=(0.1745 / C_U, 0.0, 0.0),
         ),
-        # coronary.cu:795-867: rho extrapolated, u* = 0.1/C_U.
-        PlaneBC(
-            mask_value=int(CellType.OUTLET), axis=0, coord=outlet_x, normal=-1,
-            rho_mode="extrapolate", u_mode="fixed",
-            u_value=(0.1 / C_U, 0.0, 0.0),
-        ),
     ]
+    if windkessel is not None:
+        wk = [tuple(float(v) for v in w) for w in windkessel]
+        assert len(wk) == 1 + len(sub_planes), (
+            "coronary windkessel wants one (Rp, C, Rd) per outlet: "
+            "[main, sub5, sub6, sub7]"
+        )
+        bcs.append(PlaneBC(
+            mask_value=int(CellType.OUTLET), axis=0, coord=outlet_x,
+            normal=-1, rho_mode="fixed", rho_value=1.0,
+            u_mode="extrapolate", windkessel=wk[0],
+        ))
+        for k, (label, z) in enumerate(zip(sub_labels, sub_planes)):
+            bcs.append(PlaneBC(
+                mask_value=label, axis=2, coord=z, normal=-1,
+                rho_mode="fixed", rho_value=1.0, u_mode="extrapolate",
+                windkessel=wk[1 + k],
+            ))
+        return bcs
+    # coronary.cu:795-867: rho extrapolated, u* = 0.1/C_U.
+    bcs.append(PlaneBC(
+        mask_value=int(CellType.OUTLET), axis=0, coord=outlet_x, normal=-1,
+        rho_mode="extrapolate", u_mode="fixed",
+        u_value=(0.1 / C_U, 0.0, 0.0),
+    ))
     for label, z in zip(sub_labels, sub_planes):
         # coronary.cu:870-942: -z directions, u* = +0.02/C_U along z.
         bcs.append(
@@ -194,6 +220,9 @@ def build(
     smagorinsky_cs=None,
     rheology=None,
     force=None,
+    windkessel=None,  # [main, sub5, sub6, sub7] (Rp, C, Rd) lattice
+    # tuples: RCR-terminated pressure outlets instead of the
+    # reference's prescribed outlet velocities (see _boundaries)
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     wall_sdf = None
@@ -244,13 +273,15 @@ def build(
             mask = build_labels(flag, inlet_x, outlet_x, subs)
 
     sub_planes = [s[0] for s in subs]
-    bcs = _boundaries(inlet_x, outlet_x, sub_planes, sub_labels=(5, 6, 7))
+    bcs = _boundaries(inlet_x, outlet_x, sub_planes, sub_labels=(5, 6, 7),
+                      windkessel=windkessel)
     u0 = np.zeros((3,) + tuple(shape), np.float32)
     # coronary.cu:297-309: prescribed BC speeds in the init macro fields.
     u0[0][mask == CellType.INLET] = 0.1745 / C_U
-    u0[0][mask == CellType.OUTLET] = 0.1 / C_U
-    for label in (5, 6, 7):
-        u0[2][mask == label] = 0.02 / C_U
+    if windkessel is None:
+        u0[0][mask == CellType.OUTLET] = 0.1 / C_U
+        for label in (5, 6, 7):
+            u0[2][mask == label] = 0.02 / C_U
     return CaseSpec(
         collision=collision,
         magic_lambda=magic_lambda,

@@ -44,7 +44,14 @@ def build(
     smagorinsky_cs=None,
     rheology=None,
     force=None,
+    windkessel=None,
+    windkessel_p0: float = 0.0,
 ) -> CaseSpec:
+    """windkessel: optional (Rp, C, Rd) in lattice units — couples the
+    pressure outlet to a 3-element RCR model (spec.PlaneBC.windkessel),
+    the standard lumped termination for pulsatile hemodynamics: the
+    outlet pressure then tracks the flow waveform instead of pinning
+    rho=1 (dense-XLA/sparse backends)."""
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_max_phys / C_U
     pipe_radius = n / 5.0
@@ -73,6 +80,7 @@ def build(
     outlet = PlaneBC(
         mask_value=int(CellType.OUTLET), axis=0, coord=n - 2, normal=-1,
         rho_mode="fixed", rho_value=1.0, u_mode="extrapolate",
+        windkessel=windkessel, windkessel_p0=windkessel_p0,
     )
     u0 = np.zeros((3, n, n, n), np.float32)
     live = mask != CellType.DEAD

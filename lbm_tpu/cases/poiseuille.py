@@ -33,7 +33,14 @@ def build(
     smagorinsky_cs=None,
     rheology=None,
     force=None,
+    windkessel=None,
+    windkessel_p0: float = 0.0,
 ) -> CaseSpec:
+    """windkessel: optional (Rp, C, Rd) in lattice units — replaces the
+    analytic-parabola outlet with a pressure outlet coupled to a
+    3-element RCR model (spec.PlaneBC.windkessel): at steady state the
+    outlet gauge pressure converges to Q (Rp + Rd), the anchor
+    tests/test_windkessel.py checks (dense-XLA/sparse backends)."""
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     u_max = u_max_phys / C_U
     mask = pipe_mask(n, n, n)
@@ -44,10 +51,19 @@ def build(
         mask_value=int(CellType.INLET), axis=1, coord=1, normal=+1,
         rho_mode="extrapolate", u_mode="field", u_field=u_field,
     )
-    outlet = PlaneBC(
-        mask_value=int(CellType.OUTLET), axis=1, coord=n - 2, normal=-1,
-        rho_mode="extrapolate", u_mode="field", u_field=u_field,
-    )
+    if windkessel is not None:
+        outlet = PlaneBC(
+            mask_value=int(CellType.OUTLET), axis=1, coord=n - 2,
+            normal=-1, rho_mode="fixed", rho_value=1.0,
+            u_mode="extrapolate",
+            windkessel=windkessel, windkessel_p0=windkessel_p0,
+        )
+    else:
+        outlet = PlaneBC(
+            mask_value=int(CellType.OUTLET), axis=1, coord=n - 2,
+            normal=-1, rho_mode="extrapolate", u_mode="field",
+            u_field=u_field,
+        )
     u0 = np.zeros((3, n, n, n), np.float32)
     live = mask != CellType.DEAD
     # Poiseulle.cu:295-341: parabolic uy on rows y in {0, 1, NY-2, NY-1}

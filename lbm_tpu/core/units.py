@@ -39,6 +39,17 @@ class UnitSystem:
     def to_physical_pressure(self, rho_lat):
         return rho_lat * self.C_pre / 3.0
 
+    def to_lattice_resistance(self, R_phys: float) -> float:
+        """Hydraulic resistance [Pa·s/m^3] -> lattice (P_lat/Q_lat with
+        Q_lat = volume flux in cells^3/step = Q_phys·C_T/CH^3 and
+        P_lat = P_phys/C_pre — the windkessel parameter units."""
+        return R_phys * self.CH * self.CH * self.C_U / self.C_pre
+
+    def to_lattice_compliance(self, C_phys: float) -> float:
+        """Vascular compliance [m^3/Pa] -> lattice (V_lat/P_lat =
+        C_phys·C_pre/CH^3)."""
+        return C_phys * self.C_pre / (self.CH ** 3)
+
     @staticmethod
     def from_viscosity(nu_phys: float, CH: float, tau: float,
                        C_rho: float = 1060.0) -> "UnitSystem":

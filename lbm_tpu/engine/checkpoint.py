@@ -48,6 +48,9 @@ def save_sim(path: str, sim, meta: dict | None = None) -> None:
         "last_velsum": sim._last_velsum,
         "last_usq": sim._last_usq,
     }
+    if getattr(sim, "wk", None) is not None:
+        # windkessel per-outlet P_c carry (spec.PlaneBC.windkessel)
+        m["wk"] = [float(v) for v in np.asarray(sim.wk)]
     if getattr(sim, "_lowmem", False) and sim.mesh is None:
         # 512^3-class: save the packed state verbatim (the portable
         # layout would cost a second full-state device pass; compression
@@ -124,6 +127,15 @@ def restore(sim, path: str) -> None:
     conv = meta.get("conv", {})
     sim._last_velsum = conv.get("last_velsum")
     sim._last_usq = conv.get("last_usq")
+    if meta.get("wk") is not None:
+        if getattr(sim, "wk", None) is None:
+            raise ValueError(
+                "checkpoint carries windkessel state but the target "
+                "case has no windkessel outlets"
+            )
+        import jax.numpy as jnp
+
+        sim.wk = jnp.asarray(meta["wk"], jnp.float32)
 
 
 __all__ = ["save", "save_sim", "load", "restore"]

@@ -81,6 +81,14 @@ class CompiledBC:
     nbr_wall_plane: Any = None       # (19, A, B) bool: per-direction
     #   wall-neighbor mask ON the consumer plane — lets plane fixups run
     #   without the full (19, nx, ny, nz) nbr_wall array on device
+    # Windkessel (RCR) coupling (spec.PlaneBC.windkessel): the fixup's
+    # rho* becomes rho_fixed + 3 (Q Rp + P_c) with P_c the carried
+    # per-outlet state (engine/step.windkessel_update).
+    windkessel: Optional[tuple[float, float, float]] = None
+    wk_p0: float = 0.0               # initial P_c
+    flow_weight: Any = None          # (A, B) f32 boundary footprint on
+    #   the consumer plane: Q = flow_sign * sum(weight * u_prev[axis])
+    flow_sign: float = 0.0           # -normal (outward flux positive)
 
 
 def mrt_of(spec: CaseSpec):
@@ -197,7 +205,20 @@ def compile_bc(bc: PlaneBC, mask: np.ndarray, tau: float,
         nbr_moving_plane=(None if nbr_moving_plane is None
                           else jnp.asarray(nbr_moving_plane)),
         nbr_wall_plane=jnp.asarray(nbr_wall_plane),
+        windkessel=bc.windkessel,
+        wk_p0=float(bc.windkessel_p0),
+        flow_weight=(jnp.asarray(plane_mask.astype(np.float32))
+                     if bc.windkessel is not None else None),
+        flow_sign=float(-bc.normal),
     )
+
+
+def wk_init(bcs) -> Optional[np.ndarray]:
+    """(n_wk,) f32 initial windkessel P_c states in BC order, or None —
+    the scan carry the wk-aware steps thread (works on CompiledBC and
+    SparseBC lists alike)."""
+    p0 = [float(b.wk_p0) for b in bcs if b.windkessel is not None]
+    return np.asarray(p0, np.float32) if p0 else None
 
 
 def compile_case(spec: CaseSpec, light: bool = False,
@@ -278,4 +299,4 @@ def compile_case(spec: CaseSpec, light: bool = False,
 
 
 __all__ = ["CompiledBC", "CompiledCase", "compile_case", "compile_bc",
-           "tau_minus_of", "mrt_of"]
+           "tau_minus_of", "mrt_of", "wk_init"]

@@ -82,6 +82,7 @@ class Simulation:
         lowmem: bool | None = None,
     ):
         spec = case.spec if isinstance(case, CompiledCase) else case
+        has_wk = any(b.windkessel is not None for b in spec.boundaries)
         if mesh is not None and shard_axis is None:
             from lbm_tpu.parallel.mesh import free_axis
 
@@ -106,6 +107,16 @@ class Simulation:
                 # Bouzidi curved walls need 19 per-link q planes the
                 # packed kernel layout has no channel budget for.
                 backend = "xla"
+            if backend == "pallas" and has_wk:
+                # Windkessel outlets carry a per-outlet P_c state the
+                # packed kernel does not thread.
+                backend = "xla"
+        if backend == "pallas" and has_wk:
+            raise ValueError(
+                "backend='pallas' does not support windkessel outlets "
+                "(the per-outlet P_c carry) — use backend='xla', "
+                "'sparse', or 'auto'"
+            )
         if backend == "pallas" and spec.wall_sdf is not None:
             raise ValueError(
                 "backend='pallas' does not support wall_sdf (Bouzidi "
@@ -296,6 +307,11 @@ class Simulation:
                 f = jax.device_put(f, self.sharding)
         self.f = f
         self.t = 0
+        # Windkessel per-outlet P_c carry (spec.PlaneBC.windkessel;
+        # order = windkessel BCs within spec.boundaries).
+        p0 = [b.windkessel_p0 for b in self.spec.boundaries
+              if b.windkessel is not None]
+        self.wk = jnp.asarray(p0, jnp.float32) if p0 else None
         self._last_velsum: Optional[float] = None
         self._last_usq: Optional[float] = None
 
@@ -416,7 +432,7 @@ class Simulation:
         from lbm_tpu.engine.stress import stress_fields
 
         cc, f = self._dense_cc_f()
-        return stress_fields(cc, f, self.t)
+        return stress_fields(cc, f, self.t, wk=self.wk)
 
     def _wss_via_sparse(self) -> bool:
         """wss() routing: the sparse backend never needs the dense
@@ -482,7 +498,8 @@ class Simulation:
             if getattr(self, "_wss_normals_sparse", None) is None:
                 self._wss_normals_sparse = compact_normals(
                     sc, wall_normals(self.spec.mask, self.spec.wall_sdf))
-            w = wss_sparse(sc, f_s, self.t, self._wss_normals_sparse)
+            w = wss_sparse(sc, f_s, self.t, self._wss_normals_sparse,
+                           wk=self.wk)
             return scatter_dense(sc, w)
         from lbm_tpu.engine.stress import wall_normals, wss_field
 
@@ -490,7 +507,7 @@ class Simulation:
         if getattr(self, "_wss_normals", None) is None:
             self._wss_normals = wall_normals(self.spec.mask,
                                              self.spec.wall_sdf)
-        return wss_field(cc, f, self.t, self._wss_normals)
+        return wss_field(cc, f, self.t, self._wss_normals, wk=self.wk)
 
     def wss_accumulator(self):
         """A WSSAccumulator (TAWSS/OSI over a pulsatile window) bound
@@ -597,17 +614,29 @@ class Simulation:
                 (self.sc if cc is None else cc).velsum_offset
             )
             if self.backend == "sparse":
-                from lbm_tpu.engine.sparse import make_sparse_step
+                from lbm_tpu.engine.sparse import (make_sparse_step,
+                                                   make_sparse_step_wk)
 
-                sstep = make_sparse_step(self.sc)
                 sfluid = self.sc.fluid
+                if self.wk is not None:
+                    sstep_wk = make_sparse_step_wk(self.sc)
 
-                def body(carry, _):
-                    f, t = carry
-                    f, rho, u = sstep(f, t)
-                    speed = jnp.sqrt(jnp.sum(u * u, axis=0))
-                    s = jnp.sum(jnp.where(sfluid, speed, 0.0)) + offset
-                    return (f, t + 1), s
+                    def body(carry, _):
+                        f, t, wk = carry
+                        f, rho, u, wk = sstep_wk(f, t, wk)
+                        speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                        s = jnp.sum(jnp.where(sfluid, speed, 0.0)) + offset
+                        return (f, t + 1, wk), s
+
+                else:
+                    sstep = make_sparse_step(self.sc)
+
+                    def body(carry, _):
+                        f, t = carry
+                        f, rho, u = sstep(f, t)
+                        speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                        s = jnp.sum(jnp.where(sfluid, speed, 0.0)) + offset
+                        return (f, t + 1), s
 
             elif self.backend == "pallas":
                 if self._pallas_step is None:
@@ -671,15 +700,42 @@ class Simulation:
                     return (p, t + 1), vs + offset
 
             else:
-                step = make_step(cc)
                 fluid = cc.fluid
+                if self.wk is not None:
+                    from lbm_tpu.engine.step import make_step_wk
 
-                def body(carry, _):
-                    f, t = carry
-                    f, rho, u = step(f, t)
-                    speed = jnp.sqrt(jnp.sum(u * u, axis=0))
-                    s = jnp.sum(jnp.where(fluid, speed, 0.0)) + offset
-                    return (f, t + 1), s
+                    step_wk = make_step_wk(cc)
+
+                    def body(carry, _):
+                        f, t, wk = carry
+                        f, rho, u, wk = step_wk(f, t, wk)
+                        speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                        s = jnp.sum(jnp.where(fluid, speed, 0.0)) + offset
+                        return (f, t + 1, wk), s
+
+                else:
+                    step = make_step(cc)
+
+                    def body(carry, _):
+                        f, t = carry
+                        f, rho, u = step(f, t)
+                        speed = jnp.sqrt(jnp.sum(u * u, axis=0))
+                        s = jnp.sum(jnp.where(fluid, speed, 0.0)) + offset
+                        return (f, t + 1), s
+
+            if self.wk is not None:
+
+                def run_wk(f, t, wk):
+                    (f, t, wk), s = jax.lax.scan(
+                        body, (f, t, wk), xs=None, length=n,
+                        unroll=2 if n % 2 == 0 else 1,
+                    )
+                    return f, t, s, wk
+
+                self._chunk_fns[n] = jax.jit(
+                    run_wk, donate_argnums=(0,) if self._donate else ()
+                )
+                return self._chunk_fns[n]
 
             def run(f, t):
                 # unroll=2: the alternating carry buffers stay in place
@@ -751,7 +807,12 @@ class Simulation:
 
         while self.t < steps_done_at_start + max_steps:
             n = min(time_save, steps_done_at_start + max_steps - self.t)
-            self.f, t_dev, s_series = self._chunk(n)(self.f, jnp.int32(self.t))
+            if self.wk is not None:
+                self.f, t_dev, s_series, self.wk = self._chunk(n)(
+                    self.f, jnp.int32(self.t), self.wk)
+            else:
+                self.f, t_dev, s_series = self._chunk(n)(
+                    self.f, jnp.int32(self.t))
             self.t += n
             s_series = np.asarray(s_series, np.float64)
 

@@ -53,6 +53,13 @@ class SparseBC:
     series_stride: int
     rho_fixed: Any      # float | None
     omega: float
+    # Windkessel (RCR) coupling (spec.PlaneBC.windkessel; see
+    # engine/step.windkessel_update): rho* = rho_fixed + 3 (Q Rp + P_c)
+    windkessel: Any = None   # (Rp, C, Rd) | None
+    wk_p0: float = 0.0
+    axis: int = 0            # plane axis (flux component of u)
+    flow_weight: Any = None  # (K,) f32 boundary footprint weights
+    flow_sign: float = 0.0   # -normal (outward flux positive)
 
 
 @dataclasses.dataclass
@@ -155,6 +162,9 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
                     for t in range(s.shape[0])
                 ]
             )
+        flow_weight = None
+        if cbc.windkessel is not None:
+            flow_weight = np.asarray(cbc.flow_weight)[la, lb]
         bcs.append(
             SparseBC(
                 dirs=dirs,
@@ -165,6 +175,12 @@ def compile_sparse(spec: CaseSpec, lane_multiple: int = 1024) -> SparseCase:
                 series_stride=cbc.series_stride,
                 rho_fixed=cbc.rho_fixed,
                 omega=cbc.omega,
+                windkessel=cbc.windkessel,
+                wk_p0=cbc.wk_p0,
+                axis=bc.axis,
+                flow_weight=(None if flow_weight is None
+                             else jnp.asarray(flow_weight)),
+                flow_sign=cbc.flow_sign,
             )
         )
 
@@ -206,8 +222,10 @@ def initial_f_sparse(sc: SparseCase):
     return sc.rho0[None] * phi(sc.u0)
 
 
-def _bc_apply(pulled, f_s, bc: SparseBC, t, tau, force=None):
-    """NEE overwrite on the consumer id list (gathered small-K work)."""
+def _bc_apply(pulled, f_s, bc: SparseBC, t, tau, force=None, wk_p=None):
+    """NEE overwrite on the consumer id list (gathered small-K work).
+    wk_p: carried windkessel P_c for an RCR-coupled outlet (see
+    engine/step.apply_bc_fixup) — returns (pulled, P_c') then."""
     ids = bc.ids
     src = f_s[:, ids]  # (19, K)
     rho_p = jnp.sum(src, axis=0)
@@ -226,20 +244,32 @@ def _bc_apply(pulled, f_s, bc: SparseBC, t, tau, force=None):
         )
     else:
         phi_star = phi_nbr
-    rho_star = bc.rho_fixed if bc.rho_fixed is not None else rho_p[None]
+    p_new = None
+    if bc.windkessel is not None:
+        from lbm_tpu.engine.step import windkessel_update
+        assert wk_p is not None, (
+            "windkessel-coupled BC needs its carried P_c state (use "
+            "make_sparse_step_wk / pulled_sparse_wk)"
+        )
+        q = np.float32(bc.flow_sign) * jnp.sum(bc.flow_weight
+                                               * u_p[bc.axis])
+        p_new, p_in = windkessel_update(wk_p, q, bc.windkessel)
+        rho_star = np.float32(bc.rho_fixed) + np.float32(3.0) * p_in
+    elif bc.rho_fixed is not None:
+        rho_star = bc.rho_fixed
+    else:
+        rho_star = rho_p[None]
     val = rho_star * phi_star + (src[jnp.asarray(bc.dirs)]
                                  - rho_p[None] * phi_nbr) * bc.omega
     for d, i in enumerate(bc.dirs):
         cur = pulled[i, ids]
         pulled = pulled.at[i, ids].set(jnp.where(bc.valid[d], val[d], cur))
-    return pulled
+    return pulled if wk_p is None else (pulled, p_new)
 
 
-def pulled_sparse(sc: SparseCase, f_s, t, bb=None):
-    """The pre-collision pulled state on the compacted layout: gather
-    stream + fused bounce-back (half-way or Bouzidi) + moving walls +
-    NEE BC fixups — the sparse mirror of engine/step.pulled_state,
-    shared by the step and the stress diagnostics."""
+def _streamed_sparse(sc: SparseCase, f_s, bb):
+    """Gather stream + fused bounce-back (half-way or Bouzidi) + moving
+    walls on the compacted layout, before any BC fixup."""
     if bb is None and sc.wall_velocity is not None:
         bb = moving_bb_terms(sc.wall_velocity)
     pulled = [f_s[0]]
@@ -257,57 +287,107 @@ def pulled_sparse(sc: SparseCase, f_s, t, bb=None):
         if bb is not None:
             v = jnp.where(sc.nbr_moving[i], f_s[_OPP[i]] + bb[i], v)
         pulled.append(v)
-    pulled = jnp.stack(pulled)
+    return jnp.stack(pulled)
+
+
+def pulled_sparse(sc: SparseCase, f_s, t, bb=None):
+    """The pre-collision pulled state on the compacted layout: gather
+    stream + fused bounce-back (half-way or Bouzidi) + moving walls +
+    NEE BC fixups — the sparse mirror of engine/step.pulled_state,
+    shared by the step and the stress diagnostics. Windkessel cases
+    carry per-outlet state: use pulled_sparse_wk."""
+    from lbm_tpu.engine.step import has_windkessel
+    assert not has_windkessel(sc.bcs), (
+        "case has windkessel outlets; use pulled_sparse_wk with the "
+        "carried state"
+    )
+    pulled = _streamed_sparse(sc, f_s, bb)
     for bc in sc.bcs:
         pulled = _bc_apply(pulled, f_s, bc, t, sc.tau, force=sc.force)
     return pulled
 
 
-def make_sparse_step(sc: SparseCase) -> Callable:
+def pulled_sparse_wk(sc: SparseCase, f_s, t, wk, bb=None):
+    """pulled_sparse for windkessel cases: wk is the (n_wk,) carried P_c
+    vector (compile.wk_init(sc.bcs) order); returns (pulled, wk')."""
+    pulled = _streamed_sparse(sc, f_s, bb)
+    k = 0
+    wk_new = []
+    for bc in sc.bcs:
+        if bc.windkessel is not None:
+            pulled, p = _bc_apply(pulled, f_s, bc, t, sc.tau,
+                                  force=sc.force, wk_p=wk[k])
+            wk_new.append(p)
+            k += 1
+        else:
+            pulled = _bc_apply(pulled, f_s, bc, t, sc.tau, force=sc.force)
+    return pulled, jnp.stack(wk_new)
+
+
+def _sparse_step_tail(sc: SparseCase, f_s, pulled):
+    """Moments + collide + Guo source + fluid mask — the shared tail of
+    make_sparse_step / make_sparse_step_wk."""
     inv_tau = 1.0 / sc.tau
     # TRT (see engine/step.collide): even/odd parity halves relax at
     # their own rates; this backend keeps its multiplicative style.
     hp = None if sc.tau_minus is None else np.float32(0.5 * inv_tau)
     hm = None if sc.tau_minus is None else np.float32(0.5 / sc.tau_minus)
+    rho = jnp.sum(pulled, axis=0)
+    mom = jnp.tensordot(jnp.asarray(_EF.T), pulled, axes=([1], [0]),
+                        precision=jax.lax.Precision.HIGHEST)
+    mom = half_force_shift(mom, sc.force)
+    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+    f_eq = rho[None] * phi(u)
+    if sc.closure is not None:
+        from lbm_tpu.core.rheology import tau_eff
+        fneq = pulled - f_eq
+        te = tau_eff(fneq, rho, sc.tau, sc.closure)
+        f_post = pulled - fneq / te[None]
+        if sc.force is not None:
+            f_post = f_post + guo_source(u, sc.force, sc.tau,
+                                         tau_local=te)
+        f_new = jnp.where(sc.fluid[None], f_post, f_s)
+        return f_new, rho, u
+    if sc.mrt_k is not None:
+        fneq = pulled - f_eq
+        f_post = pulled - jnp.tensordot(
+            jnp.asarray(sc.mrt_k), fneq, axes=([1], [0]),
+            precision=jax.lax.Precision.HIGHEST)
+    elif hp is None:
+        f_post = pulled - (pulled - f_eq) * inv_tau
+    else:
+        opp = jnp.asarray(_OPP)
+        f_post = (pulled
+                  - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
+                  - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
+    if sc.force is not None:
+        f_post = f_post + guo_source(u, sc.force, sc.tau,
+                                     sc.tau_minus, sc.mrt_kf)
+    f_new = jnp.where(sc.fluid[None], f_post, f_s)
+    return f_new, rho, u
 
+
+def make_sparse_step(sc: SparseCase) -> Callable:
     bb = (None if sc.wall_velocity is None
           else moving_bb_terms(sc.wall_velocity))
 
     def step(f_s, t):
         pulled = pulled_sparse(sc, f_s, t, bb)
-        rho = jnp.sum(pulled, axis=0)
-        mom = jnp.tensordot(jnp.asarray(_EF.T), pulled, axes=([1], [0]),
-                            precision=jax.lax.Precision.HIGHEST)
-        mom = half_force_shift(mom, sc.force)
-        u = mom / jnp.where(rho == 0, 1.0, rho)[None]
-        f_eq = rho[None] * phi(u)
-        if sc.closure is not None:
-            from lbm_tpu.core.rheology import tau_eff
-            fneq = pulled - f_eq
-            te = tau_eff(fneq, rho, sc.tau, sc.closure)
-            f_post = pulled - fneq / te[None]
-            if sc.force is not None:
-                f_post = f_post + guo_source(u, sc.force, sc.tau,
-                                             tau_local=te)
-            f_new = jnp.where(sc.fluid[None], f_post, f_s)
-            return f_new, rho, u
-        if sc.mrt_k is not None:
-            fneq = pulled - f_eq
-            f_post = pulled - jnp.tensordot(
-                jnp.asarray(sc.mrt_k), fneq, axes=([1], [0]),
-                precision=jax.lax.Precision.HIGHEST)
-        elif hp is None:
-            f_post = pulled - (pulled - f_eq) * inv_tau
-        else:
-            opp = jnp.asarray(_OPP)
-            f_post = (pulled
-                      - ((pulled + pulled[opp]) - (f_eq + f_eq[opp])) * hp
-                      - ((pulled - pulled[opp]) - (f_eq - f_eq[opp])) * hm)
-        if sc.force is not None:
-            f_post = f_post + guo_source(u, sc.force, sc.tau,
-                                         sc.tau_minus, sc.mrt_kf)
-        f_new = jnp.where(sc.fluid[None], f_post, f_s)
-        return f_new, rho, u
+        return _sparse_step_tail(sc, f_s, pulled)
+
+    return step
+
+
+def make_sparse_step_wk(sc: SparseCase) -> Callable:
+    """The sparse step for windkessel (RCR) outlet cases:
+    (f_s, t, wk) -> (f_s', rho, u, wk')."""
+    bb = (None if sc.wall_velocity is None
+          else moving_bb_terms(sc.wall_velocity))
+
+    def step(f_s, t, wk):
+        pulled, wk_new = pulled_sparse_wk(sc, f_s, t, wk, bb)
+        f_new, rho, u = _sparse_step_tail(sc, f_s, pulled)
+        return f_new, rho, u, wk_new
 
     return step
 
@@ -336,6 +416,9 @@ __all__ = [
     "compile_sparse",
     "initial_f_sparse",
     "make_sparse_step",
+    "make_sparse_step_wk",
+    "pulled_sparse",
+    "pulled_sparse_wk",
     "macro_fields_sparse",
     "scatter_dense",
 ]

@@ -49,6 +49,20 @@ class PlaneBC:
     u_series_stride: int = 1                # steps per series phase
     #   (phase = (t // stride) % T; the thesis streams unsteady BC arrays
     #   per step, section 4.5-E — stride lets long pulses stay compact)
+    # 3-element Windkessel (RCR) outlet coupling (beyond-reference: the
+    # reference's outlets are constant-pressure, bifurcation.cu:877-948,
+    # while clinical hemodynamics terminates vessels on lumped RCR
+    # models). (Rp, C, Rd) in LATTICE units (UnitSystem
+    # .to_lattice_resistance/.to_lattice_compliance convert from SI):
+    # the plane's gauge pressure becomes P_in = Q Rp + P_c with
+    # C dP_c/dt = Q - P_c/Rd, Q = outward flux through the plane —
+    # so rho* = rho_value + 3 P_in varies per step. Requires
+    # rho_mode='fixed' (a pressure outlet whose pressure is dynamic).
+    # The (one-float-per-outlet) state P_c is carried by the step
+    # (engine/step.make_step_wk); supported on the dense XLA backend
+    # (incl. GSPMD mesh sharding) and the sparse backend.
+    windkessel: Optional[tuple[float, float, float]] = None
+    windkessel_p0: float = 0.0              # initial P_c (lattice gauge)
 
     def __post_init__(self):
         assert self.axis in (0, 1, 2) and self.normal in (-1, 1)
@@ -58,6 +72,13 @@ class PlaneBC:
             assert self.u_field is not None and self.u_field.ndim == 3
         if self.u_mode == "series":
             assert self.u_series is not None and self.u_series.ndim == 4
+        if self.windkessel is not None:
+            self.windkessel = tuple(float(v) for v in self.windkessel)
+            rp, cap, rd = self.windkessel
+            assert rp >= 0.0 and cap > 0.0 and rd > 0.0, \
+                "windkessel needs Rp >= 0, C > 0, Rd > 0"
+            assert self.rho_mode == "fixed", \
+                "windkessel couples to a pressure outlet (rho_mode='fixed')"
 
 
 @dataclasses.dataclass

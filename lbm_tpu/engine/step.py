@@ -69,12 +69,32 @@ def _safe_u(f_plane, force=None):
     return rho, mom / jnp.where(rho == 0, 1.0, rho)
 
 
-def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None):
+def windkessel_update(p_c, q, wk):
+    """One backward-Euler step (dt = 1 lattice step) of the 3-element
+    windkessel (RCR) ODE:  C dP_c/dt = Q - P_c/Rd,  P_in = Q Rp + P_c.
+    Returns (P_c', P_in) in lattice gauge-pressure units. Backward Euler
+    is unconditionally stable, so stiff (small Rd·C) terminations can't
+    blow up the coupling; the O(dt/(Rd C)) bias is tested against the
+    analytic exponential in tests/test_windkessel.py."""
+    rp, cap, rd = (np.float32(v) for v in wk)
+    p_new = (p_c + q / cap) / (np.float32(1.0)
+                               + np.float32(1.0) / (rd * cap))
+    return p_new, q * rp + p_new
+
+
+def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None,
+                   wk_p=None):
     """Overwrite the pulled populations on the consumer plane of one NEE
     boundary (exact fusion of the reference's boundary_stream NEE write,
     e.g. bifurcation.cu:877-1021). `force`: the case's Guo body force —
     the neighbor's previous-step macro u keeps the same half-force
-    shift the collide uses."""
+    shift the collide uses.
+
+    wk_p: carried windkessel state P_c for a windkessel-coupled outlet
+    (bc.windkessel set) — the plane's rho* becomes
+    rho_fixed + 3 (Q Rp + P_c') with Q the outward flux measured from
+    the same previous-step consumer-plane macro the NEE formula reads;
+    the call then returns (f_pulled, P_c')."""
     sl = _plane_slicer(bc.axis, bc.consumer_coord)
     src_pl = f_src[(slice(None),) + sl]            # (19, A, B)
     rho_prev, u_prev = _safe_u(src_pl, force)
@@ -92,7 +112,20 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None):
     else:  # 'extrapolate': u* = u_F, so phi* == phi_nbr
         phi_star = phi_nbr
 
-    rho_star = bc.rho_fixed if bc.rho_fixed is not None else rho_prev[None]
+    p_new = None
+    if bc.windkessel is not None:
+        assert wk_p is not None, (
+            "windkessel-coupled BC needs its carried P_c state (use "
+            "make_step_wk / pulled_state_wk)"
+        )
+        q = np.float32(bc.flow_sign) * jnp.sum(bc.flow_weight
+                                               * u_prev[bc.axis])
+        p_new, p_in = windkessel_update(wk_p, q, bc.windkessel)
+        rho_star = np.float32(bc.rho_fixed) + np.float32(3.0) * p_in
+    elif bc.rho_fixed is not None:
+        rho_star = bc.rho_fixed
+    else:
+        rho_star = rho_prev[None]
     src_dirs = src_pl[jnp.asarray(bc.dirs)]        # (D, A, B)
     val = rho_star * phi_star + (src_dirs - feq_nbr) * bc.omega
 
@@ -101,7 +134,7 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None):
         f_pulled = f_pulled.at[(i,) + sl].set(
             jnp.where(bc.valid[d], val[d], plane)
         )
-    return f_pulled
+    return f_pulled if wk_p is None else (f_pulled, p_new)
 
 
 def half_force_shift(mom, force):
@@ -289,13 +322,24 @@ def make_first_step(cc: CompiledCase) -> Callable:
     return first_step
 
 
+def has_windkessel(bcs) -> bool:
+    """True if any compiled BC carries a windkessel coupling (works on
+    CompiledBC and SparseBC lists)."""
+    return any(b.windkessel is not None for b in bcs)
+
+
 def pulled_state(cc: CompiledCase, f, t, bb=None):
     """The complete pre-collision state at step t: pull-stream with
     fused bounce-back/moving walls plus every NEE/pressure BC fixup.
     Shared by make_step's hot path and the stress diagnostics
     (engine/stress.py), which must evaluate f_neq PRE-collision — the
     stored f is post-collision, where f_neq is already scaled by the
-    operator's (per-mode, possibly per-cell) 1 - rate factors."""
+    operator's (per-mode, possibly per-cell) 1 - rate factors.
+    Windkessel cases carry per-outlet state: use pulled_state_wk."""
+    assert not has_windkessel(cc.bcs), (
+        "case has windkessel outlets; use pulled_state_wk with the "
+        "carried state"
+    )
     if bb is None and cc.wall_velocity is not None:
         bb = moving_bb_terms(cc.wall_velocity)
     pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb, cc.link_q)
@@ -304,37 +348,80 @@ def pulled_state(cc: CompiledCase, f, t, bb=None):
     return pulled
 
 
+def pulled_state_wk(cc: CompiledCase, f, t, wk, bb=None):
+    """pulled_state for cases with windkessel outlets: wk is the (n_wk,)
+    carried P_c vector (order = windkessel BCs within cc.bcs, see
+    compile.wk_init); returns (pulled, wk')."""
+    if bb is None and cc.wall_velocity is not None:
+        bb = moving_bb_terms(cc.wall_velocity)
+    pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb, cc.link_q)
+    k = 0
+    wk_new = []
+    for bc in cc.bcs:
+        if bc.windkessel is not None:
+            pulled, p = apply_bc_fixup(pulled, f, bc, t, force=cc.force,
+                                       wk_p=wk[k])
+            wk_new.append(p)
+            k += 1
+        else:
+            pulled = apply_bc_fixup(pulled, f, bc, t, force=cc.force)
+    return pulled, jnp.stack(wk_new)
+
+
+def _step_tail(cc: CompiledCase, f, pulled):
+    """Moments + collide + Guo source + fluid mask — the shared tail of
+    make_step / make_step_wk (identical math either way)."""
+    tau = jnp.asarray(cc.tau, f.dtype)
+    rho = jnp.sum(pulled, axis=0)
+    mom = jnp.tensordot(
+        jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mom = half_force_shift(mom, cc.force)
+    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+    f_eq = rho[None] * phi(u)
+    # Divide by tau like the reference (ldc.cu:350-368) rather than
+    # multiplying by a rounded 1/tau: the reciprocal's rounding is a
+    # systematic per-step bias that the steady state amplifies
+    # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
+    # vs the literal transcription). The Pallas kernel keeps the
+    # multiply for VPU throughput; cross-backend tests use rtol.
+    f_post = post_collision(pulled, f_eq, rho, u, tau, cc)
+    f_new = jnp.where(cc.fluid[None], f_post, f)
+    return f_new, rho, u
+
+
 def make_step(cc: CompiledCase) -> Callable:
     """Build the jittable fused step: (f, t) -> (f', rho, u).
 
     rho/u are this step's macroscopic fields, valid at fluid cells (other
     cells must be masked with cc.fluid / reconstructed from cc.rho0/u0,
-    which `macro_fields` does).
-    """
-    fluid3 = cc.fluid[None]
+    which `macro_fields` does). Windkessel cases carry per-outlet state:
+    use make_step_wk."""
+    assert not has_windkessel(cc.bcs), (
+        "case has windkessel outlets; build the step with make_step_wk"
+    )
     bb = (None if cc.wall_velocity is None
           else moving_bb_terms(cc.wall_velocity))
 
     def step(f, t):
-        tau = jnp.asarray(cc.tau, f.dtype)
         pulled = pulled_state(cc, f, t, bb)
-        rho = jnp.sum(pulled, axis=0)
-        mom = jnp.tensordot(
-            jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        mom = half_force_shift(mom, cc.force)
-        u = mom / jnp.where(rho == 0, 1.0, rho)[None]
-        f_eq = rho[None] * phi(u)
-        # Divide by tau like the reference (ldc.cu:350-368) rather than
-        # multiplying by a rounded 1/tau: the reciprocal's rounding is a
-        # systematic per-step bias that the steady state amplifies
-        # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
-        # vs the literal transcription). The Pallas kernel keeps the
-        # multiply for VPU throughput; cross-backend tests use rtol.
-        f_post = post_collision(pulled, f_eq, rho, u, tau, cc)
-        f_new = jnp.where(fluid3, f_post, f)
-        return f_new, rho, u
+        return _step_tail(cc, f, pulled)
+
+    return step
+
+
+def make_step_wk(cc: CompiledCase) -> Callable:
+    """The fused step for cases with windkessel (RCR) outlets:
+    (f, t, wk) -> (f', rho, u, wk') with wk the (n_wk,) carried P_c
+    vector (initialize with compile.wk_init(cc.bcs))."""
+    bb = (None if cc.wall_velocity is None
+          else moving_bb_terms(cc.wall_velocity))
+
+    def step(f, t, wk):
+        pulled, wk_new = pulled_state_wk(cc, f, t, wk, bb)
+        f_new, rho, u = _step_tail(cc, f, pulled)
+        return f_new, rho, u, wk_new
 
     return step
 
@@ -360,7 +447,8 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
     return rho, u
 
 
-__all__ = ["make_step", "make_first_step", "initial_f", "macro_fields",
-           "streamed", "pull_one", "collide", "guo_source",
-           "half_force_shift", "moving_bb_terms", "les_tau_eff",
-           "post_collision", "pulled_state"]
+__all__ = ["make_step", "make_step_wk", "make_first_step", "initial_f",
+           "macro_fields", "streamed", "pull_one", "collide",
+           "guo_source", "half_force_shift", "moving_bb_terms",
+           "les_tau_eff", "post_collision", "pulled_state",
+           "pulled_state_wk", "windkessel_update", "has_windkessel"]

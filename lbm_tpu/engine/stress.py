@@ -71,12 +71,19 @@ _EE6 = np.stack(
      for a, b in _PAIRS], axis=1)
 
 
-def stress_fields(cc: CompiledCase, f, t=0):
+def stress_fields(cc: CompiledCase, f, t=0, wk=None):
     """(sigma6, rho, u) of the pre-collision state pulled from f at
     step t. sigma6 is (6, X, Y, Z) in the xx yy zz xy xz yz order,
     lattice units, zero at non-fluid cells; rho/u follow the
-    macro_fields convention (init values at non-fluid cells)."""
-    pulled = pulled_state(cc, f, t)
+    macro_fields convention (init values at non-fluid cells).
+    wk: the carried windkessel state for RCR-outlet cases (the pull
+    re-applies the BC fixups, whose outlet rho* depends on it)."""
+    if wk is not None:
+        from lbm_tpu.engine.step import pulled_state_wk
+
+        pulled, _ = pulled_state_wk(cc, f, t, wk)
+    else:
+        pulled = pulled_state(cc, f, t)
     return _sigma_from_pulled(pulled, cc.rho0, cc.u0, cc.fluid,
                               cc.tau, cc.closure, cc.force)
 
@@ -124,7 +131,7 @@ def _sigma_from_pulled(pulled, rho0, u0, fluid, tau, closure, force):
     return sigma, rho, u
 
 
-def stress_fields_sparse(sc, f_s, t=0):
+def stress_fields_sparse(sc, f_s, t=0, wk=None):
     """(sigma6, rho, u) on the COMPACTED (19, n_pad) layout — the
     capacity route for vessel trees where the dense pull does not fit
     (Simulation.stress memory note: ~5 full (19,X,Y,Z) arrays, OOM at
@@ -132,9 +139,14 @@ def stress_fields_sparse(sc, f_s, t=0):
     (same gather stream + Bouzidi + BC fixups as the sparse step), the
     stress math is shared with the dense path; scatter with
     engine/sparse.scatter_dense for a (X,Y,Z) field."""
-    from lbm_tpu.engine.sparse import pulled_sparse
+    if wk is not None:
+        from lbm_tpu.engine.sparse import pulled_sparse_wk
 
-    pulled = pulled_sparse(sc, f_s, t)
+        pulled, _ = pulled_sparse_wk(sc, f_s, t, wk)
+    else:
+        from lbm_tpu.engine.sparse import pulled_sparse
+
+        pulled = pulled_sparse(sc, f_s, t)
     return _sigma_from_pulled(pulled, sc.rho0, sc.u0, sc.fluid,
                               sc.tau, sc.closure, sc.force)
 
@@ -189,14 +201,14 @@ def wall_normals(mask, sdf=None) -> np.ndarray:
     return n
 
 
-def tangential_traction(cc: CompiledCase, f, t=0, normals=None):
+def tangential_traction(cc: CompiledCase, f, t=0, normals=None, wk=None):
     """(3, X, Y, Z) tangential wall-traction VECTOR (lattice units) at
     wall-adjacent fluid cells, zero elsewhere — the directional
     quantity under WSS, kept separate because pulsatile statistics
     (OSI) need the vector's time average, not the magnitude's."""
     if normals is None:
         normals = wall_normals(cc.spec.mask, cc.spec.wall_sdf)
-    sigma, _, _ = stress_fields(cc, f, t)
+    sigma, _, _ = stress_fields(cc, f, t, wk=wk)
     return _tangential(sigma, jnp.asarray(normals))
 
 
@@ -211,7 +223,7 @@ def _tangential(sigma, n):
     return jnp.stack([tx - tn * n[0], ty - tn * n[1], tz - tn * n[2]])
 
 
-def wss_sparse(sc, f_s, t=0, normals=None):
+def wss_sparse(sc, f_s, t=0, normals=None, wk=None):
     """(n_pad,) wall shear stress magnitude on the compacted layout
     (stress_fields_sparse; the 512³-capable route — everything here is
     O(live cells)). normals: a compact_normals(sc, wall_normals(...))
@@ -219,7 +231,7 @@ def wss_sparse(sc, f_s, t=0, normals=None):
     if normals is None:
         normals = compact_normals(
             sc, wall_normals(sc.spec.mask, sc.spec.wall_sdf))
-    sigma, _, _ = stress_fields_sparse(sc, f_s, t)
+    sigma, _, _ = stress_fields_sparse(sc, f_s, t, wk=wk)
     n = jnp.asarray(normals)
     w = _tangential(sigma, n)
     has_wall = (n != 0).any(axis=0)
@@ -228,14 +240,14 @@ def wss_sparse(sc, f_s, t=0, normals=None):
                      np.float32(0.0))
 
 
-def wss_field(cc: CompiledCase, f, t=0, normals=None):
+def wss_field(cc: CompiledCase, f, t=0, normals=None, wk=None):
     """(X, Y, Z) wall shear stress magnitude (lattice units; multiply
     by units.C_pre for Pa), nonzero exactly at wall-adjacent fluid
     cells. normals: a precomputed wall_normals(mask) to amortize over
     repeated outputs."""
     if normals is None:
         normals = wall_normals(cc.spec.mask, cc.spec.wall_sdf)
-    w = tangential_traction(cc, f, t, normals)
+    w = tangential_traction(cc, f, t, normals, wk=wk)
     has_wall = jnp.asarray((normals != 0).any(axis=0))
     return jnp.where(has_wall,
                      jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]),
@@ -296,14 +308,15 @@ class WSSAccumulator(_WSSStats):
                         if normals is None else normals)
         self._init_stats(cc.spec.shape)
 
-    def sample(self, f, t=0):
-        self._accumulate(tangential_traction(self.cc, f, t, self.normals))
+    def sample(self, f, t=0, wk=None):
+        self._accumulate(
+            tangential_traction(self.cc, f, t, self.normals, wk=wk))
 
     def sample_sim(self, sim):
         """Sample a Simulation's current state (any backend)."""
         cc, f = sim._dense_cc_f()
         assert cc is self.cc, "accumulator bound to a different case"
-        self.sample(f, sim.t)
+        self.sample(f, sim.t, wk=getattr(sim, "wk", None))
 
     # dense-(X,Y,Z)-guaranteed accessors (layout-erasing API shared
     # with SparseWSSAccumulator, e.g. for VTK writes)
@@ -325,15 +338,15 @@ class SparseWSSAccumulator(_WSSStats):
             if normals is None else normals)
         self._init_stats((sc.n_pad,))
 
-    def sample(self, f_s, t=0):
-        sigma, _, _ = stress_fields_sparse(self.sc, f_s, t)
+    def sample(self, f_s, t=0, wk=None):
+        sigma, _, _ = stress_fields_sparse(self.sc, f_s, t, wk=wk)
         self._accumulate(_tangential(sigma, jnp.asarray(self.normals)))
 
     def sample_sim(self, sim):
         """Sample a Simulation's current state (sparse/pallas)."""
         sc, f_s = sim._sparse_cc_f()
         assert sc is self.sc, "accumulator bound to a different case"
-        self.sample(f_s, sim.t)
+        self.sample(f_s, sim.t, wk=getattr(sim, "wk", None))
 
     def tawss_field(self):
         """(X, Y, Z) dense TAWSS (one scattered field; fine at 512³)."""

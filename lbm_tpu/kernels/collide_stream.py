@@ -2586,6 +2586,11 @@ def make_pallas_step(
     VMEM phi* tables); z-plane boundaries (coronary sub-outlets) fall back
     to the XLA consumer-plane fixup.
     """
+    from lbm_tpu.engine.step import has_windkessel
+    assert not has_windkessel(cc_pad.bcs), (
+        "the packed Pallas kernel does not thread the windkessel state "
+        "(per-outlet P_c carry); use the dense XLA or sparse backend"
+    )
     nxp, nyp, nz = cc_pad.shape
     nx, ny = nxp - 2 * ring, nyp - 2 * ring
     prefer_small = interpret and tx is None and ty is None

@@ -95,6 +95,12 @@ def make_halo_step(
         "the explicit halo-exchange path does not thread Bouzidi link_q; "
         "use the GSPMD dense path (Simulation mesh=) for curved walls"
     )
+    from lbm_tpu.engine.step import has_windkessel
+    assert not has_windkessel(cc.bcs), (
+        "the explicit halo-exchange path does not thread the windkessel "
+        "state (the outlet flux sum would need a psum); use the GSPMD "
+        "dense path (Simulation mesh=) for RCR outlets"
+    )
     import dataclasses
 
     inv_tau = 1.0 / cc.tau
