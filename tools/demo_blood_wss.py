@@ -36,6 +36,11 @@ def main():
                     help="Bouzidi curved walls + SDF-gradient WSS "
                     "normals (coronary curved=True; runs the dense xla "
                     "backend — the packed kernel has no q-plane budget)")
+    ap.add_argument("--windkessel", action="store_true",
+                    help="terminate all four outlets on 3-element RCR "
+                    "models (flow split emerges from downstream "
+                    "resistances) and report per-outlet flux, P_c, and "
+                    "the CFD-FFR estimate (engine/diagnostics)")
     ap.add_argument("--vtk", default=None)
     args = ap.parse_args()
 
@@ -56,11 +61,17 @@ def main():
     shape = tuple(int(s) for s in args.shape.split(","))
     base = get_case("coronary", shape=shape, radius=args.radius)
     rheo = None if args.newtonian else carreau_blood(base.units)
+    # RCR terminations (lattice units): the main outlet drains the
+    # trunk, the three sub-outlets carry ~3x its distal resistance, so
+    # the split emerges from the resistances (not prescribed speeds).
+    wk = ([(2e-4, 2e4, 1e-3)] + [(2e-4, 2e4, 3e-3)] * 3
+          if args.windkessel else None)
     spec = get_case("coronary", shape=shape, radius=args.radius,
-                    rheology=rheo, curved=args.curved)
+                    rheology=rheo, curved=args.curved, windkessel=wk)
     print(f"case: coronary {shape} radius={args.radius} "
           f"rheology={'newtonian' if rheo is None else 'carreau_blood'} "
-          f"walls={'bouzidi' if args.curved else 'staircase'}")
+          f"walls={'bouzidi' if args.curved else 'staircase'} "
+          f"outlets={'RCR windkessel' if wk else 'prescribed-velocity'}")
 
     t0 = time.perf_counter()
     sim = Simulation(spec)
@@ -80,6 +91,28 @@ def main():
           f"{dt / args.steps * 1e3:.2f} ms/step, "
           f"{ncell * args.steps / dt / 1e6:.1f} MLUPS box-convention, "
           f"residual {res.residual:.3e}")
+
+    if args.windkessel:
+        from lbm_tpu.engine.diagnostics import (MMHG_PER_PA, ffr,
+                                                plane_flux)
+
+        rho_f, u_f = (np.asarray(a) for a in sim.macro())
+        names = ["main", "sub5", "sub6", "sub7"]
+        qs = [plane_flux(spec, u_f, 1 + k) for k in range(4)]
+        qtot = sum(qs)
+        pc = np.asarray(sim.wk) * spec.units.C_pre * MMHG_PER_PA
+        for k, nm in enumerate(names):
+            f_k, dp_k = ffr(spec, rho_f, 0, 1 + k)
+            print(f"outlet {nm}: Q {qs[k]:+.2f} ({qs[k]/qtot*100:.0f}% "
+                  f"of outflow), P_c {pc[k]:.2f} mmHg gauge, "
+                  f"trans-tree dp {dp_k:.2f} mmHg, FFR~{f_k:.3f}")
+        # the split is set by the TOTAL path resistance — in-tree
+        # viscous segments (8 nu L / pi R^4 ~ 1e-2 here) plus each
+        # RCR's Rd — so it shifts with geometry as much as with the
+        # terminations; the quantitative RCR anchors live in
+        # tests/test_windkessel.py on the single-path pipe.
+        assert np.isfinite(pc).all() and qtot > 0 and all(
+            np.isfinite(q) for q in qs)
 
     t0 = time.perf_counter()
     w = np.asarray(sim.wss()) * spec.units.C_pre  # Pa
