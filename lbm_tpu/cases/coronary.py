@@ -55,15 +55,32 @@ def build_labels(
 def synthetic_tree_flag(
     nx: int, ny: int, nz: int, radius: int, inlet_x: int, outlet_x: int,
     branch_xs: list[int], branch_z_caps: list[int],
+    stenosis=None,
 ) -> np.ndarray:
     """A branched-tube occupancy grid with the coronary BC topology: a
     main tube along x (capped at inlet_x/outlet_x) and side branches along
-    +z (capped at their z plane)."""
+    +z (capped at their z plane).
+
+    stenosis: optional (severity, x_center, length) — a smooth
+    axisymmetric cosine constriction of the MAIN tube,
+    r(x) = radius (1 - severity cos^2(pi (x - xc)/length)) for
+    |x - xc| < length/2 (the standard smooth-stenosis benchmark
+    shape); severity is the fractional DIAMETER reduction at the
+    throat (0.5 = a 50% stenosis). The FFR diagnostic
+    (engine/diagnostics.ffr) exists to grade exactly this."""
     cy, cz = (ny - 1) / 2.0, nz // 4
     y = np.arange(ny)[None, :, None]
     z = np.arange(nz)[None, None, :]
     x = np.arange(nx)[:, None, None]
-    main = ((y - cy) ** 2 + (z - cz) ** 2 <= radius**2) & (x >= inlet_x) & (
+    r_main = np.full((nx, 1, 1), float(radius))
+    if stenosis is not None:
+        sev, xc, length = (float(v) for v in stenosis)
+        assert 0.0 < sev < 1.0 and length > 0
+        xs = np.arange(nx, dtype=np.float64)
+        inside = np.abs(xs - xc) < length / 2.0
+        shrink = 1.0 - sev * np.cos(np.pi * (xs - xc) / length) ** 2
+        r_main = np.where(inside, radius * shrink, radius)[:, None, None]
+    main = ((y - cy) ** 2 + (z - cz) ** 2 <= r_main**2) & (x >= inlet_x) & (
         x <= outlet_x
     )
     flag = main
@@ -223,9 +240,18 @@ def build(
     windkessel=None,  # [main, sub5, sub6, sub7] (Rp, C, Rd) lattice
     # tuples: RCR-terminated pressure outlets instead of the
     # reference's prescribed outlet velocities (see _boundaries)
+    stenosis: float | None = None,  # fractional diameter reduction of
+    # a smooth cosine constriction on the main tube proximal segment
+    # (synthetic_tree_flag; voxel synthetic route only) — the lesion
+    # the FFR diagnostic grades
 ) -> CaseSpec:
     units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
     wall_sdf = None
+    if stenosis is not None:
+        assert geo_path is None and not curved, (
+            "stenosis= is a synthetic voxel-route knob (file geometries "
+            "carry their own lesions; the curved SDF has no constriction)"
+        )
     if geo_path is not None:
         assert not curved, (
             "curved=True (Bouzidi walls) needs the analytic synthetic "
@@ -267,8 +293,16 @@ def build(
             for k, (zc, window) in enumerate(subs):
                 mask = _relabel_plane(mask, 2, zc, 5 + k, window)
         else:
+            sten = None
+            if stenosis is not None:
+                # proximal main-tube lesion: midway between the inlet
+                # and the first branch, 3 diameters long
+                sten = (float(stenosis),
+                        (inlet_x + branch_xs[0]) / 2.0,
+                        3.0 * radius)
             flag = synthetic_tree_flag(
-                nx, ny, nz, radius, inlet_x, outlet_x, branch_xs, caps
+                nx, ny, nz, radius, inlet_x, outlet_x, branch_xs, caps,
+                stenosis=sten,
             )
             mask = build_labels(flag, inlet_x, outlet_x, subs)
 

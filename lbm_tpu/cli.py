@@ -175,6 +175,12 @@ def main(argv=None) -> int:
         f"#LATTICE {nlattice}  {result.mlups:.1f} MLUPS"
     )
     print(f"Residual is {result.residual:g}")
+    if sim.wk is not None:
+        from lbm_tpu.engine.diagnostics import MMHG_PER_PA
+
+        pc = np.asarray(sim.wk) * spec.units.C_pre * MMHG_PER_PA
+        print("Windkessel P_c (mmHg gauge): "
+              + " ".join(f"{v:.4f}" for v in pc))
     log.finish(elapsed_ms, nlattice, result.residual)
     if not args.no_vtk:
         extra = None

@@ -22,6 +22,36 @@ from lbm_tpu.engine.runner import Simulation
 _WK = (5e-4, 24000.0, 2.5e-3)
 
 
+def test_ffr_grades_a_stenosis():
+    """The point of FFR: a proximal main-tube constriction (coronary
+    stenosis=severity, smooth cosine throat) must raise the trans-tree
+    pressure drop and lower FFR at EVERY outlet relative to the same
+    tree without the lesion — all four outflows pass the throat."""
+    from lbm_tpu.engine.diagnostics import MMHG_PER_PA  # noqa: F401
+    wk = [(2e-4, 5e3, 1e-3)] + [(2e-4, 5e3, 3e-3)] * 3
+    kw = dict(shape=(64, 28, 44), radius=6, windkessel=wk)
+    spec_h = get_case("coronary", **kw)
+    spec_s = get_case("coronary", stenosis=0.35, **kw)
+    # the throat actually constricts: min fluid cross-section well
+    # below the healthy proximal one
+    def min_area(spec):
+        fl = np.asarray(spec.mask) == 4
+        return int(fl[5:20].sum(axis=(1, 2)).min())
+    assert min_area(spec_s) < 0.55 * min_area(spec_h)
+    res = {}
+    for name, spec in (("h", spec_h), ("s", spec_s)):
+        sim = Simulation(spec, backend="xla")
+        sim.run(max_steps=800, time_save=400, verbose=False)
+        rho, u = (np.asarray(a) for a in sim.macro())
+        assert np.isfinite(u).all()
+        res[name] = [ffr(spec, rho, 0, 1 + k) for k in range(4)]
+    for k in range(4):
+        f_h, dp_h = res["h"][k]
+        f_s, dp_s = res["s"][k]
+        assert dp_s > 1.3 * dp_h, (k, dp_s, dp_h)
+        assert f_s < f_h < 1.0, (k, f_s, f_h)
+
+
 def _steady_sim():
     spec = get_case("poiseuille", n=16, windkessel=_WK)
     sim = Simulation(spec, backend="xla")

@@ -41,6 +41,12 @@ def main():
                     "models (flow split emerges from downstream "
                     "resistances) and report per-outlet flux, P_c, and "
                     "the CFD-FFR estimate (engine/diagnostics)")
+    ap.add_argument("--stenosis", type=float, default=None,
+                    help="fractional diameter reduction of a proximal "
+                    "main-tube cosine constriction (coronary stenosis=) "
+                    "— FFR should drop vs the healthy run. Keep <=0.45 "
+                    "at radius 8: throat velocity scales ~(R/r)^2 and "
+                    "lattice Ma must stay <0.3")
     ap.add_argument("--vtk", default=None)
     args = ap.parse_args()
 
@@ -67,11 +73,13 @@ def main():
     wk = ([(2e-4, 2e4, 1e-3)] + [(2e-4, 2e4, 3e-3)] * 3
           if args.windkessel else None)
     spec = get_case("coronary", shape=shape, radius=args.radius,
-                    rheology=rheo, curved=args.curved, windkessel=wk)
+                    rheology=rheo, curved=args.curved, windkessel=wk,
+                    stenosis=args.stenosis)
     print(f"case: coronary {shape} radius={args.radius} "
           f"rheology={'newtonian' if rheo is None else 'carreau_blood'} "
           f"walls={'bouzidi' if args.curved else 'staircase'} "
-          f"outlets={'RCR windkessel' if wk else 'prescribed-velocity'}")
+          f"outlets={'RCR windkessel' if wk else 'prescribed-velocity'} "
+          f"stenosis={args.stenosis}")
 
     t0 = time.perf_counter()
     sim = Simulation(spec)
