@@ -249,11 +249,13 @@ def test_wk_validation_and_init():
     assert float(np.asarray(sim.wk)[0]) == np.float32(0.125)
 
 
-def test_wk_stress_and_wss_thread_state():
+@pytest.mark.parametrize("backend", ["xla", "sparse"])
+def test_wk_stress_and_wss_thread_state(backend):
     """Simulation.stress()/wss() re-apply the BC fixups: on a windkessel
-    case they must thread sim.wk (a plain pulled_state would assert)."""
+    case they must thread sim.wk (a plain pulled_state would assert) —
+    on the sparse backend that exercises the wss_sparse wk route."""
     spec = get_case("poiseuille", n=16, windkessel=_WK)
-    sim = Simulation(spec, backend="xla")
+    sim = Simulation(spec, backend=backend)
     sim.run(max_steps=30, time_save=30, verbose=False)
     sigma, rho, _ = sim.stress()
     w = sim.wss()
