@@ -48,6 +48,18 @@ def main():
                     "at radius 8: throat velocity scales ~(R/r)^2 and "
                     "lattice Ma must stay <0.3")
     ap.add_argument("--vtk", default=None)
+    ap.add_argument("--pulsatile", action="store_true",
+                    help="run the full pulsatile clinical composition "
+                    "instead: curved_vessel's carotid-like series inlet "
+                    "+ Carreau blood + one RCR outlet termination + "
+                    "TAWSS/OSI accumulated over the final cardiac "
+                    "cycle (--shape's first entry is the cube edge n; "
+                    "--steps is ignored — cycles are fixed)")
+    ap.add_argument("--n", type=int, default=96,
+                    help="curved_vessel cube edge for --pulsatile")
+    ap.add_argument("--cycles", type=int, default=3,
+                    help="cardiac cycles for --pulsatile (last one is "
+                    "the TAWSS/OSI + P_c sampling window)")
     args = ap.parse_args()
 
     # honor LBM_TPU_PLATFORM like the CLI (the axon plugin ignores
@@ -63,6 +75,10 @@ def main():
     from lbm_tpu.cases import get_case
     from lbm_tpu.core.rheology import carreau_blood
     from lbm_tpu.engine.runner import Simulation
+
+    if args.pulsatile:
+        _pulsatile(args, np, get_case, carreau_blood, Simulation)
+        return
 
     shape = tuple(int(s) for s in args.shape.split(","))
     base = get_case("coronary", shape=shape, radius=args.radius)
@@ -139,6 +155,81 @@ def main():
                         binary=True, include_wss=True)
         print(f"vtk: {path} ({os.path.getsize(path) / 1e6:.1f} MB, "
               f"{time.perf_counter() - t0:.1f}s)")
+
+
+def _pulsatile(args, np, get_case, carreau_blood, Simulation):
+    """The full pulsatile clinical pipeline in one run: curved_vessel's
+    time-periodic series inlet (the unsteady-BC capability the
+    reference describes but never shipped — curved vessel/README.md,
+    thesis section 4.5-E) + Cho & Kensey Carreau blood + a 3-element
+    RCR outlet termination + TAWSS/OSI accumulated over the final
+    cardiac cycle. The outlet pressure must TRACK the inlet waveform
+    (the point of the windkessel vs the reference's pinned rho=1), with
+    the compliance C setting the diastolic decay (here Rd*C = half a
+    period, so P_c swings but does not follow the waveform rigidly)."""
+    import time
+
+    from lbm_tpu.engine.diagnostics import MMHG_PER_PA, plane_flux
+
+    n, nphase, period = args.n, 40, 1200
+    stride = period // nphase
+    base = get_case("curved_vessel", n=n)
+    rheo = carreau_blood(base.units)
+    wk = (2e-4, 0.5 * period / 2e-3, 2e-3)  # Rp, C, Rd (lattice)
+    spec = get_case("curved_vessel", n=n, nphase=nphase,
+                    period_steps=period, windkessel=wk, rheology=rheo)
+    print(f"case: curved_vessel n={n} nphase={nphase} "
+          f"period={period} steps, carreau_blood + RCR outlet "
+          f"Rp={wk[0]:g} C={wk[1]:g} Rd={wk[2]:g} (lattice)")
+
+    t0 = time.perf_counter()
+    sim = Simulation(spec)
+    print(f"build: backend={sim.backend} {time.perf_counter()-t0:.1f}s")
+
+    warm = (args.cycles - 1) * period
+    t0 = time.perf_counter()
+    sim.run(max_steps=warm, time_save=period // 4, verbose=False)
+    dt = time.perf_counter() - t0
+    print(f"warmup: {args.cycles - 1} cycles ({warm} steps) in {dt:.1f}s"
+          f" = {dt / warm * 1e3:.2f} ms/step (incl. compile)")
+
+    # final cycle: sample the traction vector at every inlet phase and
+    # track the RCR pressure + outward outlet flux over the waveform
+    acc = sim.wss_accumulator()
+    pcs, qs = [], []
+    t0 = time.perf_counter()
+    for _ in range(nphase):
+        sim.run(max_steps=stride, time_save=stride, verbose=False)
+        acc.sample_sim(sim)
+        _, u_f = (np.asarray(a) for a in sim.macro())
+        pcs.append(float(np.asarray(sim.wk)[0]))
+        qs.append(plane_flux(spec, u_f, 1))
+    print(f"sampling cycle: {nphase} phases in "
+          f"{time.perf_counter()-t0:.1f}s")
+
+    to_mmhg = spec.units.C_pre * MMHG_PER_PA
+    pcs, qs = np.asarray(pcs), np.asarray(qs)
+    print(f"outlet P_c over the cycle: min {pcs.min()*to_mmhg:.3f} / "
+          f"max {pcs.max()*to_mmhg:.3f} mmHg gauge "
+          f"(pulse {np.ptp(pcs)*to_mmhg:.3f} mmHg)")
+    retro = float((qs < 0).mean())
+    note = (f"{retro:.0%} of phases retrograde — the diastolic flow "
+            f"reversal that drives OSI" if retro else "no retrograde "
+            "phases at this size")
+    print(f"outlet flux over the cycle: min {qs.min():+.3f} / "
+          f"max {qs.max():+.3f} lattice ({note})")
+    assert np.isfinite(pcs).all() and np.isfinite(qs).all()
+    assert np.ptp(pcs) > 0.05 * pcs.max(), "P_c must track the waveform"
+
+    tawss = np.asarray(acc.tawss_field()) * spec.units.C_pre  # Pa
+    osi = np.asarray(acc.osi_field())
+    wall = tawss > 0
+    print(f"tawss: {wall.sum()} wall-adjacent cells, mean "
+          f"{tawss[wall].mean():.3f} Pa, p95 "
+          f"{np.percentile(tawss[wall], 95):.3f} Pa")
+    print(f"osi: median {np.median(osi[wall]):.4f}, p95 "
+          f"{np.percentile(osi[wall], 95):.4f}, max {osi[wall].max():.4f}")
+    assert np.isfinite(tawss).all() and np.isfinite(osi).all()
 
 
 if __name__ == "__main__":
