@@ -75,15 +75,24 @@ def windkessel_update(p_c, q, wk):
     Returns (P_c', P_in) in lattice gauge-pressure units. Backward Euler
     is unconditionally stable, so stiff (small Rd·C) terminations can't
     blow up the coupling; the O(dt/(Rd C)) bias is tested against the
-    analytic exponential in tests/test_windkessel.py."""
-    rp, cap, rd = (np.float32(v) for v in wk)
+    analytic exponential in tests/test_windkessel.py.
+
+    wk: the (Rp, C, Rd) triple — a static Python tuple (the normal
+    route, constants folded at trace time) OR a traced (3,) array (the
+    differentiable-parameter route, engine/adjoint.py: gradients flow
+    through the RCR values so jax.grad can calibrate outlet
+    terminations)."""
+    if isinstance(wk, (tuple, list)):
+        rp, cap, rd = (np.float32(v) for v in wk)
+    else:
+        rp, cap, rd = wk[0], wk[1], wk[2]
     p_new = (p_c + q / cap) / (np.float32(1.0)
                                + np.float32(1.0) / (rd * cap))
     return p_new, q * rp + p_new
 
 
 def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None,
-                   wk_p=None):
+                   wk_p=None, wk_rcr=None):
     """Overwrite the pulled populations on the consumer plane of one NEE
     boundary (exact fusion of the reference's boundary_stream NEE write,
     e.g. bifurcation.cu:877-1021). `force`: the case's Guo body force —
@@ -94,7 +103,11 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None,
     (bc.windkessel set) — the plane's rho* becomes
     rho_fixed + 3 (Q Rp + P_c') with Q the outward flux measured from
     the same previous-step consumer-plane macro the NEE formula reads;
-    the call then returns (f_pulled, P_c')."""
+    the call then returns (f_pulled, P_c').
+
+    wk_rcr: optional traced (3,) (Rp, C, Rd) overriding bc.windkessel's
+    static values — the differentiable-parameter route
+    (engine/adjoint.py); bc.windkessel stays the coupling flag."""
     sl = _plane_slicer(bc.axis, bc.consumer_coord)
     src_pl = f_src[(slice(None),) + sl]            # (19, A, B)
     rho_prev, u_prev = _safe_u(src_pl, force)
@@ -120,7 +133,8 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None,
         )
         q = np.float32(bc.flow_sign) * jnp.sum(bc.flow_weight
                                                * u_prev[bc.axis])
-        p_new, p_in = windkessel_update(wk_p, q, bc.windkessel)
+        p_new, p_in = windkessel_update(
+            wk_p, q, bc.windkessel if wk_rcr is None else wk_rcr)
         rho_star = np.float32(bc.rho_fixed) + np.float32(3.0) * p_in
     elif bc.rho_fixed is not None:
         rho_star = bc.rho_fixed
@@ -348,10 +362,12 @@ def pulled_state(cc: CompiledCase, f, t, bb=None):
     return pulled
 
 
-def pulled_state_wk(cc: CompiledCase, f, t, wk, bb=None):
+def pulled_state_wk(cc: CompiledCase, f, t, wk, bb=None, theta=None):
     """pulled_state for cases with windkessel outlets: wk is the (n_wk,)
     carried P_c vector (order = windkessel BCs within cc.bcs, see
-    compile.wk_init); returns (pulled, wk')."""
+    compile.wk_init); returns (pulled, wk'). theta: optional traced
+    (n_wk, 3) RCR parameters overriding the static per-BC values
+    (engine/adjoint.py's differentiable route)."""
     if bb is None and cc.wall_velocity is not None:
         bb = moving_bb_terms(cc.wall_velocity)
     pulled = streamed(f, cc.nbr_wall, cc.nbr_moving, bb, cc.link_q)
@@ -359,8 +375,9 @@ def pulled_state_wk(cc: CompiledCase, f, t, wk, bb=None):
     wk_new = []
     for bc in cc.bcs:
         if bc.windkessel is not None:
-            pulled, p = apply_bc_fixup(pulled, f, bc, t, force=cc.force,
-                                       wk_p=wk[k])
+            pulled, p = apply_bc_fixup(
+                pulled, f, bc, t, force=cc.force, wk_p=wk[k],
+                wk_rcr=None if theta is None else theta[k])
             wk_new.append(p)
             k += 1
         else:
