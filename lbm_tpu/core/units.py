@@ -50,6 +50,12 @@ class UnitSystem:
         C_phys·C_pre/CH^3)."""
         return C_phys * self.C_pre / (self.CH ** 3)
 
+    def to_lattice_diffusivity(self, D_phys: float) -> float:
+        """Scalar diffusivity [m^2/s] -> lattice (same dimensions as
+        viscosity: D_lat = D_phys·C_T/CH^2 = D_phys/(CH·C_U)) — the
+        advection-diffusion transport parameter (engine/scalar.py)."""
+        return D_phys / (self.CH * self.C_U)
+
     @staticmethod
     def from_viscosity(nu_phys: float, CH: float, tau: float,
                        C_rho: float = 1060.0) -> "UnitSystem":

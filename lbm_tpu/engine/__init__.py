@@ -2,6 +2,7 @@ from lbm_tpu.engine.spec import CaseSpec, PlaneBC
 from lbm_tpu.engine.compile import CompiledCase, compile_case
 from lbm_tpu.engine.step import make_step, initial_f
 from lbm_tpu.engine.runner import Simulation, RunResult
+from lbm_tpu.engine.scalar import ScalarTransport, CoupledTransport
 
 __all__ = [
     "CaseSpec",
@@ -12,4 +13,6 @@ __all__ = [
     "initial_f",
     "Simulation",
     "RunResult",
+    "ScalarTransport",
+    "CoupledTransport",
 ]
