@@ -2367,16 +2367,19 @@ def _extract_seam(p, tx: int, ring: int = 1):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("x0", "y0", "c", "interpret"),
+    static_argnames=("x0", "y0", "c", "nch", "interpret"),
 )
-def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
-    """Write val (wx, wy, 19) into p[x0:x0+wx, y0:y0+wy, :19, c]
+def _splice_z_plane_inplace(p, val, *, x0, y0, c, nch=19,
+                            interpret=False):
+    """Write val (wx, wy, nch) into p[x0:x0+wx, y0:y0+wy, :nch, c]
     IN PLACE via an aliased read-modify-write Pallas kernel.
 
     A `p.at[...].set(...)` here copies the ENTIRE multi-GB state per
     boundary per step — measured 16 of the coronary run's 19.7 ms/step
     went to three such splices. This kernel aliases its output onto p
-    and touches only the lane block containing plane c (~MBs)."""
+    and touches only the lane block containing plane c (~MBs).
+    nch: leading channel count to write (19 pdfs for the flow state;
+    7 for the D3Q7 scalar state, kernels/scalar_stream.py)."""
     wx, wy, _ = val.shape
     nzp = p.shape[-1]
     blk = 128 if nzp % 128 == 0 else nzp
@@ -2399,10 +2402,10 @@ def _splice_z_plane_inplace(p, val, *, x0, y0, c, interpret=False):
             )
             cp.start()
             cp.wait()
-            li = jax.lax.broadcasted_iota(jnp.int32, (bx, wy, 19, L), 3)
+            li = jax.lax.broadcasted_iota(jnp.int32, (bx, wy, nch, L), 3)
             v = val_ref[pl.ds(off, bx), :, :][..., None].astype(buf.dtype)
-            buf[pl.ds(0, bx), :, :19, :] = jnp.where(
-                li == coff, v, buf[pl.ds(0, bx), :, :19, :]
+            buf[pl.ds(0, bx), :, :nch, :] = jnp.where(
+                li == coff, v, buf[pl.ds(0, bx), :, :nch, :]
             )
             cp = pltpu.make_async_copy(
                 buf.at[pl.ds(0, bx)],

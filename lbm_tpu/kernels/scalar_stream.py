@@ -1,0 +1,640 @@
+"""Pallas D3Q7 kernel for passive scalar transport — the frozen-field
+advection-diffusion hot loop (engine/scalar.ScalarTransport) at flow-
+kernel pace.
+
+The dense-XLA scalar step measures 3.8 ms/step at 96x96x120 on a v5e —
+~30x off the HBM floor, because XLA materializes every rolled pull and
+select on a 7-channel state whose whole per-cell bill is one FMA per
+channel. At the flagship coronary box (291x291x372, coronary.cu:19) a
+12k-step washout would cost ~20 min dense; this kernel reuses the flow
+kernel's measured design (packed channel-last-but-one layout, manual
+double-buffered DMA pipeline `_drive`, (1, 8, nz) compute sub-tiles,
+block-sparse live-tile walk with an input-aliased output) to bring the
+transport scan to flow-kernel speed. The reference has no transport
+stage at all — its output stops at velocity/pressure
+(coronary_cfd/coronary.cu:948-1011); see engine/scalar.py for why the
+washout/residence-time questions matter downstream.
+
+Layout — two packed (X+2, Y+2, 8, Z) f32 arrays (8 is the minimal
+Mosaic-aligned channel width >= 7, exactly like the flow state's C=24
+argument, collide_stream.py:61-69):
+
+  G-pack  (dynamic): channels 0-6 the D3Q7 pdfs, 7 zero padding.
+  AUX-pack (static): 0-2 the PROJECTED frozen velocity u (blocked-axis
+    components zeroed, engine/scalar._project), 3 the div_fix
+    compensation field (zeros when off), 4 the blocking indicator
+    b = (mask in {WALL, MOVING}), 5/6 b pre-rolled by +/-1 along z
+    (pull-source tests for the two e_z directions — the same
+    pre-rolled-mask trick the flow kernel measured to beat in-kernel
+    lane rolls, collide_stream.py:70-72), 7 the fluid indicator.
+
+phi is NOT stored: the D3Q7 linear equilibrium factor is affine in u
+(phi_i = w_i (1 + 4 e_i.u) = 0.125 * (1 +/- 4 u_axis) for the six
+moving directions, 0.25 for rest), so the kernel rebuilds it from the
+three u channels with one FMA each — cheaper than streaming six more
+HBM channels per step. Per-tile DMA is therefore 16 channels in + 8
+out, exactly half the flow kernel's 24 + 24.
+
+Boundary planes run OUTSIDE the kernel as consumer-plane slab fixups —
+the same architecture the flow path uses for z-plane NEE boundaries
+(collide_stream._fix_z_plane_windowed): the bulk kernel computes every
+cell with pure stream+bounce-back, then each BC's consumer plane is
+recomputed exactly by running the DENSE scalar pass
+(engine/scalar._transport_pass — one code path, correctness by
+construction) on a static 3-plane slab window around the plane and
+splicing the interior back. In D3Q7 exactly one direction crosses a
+plane, and every case's BC planes have bbox-small footprints, so the
+fixup is O(window) work per BC per step. The slab recompute also
+yields the plane's post-stream concentration for free, which is how
+`run(record=...)` samples the washout curves without ever lane-slicing
+the full state.
+
+Equivalence contract: `ScalarTransportPallas` matches
+`engine/scalar.ScalarTransport` field-for-field (same projection, same
+div_fix defect, same BC fixup expressions — tests/test_scalar_pallas.py
+asserts multi-step whole-box agreement on every case family).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.engine.scalar import (_E7, _OPP7, _Q7, _W7, _defect,
+                                   _project, _transport_pass,
+                                   bc_geometry, phi7, tau_g_of)
+from lbm_tpu.engine.step import _plane_slicer
+from lbm_tpu.geometry.mask import CellType
+from lbm_tpu.kernels.collide_stream import (_STACK_FACTOR, _VMEM_LIMIT,
+                                            _drive, _extract_seam,
+                                            _extract_z_slab,
+                                            _splice_z_plane_inplace,
+                                            live_tile_ids, pad_spec)
+
+C7 = 8          # packed channel width (minimal aligned >= 7)
+AUX_UX, AUX_UY, AUX_UZ = 0, 1, 2
+AUX_COMP = 3    # div_fix compensation (zeros when div_fix=False)
+AUX_B = 4       # blocking indicator (WALL | MOVING)
+AUX_BZP = 5     # blocking rolled +1 along z (pull source for e_z=+1)
+AUX_BZM = 6     # blocking rolled -1 along z (pull source for e_z=-1)
+AUX_FLUID = 7
+
+
+def pack_g(g):
+    """(7, X, Y, Z) dense g -> packed (X, Y, 8, Z) f32 (channel 7
+    zero)."""
+    z = jnp.zeros((C7 - _Q7,) + g.shape[1:], jnp.float32)
+    return jnp.concatenate([jnp.asarray(g, jnp.float32), z],
+                           axis=0).transpose(1, 2, 0, 3)
+
+
+def unpack_g(p):
+    """Packed (X, Y, 8, Z) -> dense (7, X, Y, Z) f32."""
+    return p.transpose(2, 0, 1, 3)[:_Q7]
+
+
+def pack_aux(u_proj, comp, blocking, fluid):
+    """Static AUX-pack from host arrays (see module docstring)."""
+    b = np.asarray(blocking, np.float32)
+    ch = [np.asarray(u_proj[a], np.float32) for a in range(3)]
+    ch.append(np.asarray(comp, np.float32))
+    ch.append(b)
+    ch.append(np.roll(b, +1, axis=2))
+    ch.append(np.roll(b, -1, axis=2))
+    ch.append(np.asarray(fluid, np.float32))
+    return jnp.asarray(np.stack(ch, axis=2))  # (X, Y, 8, Z)
+
+
+def _subtile7(ft, at, ot, ox, oy, stx, sty, nz, tau_g, source):
+    """One (stx, sty, nz) compute sub-tile of the D3Q7 update.
+
+    ft: (tx+2, ty+2, 8, nz) g tile with x/y halos; at: matching AUX
+    tile; ot: (tx, ty, 8, nz) output. Mirrors the dense pass
+    (engine/scalar._transport_pass) op-for-op: pull with wall
+    bounce-back, c = sum, g' = pulled - (pulled - c*phi)/tau_g
+    (+ div_fix + source), fluid select."""
+    cx = slice(1 + ox, 1 + ox + stx)
+    cy = slice(1 + oy, 1 + oy + sty)
+    one = np.float32(1.0)
+
+    vals = [ft[cx, cy, 0, :]]
+    c = vals[0]
+    for i in range(1, _Q7):
+        ex, ey, ez = (int(v) for v in _E7[i])
+        sx = slice(1 + ox - ex, 1 + ox - ex + stx)
+        sy = slice(1 + oy - ey, 1 + oy - ey + sty)
+        piece = ft[sx, sy, i, :]
+        if ez != 0:
+            piece = pltpu.roll(piece, shift=ez % nz, axis=2)
+            bsrc = at[cx, cy, AUX_BZP if ez > 0 else AUX_BZM, :]
+        else:
+            bsrc = at[sx, sy, AUX_B, :]
+        v = jnp.where(bsrc == one, ft[cx, cy, int(_OPP7[i]), :], piece)
+        vals.append(v)
+        c = c + v
+
+    fluid = at[cx, cy, AUX_FLUID, :] == one
+    comp = at[cx, cy, AUX_COMP, :]
+    c_comp = c * comp
+    inv_tau = np.float32(1.0 / tau_g)
+    oxs, oys = slice(ox, ox + stx), slice(oy, oy + sty)
+    for i in range(_Q7):
+        if i == 0:
+            phi = jnp.full_like(c, np.float32(_W7[0]))
+        else:
+            a = int(np.argmax(np.abs(_E7[i])))
+            s = np.float32(4.0 * int(_E7[i][a]))
+            # same rounding as the dense phi7(): w * (1 + 4 e.u), the
+            # 0.125 scale exact
+            phi = np.float32(_W7[i]) * (one + s * at[cx, cy, a, :])
+        post = vals[i] - (vals[i] - c * phi) * inv_tau
+        post = post + c_comp * np.float32(_W7[i])
+        if source:
+            post = post + np.float32(source * _W7[i])
+        ot[oxs, oys, i, :] = jnp.where(fluid, post,
+                                       ft[cx, cy, i, :])
+    ot[oxs, oys, _Q7, :] = jnp.zeros_like(c)
+
+
+def _tile7(ft, at, ot, tx, ty, stx, sty, tau_g, source):
+    if ty % sty:
+        sty = max(d for d in range(1, sty + 1) if ty % d == 0)
+    nz = ft.shape[-1]
+    for ox in range(0, tx, stx):
+        for oy in range(0, ty, sty):
+            _subtile7(ft, at, ot, ox, oy, min(stx, tx - ox),
+                      min(sty, ty - oy), nz, tau_g, source)
+
+
+class _Pair:
+    """start()/wait() over the two per-tile input DMAs (g + aux)."""
+
+    def __init__(self, *cps):
+        self.cps = cps
+
+    def start(self):
+        for cp in self.cps:
+            cp.start()
+
+    def wait(self):
+        for cp in self.cps:
+            cp.wait()
+
+
+def _kernel7(*refs, tau_g, source, tx, ty, gx, gy, ring, stx, sty,
+             ntiles, skip, in_place, has_seam):
+    """D3Q7 bulk kernel over packed tiles, driven by the flow kernel's
+    double-buffered pipeline (collide_stream._drive — identical DMA
+    ordering rules, incl. the in-place seam hazard; see _kernel's
+    docstring there). refs: g_hbm, a_hbm, [tids], [seam], out_hbm,
+    gt, at_, ot, g_sems, a_sems, out_sems, [seam_sems]."""
+    g_hbm, a_hbm = refs[0], refs[1]
+    rest = refs[2:]
+    tids_ref = None
+    if skip:
+        tids_ref, rest = rest[0], rest[1:]
+    seam_ref = None
+    if has_seam:
+        seam_ref, rest = rest[0], rest[1:]
+    out_hbm, gt, at_, ot = rest[:4]
+    g_sems, a_sems, out_sems = rest[4:7]
+    seam_sems = rest[7] if has_seam else None
+    if ntiles is None:
+        ntiles = gx * gy
+
+    def get(p):
+        return tids_ref[p] if skip else p
+
+    def in_copy(slot, tid):
+        i, j = tid // gy, tid % gy
+        lat = pl.ds(j * ty + ring - 1, ty + 2)
+        aux = pltpu.make_async_copy(
+            a_hbm.at[pl.ds(i * tx + ring - 1, tx + 2), lat],
+            at_.at[slot], a_sems.at[slot])
+        if not has_seam:
+            main = pltpu.make_async_copy(
+                g_hbm.at[pl.ds(i * tx + ring - 1, tx + 2), lat],
+                gt.at[slot], g_sems.at[slot])
+            return _Pair(main, aux)
+        # in-place aliased output with a multi-row tile grid: the north
+        # skirt row was already overwritten by tile tid-gy's output DMA
+        # — source it from the pre-extracted pre-step seam buffer
+        # (same hazard + fix as the flow kernel, collide_stream._kernel)
+        main = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(i * tx + ring, tx + 1), lat],
+            gt.at[slot, 1: tx + 2], g_sems.at[slot])
+        north = pltpu.make_async_copy(
+            seam_ref.at[pl.ds(i, 1), lat],
+            gt.at[slot, 0:1], seam_sems.at[slot])
+        return _Pair(main, north, aux)
+
+    def out_copy(slot, tid):
+        i, j = tid // gy, tid % gy
+        return pltpu.make_async_copy(
+            ot.at[slot],
+            out_hbm.at[pl.ds(ring + i * tx, tx),
+                       pl.ds(ring + j * ty, ty)],
+            out_sems.at[slot])
+
+    def work(p, tid, slot):
+        _tile7(gt.at[slot], at_.at[slot], ot.at[slot], tx, ty, stx, sty,
+               tau_g, source)
+
+    _drive(ntiles, get, in_copy, out_copy, work, in_place=in_place)
+
+
+def _pick_tiles7(nx, ny, nz, prefer_small=False, skip=0):
+    """DMA tile + compute sub-tile for the 8-channel scalar state. Same
+    shape preferences the flow kernel measured (large DMA tile, narrow
+    (1, 8, nz) compute value), with the VMEM budget scaled to the
+    3 packed-tile buffers at C=8 (vs the flow's 2 at C=24)."""
+    if prefer_small:
+        return nx, ny, nx, ny
+    budget = _VMEM_LIMIT / _STACK_FACTOR
+    col = C7 * nz * 4
+    cands = ((32, 16), (16, 16), (16, 8), (8, 16), (8, 8), (4, 8),
+             (8, 4), (4, 4), (2, 8), (2, 4), (2, 2), (1, 2), (1, 1))
+    for txc, tyc in cands:
+        if nx % txc or ny % tyc:
+            continue
+        need = 2 * (2 * (txc + 2) * (tyc + 2) + txc * tyc) * col
+        if need <= budget:
+            if skip > 0:
+                skip -= 1
+                continue
+            return txc, tyc, 1, min(tyc, 8)
+    return 1, 1, 1, 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau_g", "source", "tx", "ty", "stx", "sty",
+                     "ring", "n_live", "in_place", "has_seam",
+                     "interpret"),
+)
+def _scalar_bulk(gp, ap, *extra, tau_g, source, tx, ty, stx, sty,
+                 ring=1, n_live=None, in_place=None, has_seam=False,
+                 interpret=False):
+    """extra = [tile id list][, seam]. Same aliasing rules as the flow
+    bulk (collide_stream._pallas_bulk): a sparse tile list forces the
+    in-place aliased output (skipped tiles must keep their contents),
+    and in-place with a multi-row multi-column grid needs the pre-step
+    seam buffer."""
+    nxp, nyp, _, nz = gp.shape
+    nx, ny = nxp - 2 * ring, nyp - 2 * ring
+    gx, gy = nx // tx, ny // ty
+    skip = n_live is not None
+    sparse = skip and n_live < gx * gy
+    if in_place is None:
+        in_place = sparse
+    if sparse and not in_place:
+        raise ValueError("tile skip requires the in-place aliased "
+                         "output")
+    if in_place and gx > 1 and gy > 1 and not has_seam:
+        raise ValueError("in_place with a multi-row multi-column tile "
+                         "grid needs the pre-step seam buffer")
+    kern = functools.partial(
+        _kernel7, tau_g=tau_g, source=source, tx=tx, ty=ty, gx=gx,
+        gy=gy, ring=ring, stx=stx, sty=sty, ntiles=n_live, skip=skip,
+        in_place=in_place, has_seam=has_seam)
+    scratch = [
+        pltpu.VMEM((2, tx + 2, ty + 2, C7, nz), jnp.float32),
+        pltpu.VMEM((2, tx + 2, ty + 2, C7, nz), jnp.float32),
+        pltpu.VMEM((2, tx, ty, C7, nz), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_seam:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    (out,) = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct(gp.shape, jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_seam else 0),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=scratch,
+        input_output_aliases={0: 0} if in_place else {},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(gp, ap, *extra)
+    return out
+
+
+class ScalarTransportPallas:
+    """Drop-in Pallas-backed twin of engine/scalar.ScalarTransport
+    (frozen-field D3Q7 on a converged flow) — same constructor
+    semantics, same run()/concentration()/total() API, multi-step
+    field-for-field agreement asserted by tests/test_scalar_pallas.py.
+
+    spec/u arrive UNPADDED (any backend's converged macro); the class
+    pads like the flow runner (pad_spec) and crops on output. Same
+    kernel constraint as the flow path: periodic along z only, cases
+    keep x/y boundary layers non-fluid.
+
+    tile_skip='auto' walks the block-sparse live-tile list when the
+    live fraction is below the flow kernel's measured 60% crossover —
+    on the 1.3%-occupancy coronary tree most tiles never move.
+    """
+
+    def __init__(self, spec, u, D: Optional[float] = None,
+                 tau_g: Optional[float] = None,
+                 inlet_c: Optional[dict] = None, source: float = 0.0,
+                 c0=None, div_fix: bool = True, interpret: bool = False,
+                 tx: Optional[int] = None, ty: Optional[int] = None,
+                 stx: Optional[int] = None, sty: Optional[int] = None,
+                 tile_skip="auto"):
+        assert (D is None) != (tau_g is None), (
+            "give exactly one of D (lattice diffusivity) or tau_g")
+        self.tau_g = float(tau_g_of(D) if D is not None else tau_g)
+        assert self.tau_g > 0.5, "tau_g must exceed 1/2 (D > 0)"
+        self.spec = spec
+        sp = pad_spec(spec, lane_multiple=1 if interpret else 128,
+                      plane_multiples=(1, 1) if interpret else (4, 8))
+        self.spec_pad = sp
+        self.interpret = bool(interpret)
+        X, Y, Z = (int(s) for s in spec.shape)
+        Xp, Yp, Zp = (int(s) for s in sp.shape)
+        self._crop = (slice(1, 1 + X), slice(1, 1 + Y), slice(0, Z))
+
+        mask = np.asarray(sp.mask)
+        blocking = ((mask == CellType.WALL)
+                    | (mask == CellType.MOVING)).astype(np.float32)
+        fluid = (mask == CellType.FLUID)
+        self.fluid_pad = jnp.asarray(fluid)
+        nbr = [np.roll(blocking != 0,
+                       shift=tuple(int(v) for v in _E7[i]),
+                       axis=(0, 1, 2)) for i in range(1, _Q7)]
+        nbr_block = np.stack(nbr)                       # (6, Xp, Yp, Zp)
+        blocked_axes = np.stack(
+            [nbr[2 * a] | nbr[2 * a + 1] for a in range(3)])
+
+        up = np.zeros((3, Xp, Yp, Zp), np.float32)
+        u = np.asarray(u, np.float32)
+        assert u.shape == (3, X, Y, Z), u.shape
+        up[:, 1:1 + X, 1:1 + Y, :Z] = u
+        up = np.asarray(_project(jnp.asarray(up),
+                                 jnp.asarray(blocked_axes)))
+        self.omega = np.float32(1.0 - 1.0 / self.tau_g)
+        self.source = float(source)
+
+        inlet_c = dict(inlet_c or {})
+        self._bc_geo = bc_geometry(sp)
+        bcs_cfn = [inlet_c.pop(k, None)
+                   for k in range(len(sp.boundaries))]
+        assert not inlet_c, f"inlet_c names absent boundaries: {inlet_c}"
+
+        comp = np.zeros((Xp, Yp, Zp), np.float32)
+        if div_fix:
+            defect = np.asarray(_defect(jnp.asarray(up),
+                                        jnp.asarray(nbr_block),
+                                        self._bc_geo))
+            comp = np.where(fluid, -defect, 0.0).astype(np.float32)
+
+        self.aux = pack_aux(up, comp, blocking, fluid)
+        if c0 is None:
+            self.g = jnp.zeros((Xp, Yp, C7, Zp), jnp.float32)
+        else:
+            c0p = np.zeros((Xp, Yp, Zp), np.float32)
+            c0p[1:1 + X, 1:1 + Y, :Z] = np.asarray(c0, np.float32)
+            ph = np.asarray(phi7(jnp.asarray(up)))
+            g0 = np.where(fluid[None], c0p[None] * ph, 0.0)
+            self.g = pack_g(jnp.asarray(g0))
+
+        # ---- BC consumer-plane slab fixups (static per BC) ----------
+        # Window the lateral bbox of each plane's valid footprint
+        # (margin 2 so the written interior's lateral pulls stay inside
+        # the slab); keep z FULL for axis-0/1 planes (a z window would
+        # be a lane slice). The slab recompute calls the DENSE pass on
+        # (7, *, *, 3) arrays with this plane's (and any same-plane
+        # overlapping) fixups re-sliced into slab coordinates.
+        self._fix = []
+        for k, bc in enumerate(sp.boundaries):
+            d, axis, sgn, sl, plane = self._bc_geo[k]
+            cc = bc.coord + bc.normal
+            assert 1 <= cc < sp.shape[axis] - 1, (
+                "consumer plane must be interior along its axis")
+            v = np.asarray(plane)
+            xs, ys = np.nonzero(v)
+            assert xs.size, f"boundary {k} has an empty footprint"
+            lats = [a for a in range(3) if a != axis]
+            lims = []
+            for w, a in ((xs, lats[0]), (ys, lats[1])):
+                if a == 2:
+                    lims.append((0, Zp))        # full z: no lane slice
+                else:
+                    lims.append((max(int(w.min()) - 2, 1),
+                                 min(int(w.max()) + 3, sp.shape[a] - 1)))
+            (a0, a1), (b0, b1) = lims
+
+            def crop(arr, lead=0):
+                idx = [slice(None)] * lead + [None, None, None]
+                idx[lead + axis] = slice(cc - 1, cc + 2)
+                idx[lead + lats[0]] = slice(a0, a1)
+                idx[lead + lats[1]] = slice(b0, b1)
+                return np.ascontiguousarray(arr[tuple(idx)])
+
+            slab_bcs = []
+            rec_valid = None
+            for k2, bc2 in enumerate(sp.boundaries):
+                d2, axis2, _, _, plane2 = self._bc_geo[k2]
+                if axis2 != axis or bc2.coord + bc2.normal != cc:
+                    continue
+                v2 = np.asarray(plane2)[a0:a1, b0:b1]
+                if k2 != k and not v2.any():
+                    continue
+                sl2 = _plane_slicer(axis, 1)
+                # slab slicers live in (lat0, lat1, axis)-reordered
+                # coords only when axis == 2; for axis 0/1 the slab
+                # keeps dense (x, y, z) order with the axis extent 3
+                slab_bcs.append((d2, sl2, jnp.asarray(v2),
+                                 bcs_cfn[k2]))
+                if k2 == k:
+                    rec_valid = jnp.asarray(v2)
+            self._fix.append(dict(
+                k=k, axis=axis, cc=cc, win=(a0, a1, b0, b1),
+                # phi only on the slab crop — never materialize the
+                # full-box (7, Xp, Yp, Zp) factor (3.7 GB at 512^3)
+                phi=jnp.asarray(phi7(jnp.asarray(crop(up, lead=1)))),
+                nbr=jnp.asarray(crop(nbr_block, lead=1)),
+                comp=jnp.asarray(crop(comp)),
+                fluid=jnp.asarray(crop(fluid)),
+                bcs=slab_bcs,
+                valid=rec_valid,
+                denom=np.float32(max(float(np.asarray(
+                    rec_valid).sum()), 1.0)),
+            ))
+
+        nx, ny = Xp - 2, Yp - 2
+        auto = _pick_tiles7(nx, ny, Zp, prefer_small=interpret)
+        self.tx = tx if tx is not None else auto[0]
+        self.ty = ty if ty is not None else auto[1]
+        if interpret:
+            self.stx = stx if stx is not None else self.tx
+            self.sty = sty if sty is not None else self.ty
+        else:
+            self.stx = stx if stx is not None else auto[2]
+            self.sty = sty if sty is not None else auto[3]
+        self.stx = min(self.stx, self.tx)
+        self.sty = min(self.sty, self.ty)
+
+        self.tids = None
+        self.n_live = None
+        total_tiles = (nx // self.tx) * (ny // self.ty)
+        if tile_skip == "auto":
+            ids_np = live_tile_ids(mask, self.tx, self.ty, ring=1)
+            tile_skip = len(ids_np) / max(total_tiles, 1) < 0.6
+        if tile_skip:
+            tids_np = live_tile_ids(mask, self.tx, self.ty, ring=1)
+            self.tids = jnp.asarray(tids_np)
+            self.n_live = int(tids_np.shape[0])
+        self.in_place = self.tids is not None and self.n_live < total_tiles
+        self.need_seam = (self.in_place and (nx // self.tx) > 1
+                          and (ny // self.ty) > 1)
+        self.t = 0
+        self._scan_cache = {}
+
+    # ---- one step: bulk kernel + per-BC slab fixups -----------------
+    def _slab(self, gp, fx):
+        a0, a1, b0, b1 = fx["win"]
+        axis, cc = fx["axis"], fx["cc"]
+        if axis == 2:
+            sub = _extract_z_slab(gp, x0=a0, y0=b0, wx=a1 - a0,
+                                  wy=b1 - b0, c=cc,
+                                  interpret=self.interpret)
+            return sub.transpose(2, 0, 1, 3)[:_Q7]     # (7, wx, wy, 3)
+        if axis == 0:
+            sub = gp[cc - 1: cc + 2, a0:a1, :_Q7, b0:b1]
+            return sub.transpose(2, 0, 1, 3)           # (7, 3, wa, wb)
+        sub = gp[a0:a1, cc - 1: cc + 2, :_Q7, b0:b1]
+        return sub.transpose(2, 0, 1, 3)               # (7, wa, 3, wb)
+
+    def _apply_fix(self, g_out, slab_g, fx, t):
+        """Recompute the consumer plane exactly on the pre-step slab via
+        the dense pass, splice its window interior into the kernel
+        output, and return the plane's post-stream mean concentration
+        over the BC footprint (the washout record)."""
+        axis, cc = fx["axis"], fx["cc"]
+        a0, a1, b0, b1 = fx["win"]
+        g_new, c = _transport_pass(
+            slab_g, t, fx["phi"], fx["nbr"], fx["bcs"], self.omega,
+            self.tau_g, fx["comp"], self.source, fx["fluid"])
+        plane_sl = _plane_slicer(axis, 1)
+        newplane = g_new[(slice(None),) + plane_sl]     # (7, A, B)
+        c_plane = c[plane_sl]
+        rec = jnp.sum(jnp.where(fx["valid"], c_plane, 0.0)) / fx["denom"]
+        # splice the window interior (margin >= 2 makes the outermost
+        # ring the only wrap-corruptible cells; full-z laterals wrap
+        # exactly like the box and need no trim)
+        if axis == 2:
+            ia = slice(1, -1)
+            ib = slice(1, -1)
+            val = newplane.transpose(1, 2, 0)[ia, ib]   # (wx-2, wy-2, 7)
+            return _splice_z_plane_inplace(
+                g_out, val, x0=a0 + 1, y0=b0 + 1, c=cc, nch=_Q7,
+                interpret=self.interpret), rec
+        # axis 0/1: lateral axes are (other plane axis, z); z is full
+        # (wraps like the box), the other axis windowed -> trim [1:-1]
+        pl_v = newplane.transpose(1, 2, 0)              # (A, B, 7)
+        if axis == 0:
+            val = pl_v[1:-1]                            # trim lat0=y
+            out = g_out.at[cc, a0 + 1: a1 - 1, :_Q7, b0:b1].set(
+                val.transpose(0, 2, 1))
+        else:
+            val = pl_v[1:-1]                            # trim lat0=x
+            out = g_out.at[a0 + 1: a1 - 1, cc, :_Q7, b0:b1].set(
+                val.transpose(0, 2, 1))
+        return out, rec
+
+    def make_step(self):
+        def step(gp, t):
+            extra = []
+            if self.tids is not None:
+                extra.append(self.tids)
+            seam = (_extract_seam(gp, self.tx, 1)
+                    if self.need_seam else None)
+            slabs = [self._slab(gp, fx) for fx in self._fix]
+            if self.in_place and (slabs or seam is not None):
+                pre = [seam] if seam is not None else []
+                bar = jax.lax.optimization_barrier((gp, *pre, *slabs))
+                gp, rest = bar[0], list(bar[1:])
+                if seam is not None:
+                    seam, rest = rest[0], rest[1:]
+                slabs = rest
+            if seam is not None:
+                extra.append(seam)
+            out = _scalar_bulk(
+                gp, self.aux, *extra, tau_g=self.tau_g,
+                source=self.source, tx=self.tx, ty=self.ty,
+                stx=self.stx, sty=self.sty, n_live=self.n_live,
+                in_place=self.in_place or None,
+                has_seam=self.need_seam, interpret=self.interpret)
+            recs = []
+            for fx, slab in zip(self._fix, slabs):
+                out, rec = self._apply_fix(out, slab, fx, t)
+                recs.append(rec)
+            return out, (jnp.stack(recs) if recs
+                         else jnp.zeros((0,), jnp.float32))
+
+        return step
+
+    def run(self, n_steps: int, record: Optional[list] = None):
+        """Advance n_steps in one jitted lax.scan; record: boundary
+        indices whose consumer-plane mean concentration is sampled
+        every step (from the fixup recompute — no state slicing)."""
+        key = (int(n_steps), None if record is None else tuple(record))
+        if key not in self._scan_cache:
+            step = self.make_step()
+            rec_idx = tuple(record) if record is not None else ()
+
+            def body(carry, t):
+                (g,) = carry
+                g, recs = step(g, t)
+                ys = (recs[jnp.asarray(rec_idx)] if rec_idx
+                      else jnp.zeros((0,), jnp.float32))
+                return (g,), ys
+
+            self._scan_cache[key] = jax.jit(
+                lambda g, t0: jax.lax.scan(
+                    body, (g,),
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32)))
+        (self.g,), series = self._scan_cache[key](self.g,
+                                                  jnp.int32(self.t))
+        self.t += n_steps
+        return np.asarray(series) if record is not None else None
+
+    @property
+    def fluid(self):
+        """(X, Y, Z) fluid mask on the UNPADDED box (dense-class API
+        parity — e.g. the residence-time statistics in demo_washout)."""
+        return self.fluid_pad[self._crop]
+
+    def concentration(self):
+        """(X, Y, Z) scalar field on the UNPADDED box (zeros at
+        non-fluid cells)."""
+        c = jnp.sum(unpack_g(self.g), axis=0)
+        c = jnp.where(self.fluid_pad, c, 0.0)
+        return c[self._crop]
+
+    def total(self) -> float:
+        """f64 host sum over the UNPADDED box (same audit contract as
+        the dense class). The packed state's halo ring is unspecified
+        in functional-output mode — the kernel never writes it and no
+        fluid cell ever pulls from it (x/y boundary layers are
+        non-fluid, the same proof the flow kernel rests on) — so the
+        sum must crop to the interior."""
+        g = np.asarray(unpack_g(self.g), np.float64)
+        return float(g[(slice(None),) + self._crop].sum())
+
+
+__all__ = ["ScalarTransportPallas", "pack_g", "unpack_g", "pack_aux"]

@@ -39,6 +39,10 @@ def main():
                     "the default tree peaks near step 6000)")
     ap.add_argument("--D", type=float, default=0.02,
                     help="lattice diffusivity")
+    ap.add_argument("--backend", default="pallas",
+                    choices=("pallas", "xla"),
+                    help="transport backend (the D3Q7 Pallas kernel "
+                    "or the dense-XLA pass)")
     ap.add_argument("--vtk", default=None,
                     help="write AGE + CONTRAST fields here")
     args = ap.parse_args()
@@ -52,7 +56,11 @@ def main():
 
     from lbm_tpu.cases import get_case
     from lbm_tpu.engine.runner import Simulation
-    from lbm_tpu.engine.scalar import ScalarTransport
+    if args.backend == "pallas":
+        from lbm_tpu.kernels.scalar_stream import (
+            ScalarTransportPallas as ScalarTransport)
+    else:
+        from lbm_tpu.engine.scalar import ScalarTransport
 
     shape = tuple(int(s) for s in args.shape.split(","))
     spec = get_case("coronary", shape=shape, radius=args.radius)
