@@ -240,18 +240,29 @@ class ScalarTransport:
             c0 = jnp.asarray(c0, jnp.float32)
             self.g = jnp.where(self.fluid[None], c0[None] * self.phi, 0.0)
         self.t = 0
-        self._step = jax.jit(self.make_step())
         self._scan_cache = {}   # (n_steps, record tuple) -> jitted scan
 
-    def make_step(self) -> Callable:
-        """(g, t) -> (g', c') — pull-stream with fused wall bounce-back
-        + plane fixups, then the precomputed-equilibrium collide."""
+    @property
+    def fields(self):
+        """The big per-cell static fields, threaded through run()'s jit
+        as ARGUMENTS — closed-over device arrays lower to HLO constants,
+        and at the flagship coronary box the (7, 291, 291, 372) phi
+        alone is 882 MB of literal, rejected by the remote compile
+        service (HTTP 413). div_comp is None when div_fix=False (a
+        pytree hole, static to the trace)."""
+        return (self.phi, self.nbr_block, self.div_comp, self.fluid)
 
-        def step(g, t):
-            return _transport_pass(g, t, self.phi, self.nbr_block,
+    def make_step(self) -> Callable:
+        """(g, t, fields) -> (g', c') — pull-stream with fused wall
+        bounce-back + plane fixups, then the precomputed-equilibrium
+        collide. `fields` is self.fields (see there for why it is an
+        argument)."""
+
+        def step(g, t, fields):
+            phi, nbr_block, div_comp, fluid = fields
+            return _transport_pass(g, t, phi, nbr_block,
                                    self._bcs, self.omega, self.tau_g,
-                                   self.div_comp, self.source,
-                                   self.fluid)
+                                   div_comp, self.source, fluid)
 
         return step
 
@@ -267,20 +278,23 @@ class ScalarTransport:
             denom = [jnp.float32(jnp.sum(v)) for _, v in rec]
             step = self.make_step()
 
-            def body(carry, t):
-                g, = carry
-                g, c = step(g, t)
-                ys = (jnp.stack([jnp.sum(jnp.where(v, c[sl], 0.0)) / dn
-                                 for (sl, v), dn in zip(rec, denom)])
-                      if rec else jnp.zeros((0,), jnp.float32))
-                return (g,), ys
+            def scan_fn(g, t0, fields):
+                def body(carry, t):
+                    g, = carry
+                    g, c = step(g, t, fields)
+                    ys = (jnp.stack(
+                        [jnp.sum(jnp.where(v, c[sl], 0.0)) / dn
+                         for (sl, v), dn in zip(rec, denom)])
+                        if rec else jnp.zeros((0,), jnp.float32))
+                    return (g,), ys
 
-            self._scan_cache[key] = jax.jit(
-                lambda g, t0: jax.lax.scan(
+                return jax.lax.scan(
                     body, (g,),
-                    t0 + jnp.arange(n_steps, dtype=jnp.int32)))
-        (self.g,), series = self._scan_cache[key](self.g,
-                                                  jnp.int32(self.t))
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32))
+
+            self._scan_cache[key] = jax.jit(scan_fn)
+        (self.g,), series = self._scan_cache[key](
+            self.g, jnp.int32(self.t), self.fields)
         self.t += n_steps
         return np.asarray(series) if record is not None else None
 
@@ -366,22 +380,32 @@ class CoupledTransport:
         self.t = 0
         self._scan_cache = {}
 
-    def _coupled_step(self, f, t, wk, g):
+    @property
+    def fields(self):
+        """Big per-cell statics as jit ARGUMENTS (same HLO-constant
+        argument as ScalarTransport.fields; the flow step's own cc
+        captures remain closures — the coupled route is the pulsatile
+        small/medium-box path, the flagship-scale frozen route is
+        ScalarTransportPallas)."""
+        return (self.nbr_block, self.blocked_axes, self.fluid)
+
+    def _coupled_step(self, f, t, wk, g, fields):
+        nbr_block, blocked_axes, fluid = fields
         if self.has_wk:
             f_new, _, u, wk_new = self._flow_step(f, t, wk)
         else:
             f_new, _, u = self._flow_step(f, t)
             wk_new = wk
-        u_proj = _project(u, self.blocked_axes)
+        u_proj = _project(u, blocked_axes)
         phi = phi7(u_proj)
         comp = None
         if self.div_fix:
             comp = jnp.where(
-                self.fluid,
-                -_defect(u_proj, self.nbr_block, self._bc_geo), 0.0)
-        g_new, c = _transport_pass(g, t, phi, self.nbr_block, self._bcs,
+                fluid,
+                -_defect(u_proj, nbr_block, self._bc_geo), 0.0)
+        g_new, c = _transport_pass(g, t, phi, nbr_block, self._bcs,
                                    self.omega, self.tau_g, comp,
-                                   self.source, self.fluid)
+                                   self.source, fluid)
         return f_new, wk_new, g_new, c
 
     def run(self, n_steps: int, record: Optional[list] = None):
@@ -393,20 +417,24 @@ class CoupledTransport:
                 (self._bc_geo[k][3], self._bc_geo[k][4]) for k in record]
             denom = [jnp.float32(jnp.sum(v)) for _, v in rec]
 
-            def body(carry, t):
-                f, wk, g = carry
-                f, wk, g, c = self._coupled_step(f, t, wk, g)
-                ys = (jnp.stack([jnp.sum(jnp.where(v, c[sl], 0.0)) / dn
-                                 for (sl, v), dn in zip(rec, denom)])
-                      if rec else jnp.zeros((0,), jnp.float32))
-                return (f, wk, g), ys
+            def scan_fn(f, wk, g, t0, fields):
+                def body(carry, t):
+                    f, wk, g = carry
+                    f, wk, g, c = self._coupled_step(f, t, wk, g,
+                                                     fields)
+                    ys = (jnp.stack(
+                        [jnp.sum(jnp.where(v, c[sl], 0.0)) / dn
+                         for (sl, v), dn in zip(rec, denom)])
+                        if rec else jnp.zeros((0,), jnp.float32))
+                    return (f, wk, g), ys
 
-            self._scan_cache[key] = jax.jit(
-                lambda f, wk, g, t0: jax.lax.scan(
+                return jax.lax.scan(
                     body, (f, wk, g),
-                    t0 + jnp.arange(n_steps, dtype=jnp.int32)))
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32))
+
+            self._scan_cache[key] = jax.jit(scan_fn)
         (self.f, self.wk, self.g), series = self._scan_cache[key](
-            self.f, self.wk, self.g, jnp.int32(self.t))
+            self.f, self.wk, self.g, jnp.int32(self.t), self.fields)
         self.t += n_steps
         return np.asarray(series) if record is not None else None
 

@@ -53,6 +53,18 @@ Equivalence contract: `ScalarTransportPallas` matches
 `engine/scalar.ScalarTransport` field-for-field (same projection, same
 div_fix defect, same BC fixup expressions — tests/test_scalar_pallas.py
 asserts multi-step whole-box agreement on every case family).
+
+Measured on the real v5e (tools/bench_scalar.py; completion forced by
+fetching a SCALAR only — fetching the state adds ~6.7 ms/step of pure
+axon host-transfer at 96^3 and produced an early bogus 16.2 ms/step
+reading): 96x96x120 radius-7 coronary pallas 0.284 vs dense 0.384
+ms/step; flagship 291x291x372 radius-10 pallas 2.22 ms/step (292 live
+tiles, in-place + tile-skip; BC fixups cost 0.18, kernel floor 2.05) —
+the shape where the dense pass previously could not even compile: its
+step closed over the (7,X,Y,Z) phi (~882 MB) as an HLO constant and
+the remote compile service rejected the request (HTTP 413), which is
+why every big static field now threads through run()'s jit as an
+ARGUMENT (see ScalarTransport.fields / make_step / self.aux).
 """
 
 from __future__ import annotations
@@ -557,7 +569,12 @@ class ScalarTransportPallas:
         return out, rec
 
     def make_step(self):
-        def step(gp, t):
+        """step(gp, t, aux) — aux is self.aux, threaded as a jit
+        ARGUMENT: a closed-over device array lowers to an HLO literal,
+        and the (293, 293, 8, 376) AUX pack is ~1 GB at the flagship
+        coronary box — the remote compile service rejects the request
+        (HTTP 413; same fix as engine/scalar.ScalarTransport.fields)."""
+        def step(gp, t, aux):
             extra = []
             if self.tids is not None:
                 extra.append(self.tids)
@@ -574,7 +591,7 @@ class ScalarTransportPallas:
             if seam is not None:
                 extra.append(seam)
             out = _scalar_bulk(
-                gp, self.aux, *extra, tau_g=self.tau_g,
+                gp, aux, *extra, tau_g=self.tau_g,
                 source=self.source, tx=self.tx, ty=self.ty,
                 stx=self.stx, sty=self.sty, n_live=self.n_live,
                 in_place=self.in_place or None,
@@ -597,19 +614,21 @@ class ScalarTransportPallas:
             step = self.make_step()
             rec_idx = tuple(record) if record is not None else ()
 
-            def body(carry, t):
-                (g,) = carry
-                g, recs = step(g, t)
-                ys = (recs[jnp.asarray(rec_idx)] if rec_idx
-                      else jnp.zeros((0,), jnp.float32))
-                return (g,), ys
+            def scan_fn(g, t0, aux):
+                def body(carry, t):
+                    (g,) = carry
+                    g, recs = step(g, t, aux)
+                    ys = (recs[jnp.asarray(rec_idx)] if rec_idx
+                          else jnp.zeros((0,), jnp.float32))
+                    return (g,), ys
 
-            self._scan_cache[key] = jax.jit(
-                lambda g, t0: jax.lax.scan(
+                return jax.lax.scan(
                     body, (g,),
-                    t0 + jnp.arange(n_steps, dtype=jnp.int32)))
-        (self.g,), series = self._scan_cache[key](self.g,
-                                                  jnp.int32(self.t))
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32))
+
+            self._scan_cache[key] = jax.jit(scan_fn)
+        (self.g,), series = self._scan_cache[key](
+            self.g, jnp.int32(self.t), self.aux)
         self.t += n_steps
         return np.asarray(series) if record is not None else None
 

@@ -213,3 +213,48 @@ def test_inlet_c_validation_and_units():
     D_phys = 3e-9  # contrast-agent-scale diffusivity, m^2/s
     assert us.to_lattice_diffusivity(D_phys) * us.CH * us.C_U == (
         pytest.approx(D_phys))
+
+
+def test_scan_embeds_no_big_constants():
+    """The big per-cell statics (phi/nbr/comp/fluid; the Pallas AUX
+    pack) must thread through run()'s jit as ARGUMENTS: closed-over
+    device arrays lower to HLO literals, and at the flagship coronary
+    box the 882 MB phi constant made the remote TPU compile service
+    reject the request outright (HTTP 413). Guard: the traced scan's
+    jaxpr consts stay tiny relative to the box."""
+    import jax
+
+    from lbm_tpu.engine.scalar import CoupledTransport
+    from lbm_tpu.kernels.scalar_stream import ScalarTransportPallas
+
+    def const_bytes(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        return sum(np.asarray(c).nbytes for c in jaxpr.consts
+                   if hasattr(c, "nbytes") or isinstance(c, np.ndarray))
+
+    spec, u = _frozen_pipe(flow_steps=20)
+    box = int(np.prod(spec.shape))
+
+    st = ScalarTransport(spec, u, D=0.02, inlet_c={0: 1.0})
+    st.run(2)   # builds + caches the scan fn
+    (key, scan_fn), = st._scan_cache.items()
+    cb = const_bytes(scan_fn, st.g, jnp.int32(0), st.fields)
+    # the 7-channel state alone is 28 bytes/cell; anything O(box) that
+    # leaks back into the consts trips this long before 413 territory
+    assert cb < 4 * box, f"scan consts {cb} B leak O(box) data"
+
+    ct = CoupledTransport(spec, D=0.02, inlet_c={0: 1.0})
+    ct.run(2)
+    (key, scan_fn), = ct._scan_cache.items()
+    cb = const_bytes(scan_fn, ct.f, ct.wk, ct.g, jnp.int32(0),
+                     ct.fields)
+    # the flow step's cc captures (u0 profile, per-BC planes) are 2-D
+    # or boolean; the 4-byte-per-cell 3-D fields must not be among them
+    assert cb < 16 * box, f"coupled scan consts {cb} B leak"
+
+    sp = ScalarTransportPallas(spec, u, D=0.02, inlet_c={0: 1.0},
+                               interpret=True)
+    sp.run(2)
+    (key, scan_fn), = sp._scan_cache.items()
+    cb = const_bytes(scan_fn, sp.g, jnp.int32(0), sp.aux)
+    assert cb < 8 * box, f"pallas scan consts {cb} B leak (AUX?)"
