@@ -187,12 +187,19 @@ class ScalarTransport:
        max |c - 1| 9.1% -> 3.4%, mean 1.8% -> 0.9% (the residual is
        second-order, localized at low-velocity wall corners, and
        shrinks with larger D — the artifact scales with cell Peclet).
+    mesh / shard_axis: GSPMD decomposition over a jax.sharding.Mesh —
+       g and every per-cell static shard along a BC-free lattice axis
+       (free_axis default) and XLA's partitioner inserts the one-deep
+       halo exchanges and record-plane psums (same mechanism as the
+       flow runner's backend='xla' mesh=; CoupledTransport takes the
+       same kwargs and additionally shards f).
     """
 
     def __init__(self, spec: CaseSpec, u, D: Optional[float] = None,
                  tau_g: Optional[float] = None,
                  inlet_c: Optional[dict] = None, source: float = 0.0,
-                 c0=None, div_fix: bool = True):
+                 c0=None, div_fix: bool = True, mesh=None,
+                 shard_axis: Optional[int] = None):
         assert (D is None) != (tau_g is None), (
             "give exactly one of D (lattice diffusivity) or tau_g")
         self.tau_g = float(tau_g_of(D) if D is not None else tau_g)
@@ -241,6 +248,27 @@ class ScalarTransport:
             self.g = jnp.where(self.fluid[None], c0[None] * self.phi, 0.0)
         self.t = 0
         self._scan_cache = {}   # (n_steps, record tuple) -> jitted scan
+        if mesh is not None:
+            self._shard(mesh, shard_axis)
+
+    def _shard(self, mesh, shard_axis: Optional[int]):
+        """GSPMD decomposition over a device mesh: shard the g state
+        and every per-cell static along a BC-free lattice axis and let
+        XLA's SPMD partitioner turn the step's rolls into one-deep halo
+        CollectivePermutes and the record-plane sums into psums — the
+        exact mechanism of the flow runner's backend='xla' mesh= path
+        (engine/runner.py). The BC plane fixups slice along a NON-shard
+        axis (free_axis guarantees it), so they stay shard-local."""
+        from lbm_tpu.parallel.mesh import free_axis, lattice_sharding
+
+        axis = free_axis(self.spec) if shard_axis is None else shard_axis
+        put = lambda x, lead: (None if x is None else jax.device_put(  # noqa: E731
+            x, lattice_sharding(axis=axis, mesh=mesh, leading=lead)))
+        self.g = put(self.g, 1)
+        self.phi = put(self.phi, 1)
+        self.nbr_block = put(self.nbr_block, 1)
+        self.div_comp = put(self.div_comp, 0)
+        self.fluid = put(self.fluid, 0)
 
     @property
     def fields(self):
@@ -335,7 +363,8 @@ class CoupledTransport:
     def __init__(self, spec: CaseSpec, D: Optional[float] = None,
                  tau_g: Optional[float] = None,
                  inlet_c: Optional[dict] = None, source: float = 0.0,
-                 c0=None, div_fix: bool = True, f0=None, wk0=None):
+                 c0=None, div_fix: bool = True, f0=None, wk0=None,
+                 mesh=None, shard_axis: Optional[int] = None):
         from lbm_tpu.engine.compile import compile_case, wk_init
         from lbm_tpu.engine.step import (has_windkessel, initial_f,
                                          make_step, make_step_wk)
@@ -379,6 +408,26 @@ class CoupledTransport:
                                * phi7(u0), 0.0)
         self.t = 0
         self._scan_cache = {}
+        if mesh is not None:
+            self._shard(mesh, shard_axis)
+
+    def _shard(self, mesh, shard_axis: Optional[int]):
+        """GSPMD decomposition of BOTH states: the 19-channel flow f
+        rides the flow engine's own mesh= mechanism (shard f, let the
+        partitioner slice the replicated cc closures — exactly
+        engine/runner.py backend='xla' mesh=), the 7-channel g and the
+        per-cell scalar statics shard like ScalarTransport._shard."""
+        from lbm_tpu.parallel.mesh import free_axis, lattice_sharding
+
+        axis = free_axis(self.spec) if shard_axis is None else shard_axis
+        put = lambda x, lead: (None if x is None else jax.device_put(  # noqa: E731
+            x, lattice_sharding(axis=axis, mesh=mesh, leading=lead)))
+        self.f = put(self.f, 1)
+        self.g = put(self.g, 1)
+        self.nbr_block = put(self.nbr_block, 1)
+        self.blocked_axes = put(self.blocked_axes, 1)
+        self.fluid = put(self.fluid, 0)
+        # wk is (n_wk, ...) scalars — replicated, left alone
 
     @property
     def fields(self):

@@ -258,3 +258,41 @@ def test_scan_embeds_no_big_constants():
     (key, scan_fn), = sp._scan_cache.items()
     cb = const_bytes(scan_fn, sp.g, jnp.int32(0), sp.aux)
     assert cb < 8 * box, f"pallas scan consts {cb} B leak (AUX?)"
+
+
+@pytest.mark.multichip
+def test_gspmd_sharded_scalar_matches_single_device():
+    """GSPMD decomposition of the transport (mesh= on both drivers):
+    the 8-device CPU mesh run must match single-device field-for-field
+    AND on the recorded plane series — the rolls become one-deep halo
+    CollectivePermutes, the record sums psums, all inserted by the
+    partitioner (the flow runner's backend='xla' mesh= mechanism)."""
+    import jax
+
+    from lbm_tpu.engine.scalar import CoupledTransport
+    from lbm_tpu.parallel.mesh import lattice_mesh
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    spec, u = _frozen_pipe()
+    n_steps = 48   # >: info crosses several 2-wide shards of the n=16 pipe
+    kw = dict(D=0.02, inlet_c={0: 1.0}, source=0.05)
+
+    st = ScalarTransport(spec, u, **kw)
+    ref = st.run(n_steps, record=[0, 1])
+    mesh = lattice_mesh()
+    st_sh = ScalarTransport(spec, u, mesh=mesh, **kw)
+    got = st_sh.run(n_steps, record=[0, 1])
+    np.testing.assert_allclose(got, ref, rtol=3e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(st_sh.g), np.asarray(st.g),
+                               rtol=3e-6, atol=1e-7)
+
+    # time-resolved route: flow + scalar advance together under the mesh
+    ct = CoupledTransport(spec, **kw)
+    ref = ct.run(n_steps, record=[1])
+    ct_sh = CoupledTransport(spec, mesh=mesh, **kw)
+    got = ct_sh.run(n_steps, record=[1])
+    np.testing.assert_allclose(got, ref, rtol=3e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ct_sh.g), np.asarray(ct.g),
+                               rtol=3e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ct_sh.f), np.asarray(ct.f),
+                               rtol=3e-6, atol=1e-7)
