@@ -3,6 +3,7 @@ from lbm_tpu.engine.compile import CompiledCase, compile_case
 from lbm_tpu.engine.step import make_step, initial_f
 from lbm_tpu.engine.runner import Simulation, RunResult
 from lbm_tpu.engine.scalar import ScalarTransport, CoupledTransport
+from lbm_tpu.engine.thermal import BuoyantTransport
 
 __all__ = [
     "CaseSpec",
@@ -15,4 +16,5 @@ __all__ = [
     "RunResult",
     "ScalarTransport",
     "CoupledTransport",
+    "BuoyantTransport",
 ]

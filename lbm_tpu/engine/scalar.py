@@ -122,16 +122,62 @@ def bc_geometry(spec: CaseSpec):
     return geo
 
 
+def dirichlet_walls(mask, wall_c):
+    """Anti-bounce-back Dirichlet (fixed-value) scalar walls.
+
+    wall_c: (X, Y, Z) float array — the prescribed boundary value c_w
+    at Dirichlet wall cells, NaN where the wall stays adiabatic (plain
+    bounce-back, the default zero-normal-flux wall). Every finite cell
+    must be a blocking (WALL/MOVING) cell. Returns (nbr_dir, cw2): the
+    per-direction masks "the donor cell x - e_i is a Dirichlet wall"
+    and the pre-rolled constants 2 w_i c_w, so the stream pass replaces
+    that link's bounce-back with the anti-bounce-back closure
+
+        g_i(x, t+1) = 2 w_i c_w - g_opp(i)(x, t)
+
+    which pins the half-way wall point to c_w: at the link midpoint the
+    i/opp(i) pair sums to 2 w_i c_w, i.e. the pair's local concentration
+    contribution equals its equilibrium at c = c_w (resting wall — the
+    Dirichlet value rides static walls; a moving isothermal wall would
+    add 4 e_i.u_w inside the bracket). This is the standard second-order
+    Dirichlet condition for ADE-LBM, the scalar twin of the flow's
+    half-way bounce-back. Used for isothermal walls by the Boussinesq
+    thermal route (engine/thermal.py) and available to the frozen-field
+    ScalarTransport (e.g. a perfectly absorbing wall: c_w = 0)."""
+    wc = np.asarray(wall_c, np.float32)
+    isd = np.isfinite(wc)
+    blocking = ((np.asarray(mask) == CellType.WALL)
+                | (np.asarray(mask) == CellType.MOVING))
+    assert blocking[isd].all(), (
+        "wall_c prescribes values at non-wall cells; Dirichlet scalar "
+        "values live on WALL/MOVING cells (NaN = adiabatic)")
+    vals = np.where(isd, wc, 0.0).astype(np.float32)
+    nbr_dir, cw2 = [], []
+    for i in range(1, _Q7):
+        sh = tuple(int(v) for v in _E7[i])
+        ax = (0, 1, 2)
+        nbr_dir.append(np.roll(isd, shift=sh, axis=ax))
+        cw2.append(2.0 * _W7[i] * np.roll(vals, shift=sh, axis=ax))
+    return (jnp.asarray(np.stack(nbr_dir)),
+            jnp.asarray(np.stack(cw2).astype(np.float32)))
+
+
 def _transport_pass(g, t, phi, nbr_block, bcs, omega, tau_g, div_comp,
-                    source, fluid):
+                    source, fluid, dirichlet=None):
     """One ADE step given the equilibrium factor phi (static for the
     frozen-field ScalarTransport; rebuilt per step from the live macro
-    by CoupledTransport). bcs: list of (dir, slicer, valid, c_fn)."""
+    by CoupledTransport). bcs: list of (dir, slicer, valid, c_fn).
+    dirichlet: optional (nbr_dir, cw2) from dirichlet_walls — links into
+    those walls use anti-bounce-back instead of bounce-back."""
     pulled = [g[0]]
     for i in range(1, _Q7):
         direct = pull_one(g[i], _E7[i])
-        pulled.append(jnp.where(nbr_block[i - 1], g[int(_OPP7[i])],
-                                direct))
+        v = jnp.where(nbr_block[i - 1], g[int(_OPP7[i])], direct)
+        if dirichlet is not None:
+            nbr_dir, cw2 = dirichlet
+            v = jnp.where(nbr_dir[i - 1],
+                          cw2[i - 1] - g[int(_OPP7[i])], v)
+        pulled.append(v)
     pulled = jnp.stack(pulled)
     for (d, sl, valid, c_fn) in bcs:
         ph = phi[(d,) + sl]
@@ -187,6 +233,13 @@ class ScalarTransport:
        max |c - 1| 9.1% -> 3.4%, mean 1.8% -> 0.9% (the residual is
        second-order, localized at low-velocity wall corners, and
        shrinks with larger D — the artifact scales with cell Peclet).
+    wall_c: optional (X, Y, Z) Dirichlet wall values — finite entries
+       mark WALL/MOVING cells whose scalar value is pinned by
+       anti-bounce-back (see dirichlet_walls); NaN cells stay the
+       default adiabatic bounce-back wall. Note div_fix's defect
+       derivation treats every wall link as bounce-back — exact only
+       when the local c matches c_w there; the Boussinesq thermal route
+       (engine/thermal.py) therefore defaults div_fix off.
     mesh / shard_axis: GSPMD decomposition over a jax.sharding.Mesh —
        g and every per-cell static shard along a BC-free lattice axis
        (free_axis default) and XLA's partitioner inserts the one-deep
@@ -198,7 +251,7 @@ class ScalarTransport:
     def __init__(self, spec: CaseSpec, u, D: Optional[float] = None,
                  tau_g: Optional[float] = None,
                  inlet_c: Optional[dict] = None, source: float = 0.0,
-                 c0=None, div_fix: bool = True, mesh=None,
+                 c0=None, div_fix: bool = True, wall_c=None, mesh=None,
                  shard_axis: Optional[int] = None):
         assert (D is None) != (tau_g is None), (
             "give exactly one of D (lattice diffusivity) or tau_g")
@@ -241,6 +294,8 @@ class ScalarTransport:
                              self._bc_geo)
             self.div_comp = jnp.where(self.fluid, -defect, 0.0)
         self.source = float(source)
+        self.dirichlet = (None if wall_c is None
+                          else dirichlet_walls(mask, wall_c))
         if c0 is None:
             self.g = jnp.zeros((_Q7,) + tuple(spec.shape), jnp.float32)
         else:
@@ -269,6 +324,8 @@ class ScalarTransport:
         self.nbr_block = put(self.nbr_block, 1)
         self.div_comp = put(self.div_comp, 0)
         self.fluid = put(self.fluid, 0)
+        if self.dirichlet is not None:
+            self.dirichlet = tuple(put(a, 1) for a in self.dirichlet)
 
     @property
     def fields(self):
@@ -277,8 +334,10 @@ class ScalarTransport:
         and at the flagship coronary box the (7, 291, 291, 372) phi
         alone is 882 MB of literal, rejected by the remote compile
         service (HTTP 413). div_comp is None when div_fix=False (a
-        pytree hole, static to the trace)."""
-        return (self.phi, self.nbr_block, self.div_comp, self.fluid)
+        pytree hole, static to the trace); dirichlet likewise when no
+        wall_c is set."""
+        return (self.phi, self.nbr_block, self.div_comp, self.fluid,
+                self.dirichlet)
 
     def make_step(self) -> Callable:
         """(g, t, fields) -> (g', c') — pull-stream with fused wall
@@ -287,10 +346,11 @@ class ScalarTransport:
         argument)."""
 
         def step(g, t, fields):
-            phi, nbr_block, div_comp, fluid = fields
+            phi, nbr_block, div_comp, fluid, dirichlet = fields
             return _transport_pass(g, t, phi, nbr_block,
                                    self._bcs, self.omega, self.tau_g,
-                                   div_comp, self.source, fluid)
+                                   div_comp, self.source, fluid,
+                                   dirichlet)
 
         return step
 
@@ -363,8 +423,9 @@ class CoupledTransport:
     def __init__(self, spec: CaseSpec, D: Optional[float] = None,
                  tau_g: Optional[float] = None,
                  inlet_c: Optional[dict] = None, source: float = 0.0,
-                 c0=None, div_fix: bool = True, f0=None, wk0=None,
-                 mesh=None, shard_axis: Optional[int] = None):
+                 c0=None, div_fix: bool = True, wall_c=None, f0=None,
+                 wk0=None, mesh=None,
+                 shard_axis: Optional[int] = None):
         from lbm_tpu.engine.compile import compile_case, wk_init
         from lbm_tpu.engine.step import (has_windkessel, initial_f,
                                          make_step, make_step_wk)
@@ -394,6 +455,8 @@ class CoupledTransport:
         assert not inlet_c, f"inlet_c names absent boundaries: {inlet_c}"
         self.div_fix = bool(div_fix)
         self.source = float(source)
+        self.dirichlet = (None if wall_c is None
+                          else dirichlet_walls(mask, wall_c))
 
         self.f = initial_f(self.cc) if f0 is None else jnp.asarray(f0)
         w0 = wk_init(self.cc.bcs)
@@ -427,6 +490,8 @@ class CoupledTransport:
         self.nbr_block = put(self.nbr_block, 1)
         self.blocked_axes = put(self.blocked_axes, 1)
         self.fluid = put(self.fluid, 0)
+        if self.dirichlet is not None:
+            self.dirichlet = tuple(put(a, 1) for a in self.dirichlet)
         # wk is (n_wk, ...) scalars — replicated, left alone
 
     @property
@@ -436,10 +501,11 @@ class CoupledTransport:
         captures remain closures — the coupled route is the pulsatile
         small/medium-box path, the flagship-scale frozen route is
         ScalarTransportPallas)."""
-        return (self.nbr_block, self.blocked_axes, self.fluid)
+        return (self.nbr_block, self.blocked_axes, self.fluid,
+                self.dirichlet)
 
     def _coupled_step(self, f, t, wk, g, fields):
-        nbr_block, blocked_axes, fluid = fields
+        nbr_block, blocked_axes, fluid, dirichlet = fields
         if self.has_wk:
             f_new, _, u, wk_new = self._flow_step(f, t, wk)
         else:
@@ -454,7 +520,7 @@ class CoupledTransport:
                 -_defect(u_proj, nbr_block, self._bc_geo), 0.0)
         g_new, c = _transport_pass(g, t, phi, nbr_block, self._bcs,
                                    self.omega, self.tau_g, comp,
-                                   self.source, fluid)
+                                   self.source, fluid, dirichlet)
         return f_new, wk_new, g_new, c
 
     def run(self, n_steps: int, record: Optional[list] = None):
@@ -492,4 +558,4 @@ class CoupledTransport:
 
 
 __all__ = ["ScalarTransport", "CoupledTransport", "phi7", "tau_g_of",
-           "bc_geometry"]
+           "bc_geometry", "dirichlet_walls"]

@@ -151,13 +151,24 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None,
     return f_pulled if wk_p is None else (f_pulled, p_new)
 
 
+def _is_force_field(force) -> bool:
+    """True when `force` is a per-cell (3, ...) array (possibly traced)
+    rather than the constant 3-vector CaseSpec.force carries — the
+    Boussinesq buoyancy route (engine/thermal.py) feeds the flow a
+    force field rebuilt each step from the live scalar."""
+    return hasattr(force, "ndim") and force.ndim > 1
+
+
 def half_force_shift(mom, force):
     """Guo velocity definition: u = (sum e_i f_i + F/2) / rho — returns
     the momentum with the half-step force added (no-op when force is
     None). Every moment consumer (collide, NEE previous-macro, macro
-    outputs, velsum) uses this same shifted u."""
+    outputs, velsum) uses this same shifted u. `force`: constant
+    3-vector or a per-cell (3, ...) field (see _is_force_field)."""
     if force is None:
         return mom
+    if _is_force_field(force):
+        return mom + 0.5 * force
     fv = jnp.asarray(np.asarray(force, np.float32))
     return mom + 0.5 * fv.reshape((3,) + (1,) * (mom.ndim - 1))
 
@@ -179,12 +190,20 @@ def guo_source(u, force, tau, tau_minus=None, mrt_kf=None,
     (1 - 1/(2 tau_eff)) on both halves (the closure collide is BGK at
     tau_eff)."""
     e = jnp.asarray(_E.astype(np.float32))
-    fv = np.asarray(force, np.float32)
     w = jnp.asarray(D3Q19.W.astype(np.float32))
     lead = (D3Q19.Q,) + (1,) * (u.ndim - 1)
     w_ = w.reshape(lead)
-    eF = jnp.asarray(_E.astype(np.float32) @ fv).reshape(lead)
-    uF = (u[0] * fv[0] + u[1] * fv[1] + u[2] * fv[2])[None]
+    if _is_force_field(force):
+        # per-cell (3, ...) force field (engine/thermal.py buoyancy):
+        # the same parity split, with eF/uF per cell
+        eF = jnp.tensordot(e, force, axes=([1], [0]),
+                           precision=jax.lax.Precision.HIGHEST)
+        uF = (u[0] * force[0] + u[1] * force[1]
+              + u[2] * force[2])[None]
+    else:
+        fv = np.asarray(force, np.float32)
+        eF = jnp.asarray(_E.astype(np.float32) @ fv).reshape(lead)
+        uF = (u[0] * fv[0] + u[1] * fv[1] + u[2] * fv[2])[None]
     eu = jnp.tensordot(e, u, axes=([1], [0]),
                        precision=jax.lax.Precision.HIGHEST)
     g_even = w_ * (np.float32(9.0) * eu * eF - np.float32(3.0) * uF)
@@ -245,23 +264,30 @@ def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
     return pulled - s_neq / (2.0 * tau) - d_neq / (2.0 * tau_minus)
 
 
-def post_collision(pulled, f_eq, rho, u, tau, cc):
+_UNSET = object()
+
+
+def post_collision(pulled, f_eq, rho, u, tau, cc, force=_UNSET):
     """Collide + Guo source for one compiled case — the shared tail of
     every matmul-backend step. Factored so the per-cell tau closures
     (LES / non-Newtonian) compute tau_eff ONCE and feed both the BGK
-    relax and the variable-rate Guo prefactor."""
+    relax and the variable-rate Guo prefactor. `force` overrides
+    cc.force when given (the per-cell traced field of the buoyancy
+    route, engine/thermal.py); default = the case's static force."""
+    if force is _UNSET:
+        force = cc.force
     if cc.closure is not None:
         from lbm_tpu.core.rheology import tau_eff
         fneq = pulled - f_eq
         te = tau_eff(fneq, rho, tau, cc.closure)
         f_post = pulled - fneq / te[None]
-        if cc.force is not None:
-            f_post = f_post + guo_source(u, cc.force, cc.tau,
+        if force is not None:
+            f_post = f_post + guo_source(u, force, cc.tau,
                                          tau_local=te)
         return f_post
     f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
-    if cc.force is not None:
-        f_post = f_post + guo_source(u, cc.force, cc.tau,
+    if force is not None:
+        f_post = f_post + guo_source(u, force, cc.tau,
                                      cc.tau_minus, cc.mrt_kf)
     return f_post
 
@@ -385,16 +411,19 @@ def pulled_state_wk(cc: CompiledCase, f, t, wk, bb=None, theta=None):
     return pulled, jnp.stack(wk_new)
 
 
-def _step_tail(cc: CompiledCase, f, pulled):
+def _step_tail(cc: CompiledCase, f, pulled, force=_UNSET):
     """Moments + collide + Guo source + fluid mask — the shared tail of
-    make_step / make_step_wk (identical math either way)."""
+    make_step / make_step_wk (identical math either way). `force`
+    overrides cc.force when given (make_step_force)."""
+    if force is _UNSET:
+        force = cc.force
     tau = jnp.asarray(cc.tau, f.dtype)
     rho = jnp.sum(pulled, axis=0)
     mom = jnp.tensordot(
         jnp.asarray(_E.T.astype(f.dtype)), pulled, axes=([1], [0]),
         precision=jax.lax.Precision.HIGHEST,
     )
-    mom = half_force_shift(mom, cc.force)
+    mom = half_force_shift(mom, force)
     u = mom / jnp.where(rho == 0, 1.0, rho)[None]
     f_eq = rho[None] * phi(u)
     # Divide by tau like the reference (ldc.cu:350-368) rather than
@@ -403,7 +432,7 @@ def _step_tail(cc: CompiledCase, f, pulled):
     # (measured ~6e-6 relative L2 after 100 steps on the 16^3 cavity
     # vs the literal transcription). The Pallas kernel keeps the
     # multiply for VPU throughput; cross-backend tests use rtol.
-    f_post = post_collision(pulled, f_eq, rho, u, tau, cc)
+    f_post = post_collision(pulled, f_eq, rho, u, tau, cc, force=force)
     f_new = jnp.where(cc.fluid[None], f_post, f)
     return f_new, rho, u
 
@@ -424,6 +453,29 @@ def make_step(cc: CompiledCase) -> Callable:
     def step(f, t):
         pulled = pulled_state(cc, f, t, bb)
         return _step_tail(cc, f, pulled)
+
+    return step
+
+
+def make_step_force(cc: CompiledCase) -> Callable:
+    """The fused step with a RUNTIME force: (f, t, force) -> (f', rho,
+    u) where force is a per-cell (3, X, Y, Z) traced field (or a
+    constant 3-vector) applied with the same Guo scheme as
+    CaseSpec.force. This is the two-way-coupling hook: the Boussinesq
+    buoyancy route (engine/thermal.py) rebuilds the field from the live
+    scalar every step. The plane-BC NEE fixups keep using the STATIC
+    cc.force for their previous-macro half-shift (the per-cell
+    perturbation at an open plane is a second-order effect there;
+    thermal cavities are closed boxes with no plane BCs at all)."""
+    assert not has_windkessel(cc.bcs), (
+        "windkessel outlets are not wired for the runtime-force step"
+    )
+    bb = (None if cc.wall_velocity is None
+          else moving_bb_terms(cc.wall_velocity))
+
+    def step(f, t, force):
+        pulled = pulled_state(cc, f, t, bb)
+        return _step_tail(cc, f, pulled, force=force)
 
     return step
 
@@ -464,7 +516,8 @@ def macro_fields(cc: CompiledCase, f) -> tuple[jnp.ndarray, jnp.ndarray]:
     return rho, u
 
 
-__all__ = ["make_step", "make_step_wk", "make_first_step", "initial_f",
+__all__ = ["make_step", "make_step_wk", "make_step_force",
+           "make_first_step", "initial_f",
            "macro_fields", "streamed", "pull_one", "collide",
            "guo_source", "half_force_shift", "moving_bb_terms",
            "les_tau_eff", "post_collision", "pulled_state",
