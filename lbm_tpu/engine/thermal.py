@@ -244,6 +244,37 @@ class BuoyantTransport:
     concentration = ScalarTransport.concentration
     total = ScalarTransport.total
 
+    # -- checkpoint / resume -----------------------------------------
+
+    def save(self, path: str) -> None:
+        """Atomic npz checkpoint of the coupled state (f, g, t) — the
+        thermal twin of engine/checkpoint.save_sim (same temp-file
+        rename crash atomicity; long natural-convection runs are many
+        diffusion times)."""
+        import os
+
+        tmp = path + ".tmp"
+        np.savez_compressed(
+            tmp, f=np.asarray(self.f), g=np.asarray(self.g),
+            t=np.int64(self.t),
+            case=np.bytes_(self.spec.name.encode()))
+        actual = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(actual, path)
+
+    def restore(self, path: str) -> None:
+        """Restore a checkpoint written by save, verifying case
+        identity; the resumed trajectory is bit-identical to the
+        uninterrupted one (tests/test_thermal.py round-trip)."""
+        with np.load(path) as d:
+            case = bytes(d["case"]).decode()
+            if case != self.spec.name:
+                raise ValueError(
+                    f"checkpoint is for case {case!r}, this transport "
+                    f"is {self.spec.name!r}")
+            self.f = jnp.asarray(d["f"])
+            self.g = jnp.asarray(d["g"])
+            self.t = int(d["t"])
+
     # -- diagnostics -------------------------------------------------
 
     def nusselt_profile(self, hot_axis: int, kappa: float, dT: float,

@@ -139,6 +139,24 @@ def test_heated_cavity_nusselt_ra1e4():
     assert abs(nu.mean() - 2.243) < 0.07
 
 
+def test_buoyancy_composes_with_les_closure():
+    """The per-cell force field rides the closure's variable-rate Guo
+    prefactor (post_collision's tau_local branch): a Smagorinsky-LES
+    heated cavity at Ra = 1e4 runs stable and still transports heat
+    (Nu > 1.5) — at these laminar scales the eddy viscosity is a small
+    perturbation, not a new physics anchor; this guards the
+    closure x field-force composition path."""
+    spec, kw, info = heated_cavity(n=20, ra=1e4, tau=0.56)
+    spec.smagorinsky_cs = 0.1
+    bt = BuoyantTransport(spec, **kw)
+    for _ in range(4):
+        e = bt.run(10000, record_energy=True)
+    assert np.isfinite(e).all()
+    _, nu = bt.nusselt_profile(hot_axis=0, kappa=info["kappa"],
+                               dT=1.0, H=info["H"])
+    assert np.isfinite(nu).all() and nu.mean() > 1.5
+
+
 def test_gspmd_sharded_thermal_matches_single_device():
     """mesh= on BuoyantTransport: the 8-device CPU-mesh Rayleigh-Benard
     run (super-critical, so the fields are genuinely evolving) matches
@@ -163,6 +181,31 @@ def test_gspmd_sharded_thermal_matches_single_device():
                                rtol=3e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(bt_sh.f), np.asarray(bt.f),
                                rtol=3e-6, atol=1e-7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save -> run 20 -> vs restore -> run 20: the resumed trajectory
+    is bit-identical to the uninterrupted one on both states."""
+    spec, kw, info = rayleigh_benard(nx=16, ny=1, nz=10, ra=3000.0,
+                                     tau=0.8)
+    bt = BuoyantTransport(spec, **kw)
+    bt.run(30)
+    p = str(tmp_path / "thermal.npz")
+    bt.save(p)
+    bt.run(20)
+    f_ref, g_ref = np.asarray(bt.f), np.asarray(bt.g)
+
+    bt2 = BuoyantTransport(spec, **kw)
+    bt2.restore(p)
+    assert bt2.t == 30
+    bt2.run(20)
+    np.testing.assert_array_equal(np.asarray(bt2.f), f_ref)
+    np.testing.assert_array_equal(np.asarray(bt2.g), g_ref)
+
+    spec_o, kw_o, _ = rayleigh_benard(nx=16, ny=1, nz=10)
+    spec_o.name = "other"
+    with pytest.raises(ValueError):
+        BuoyantTransport(spec_o, **kw_o).restore(p)
 
 
 def test_absorbing_wall_drains_box():

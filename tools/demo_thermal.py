@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--steps", type=int, default=5000,
                     help="steps per chunk")
     ap.add_argument("--chunks", type=int, default=6)
+    ap.add_argument("--vtk", default=None,
+                    help="write TEMPERATURE + VELOCITY fields here")
     args = ap.parse_args()
 
     if os.environ.get("LBM_TPU_PLATFORM"):
@@ -79,6 +81,18 @@ def main():
     print(f"Nu = {nu.mean():.4f}{ref_s}")
     print(f"{ms:.3f} ms per coupled flow+temperature step "
           f"({n_steps} steps warm, {dt:.1f} s)")
+
+    if args.vtk:
+        from lbm_tpu.io.vtk import write_structured_points
+        _, u = bt.macro()
+        write_structured_points(
+            args.vtk,
+            {"TEMPERATURE": np.asarray(bt.concentration()),
+             "VELOCITY": np.asarray(u)},
+            spacing=1.0, origin=(0.0, 0.0, 0.0), binary=True,
+            header="lbm_tpu Boussinesq heated-cavity demo")
+        print(f"vtk: {args.vtk} "
+              f"({os.path.getsize(args.vtk) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
