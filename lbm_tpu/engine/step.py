@@ -131,8 +131,13 @@ def apply_bc_fixup(f_pulled, f_src, bc: CompiledBC, t, force=None,
             "windkessel-coupled BC needs its carried P_c state (use "
             "make_step_wk / pulled_state_wk)"
         )
-        q = np.float32(bc.flow_sign) * jnp.sum(bc.flow_weight
-                                               * u_prev[bc.axis])
+        # mask, don't multiply: the Pallas route evaluates this on a
+        # windowed slab whose halo-ring cells are UNSPECIFIED (the
+        # functional-output kernel never writes them — NaN under
+        # interpret), and 0-weight * NaN would poison the flux sum
+        q = np.float32(bc.flow_sign) * jnp.sum(
+            jnp.where(bc.flow_weight != 0,
+                      bc.flow_weight * u_prev[bc.axis], 0.0))
         p_new, p_in = windkessel_update(
             wk_p, q, bc.windkessel if wk_rcr is None else wk_rcr)
         rho_star = np.float32(bc.rho_fixed) + np.float32(3.0) * p_in

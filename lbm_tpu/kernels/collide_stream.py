@@ -2029,8 +2029,12 @@ def _valid_bbox(bc, shape_xy, margin: int = 2):
     stay inside the window (the written region excludes the outermost
     ring). Restricting the fixup to this window keeps the per-step XLA
     work O(window), not O(plane) — and the splice a small
-    dynamic-update-slice instead of a full-plane one."""
+    dynamic-update-slice instead of a full-plane one. Windkessel BCs
+    union the flux footprint (flow_weight) into the bbox so the
+    windowed Q sum equals the full-plane sum."""
     v = np.asarray(bc.valid).any(axis=0)  # (A, B) = (x, y)
+    if bc.windkessel is not None:
+        v = v | (np.asarray(bc.flow_weight) != 0)
     xs, ys = np.nonzero(v)
     if xs.size == 0:
         return None
@@ -2041,8 +2045,28 @@ def _valid_bbox(bc, shape_xy, margin: int = 2):
     return x0, x1, y0, y1
 
 
+def _valid_window_a(bc, a_extent, margin: int = 2):
+    """Static (a0, a1) window along an x/y-plane fixup BC's FIRST
+    lateral axis (the non-z one); the second lateral axis is z, which
+    stays FULL — a z window would be a lane-dim slice of the packed
+    state (the pathology _extract_z_slab exists to avoid), while full-z
+    lateral pulls wrap exactly like the box so no margin is needed
+    there. Used by the out-of-kernel windkessel fixups
+    (_fix_xy_plane_windowed)."""
+    v = np.asarray(bc.valid).any(axis=0)  # (A, B) = (lat0, z)
+    if bc.windkessel is not None:
+        v = v | (np.asarray(bc.flow_weight) != 0)
+    idx = np.nonzero(v.any(axis=1))[0]
+    if idx.size == 0:
+        return None
+    a0 = max(int(idx.min()) - margin, 0)
+    a1 = min(int(idx.max()) + 1 + margin, a_extent)
+    return a0, a1
+
+
 def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
-                          interpret=False, splice=True):
+                          interpret=False, splice=True,
+                          wk_p=None, wk_rcr=None):
     """Windowed z-plane NEE fixup: recompute the fused step exactly on
     the consumer plane restricted to the bbox window, then splice it into
     the kernel output (exact because the written interior's pulls never
@@ -2051,8 +2075,15 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     sub: the PRE-STEP state slab p[x0:x1, y0:y1, :, c-1:c+2] — sliced
     by the caller BEFORE the (input-aliased) kernel call destroys p.
 
-    Returns (p_out', velsum_delta): the kernel's velsum counted these
-    plane cells with pre-NEE pulls, so the caller must add
+    wk_p / wk_rcr: windkessel-coupled outlet (bc.windkessel set) — the
+    carried P_c scalar and optional traced RCR override; the outward
+    flux Q sums the windowed flow_weight (the window covers the whole
+    footprint, _valid_bbox) over the SAME previous-step slab macro the
+    NEE formula reads, exactly engine/step.apply_bc_fixup's coupling.
+    The return gains the updated P_c.
+
+    Returns (p_out', velsum_delta[, P_c']): the kernel's velsum counted
+    these plane cells with pre-NEE pulls, so the caller must add
     sum(|u_fixed|) - sum(|u_kernel|) over the spliced fluid cells to keep
     residual_flavor='velsum' honest for z-plane BCs."""
     from lbm_tpu.core.lattice import phi
@@ -2094,12 +2125,22 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
                   else bc.phi_star[:, x0:x1, y0:y1]),
         phi_star_series=(None if bc.phi_star_series is None
                          else bc.phi_star_series[:, :, x0:x1, y0:y1]),
+        flow_weight=(None if bc.flow_weight is None
+                     else bc.flow_weight[x0:x1, y0:y1]),
     )
     src_plane = sub[:, :, :19, 1].transpose(2, 0, 1)  # (19, wx, wy)
     pulled_slab = jnp.expand_dims(pulled, 3)
     src_slab = jnp.expand_dims(src_plane, 3)
-    pulled = jnp.squeeze(
-        apply_bc_fixup(pulled_slab, src_slab, bc0, t, force=cc.force), 3)
+    wk_new = None
+    if wk_p is not None:
+        pulled_slab, wk_new = apply_bc_fixup(
+            pulled_slab, src_slab, bc0, t, force=cc.force, wk_p=wk_p,
+            wk_rcr=wk_rcr)
+        pulled = jnp.squeeze(pulled_slab, 3)
+    else:
+        pulled = jnp.squeeze(
+            apply_bc_fixup(pulled_slab, src_slab, bc0, t,
+                           force=cc.force), 3)
 
     rho = jnp.sum(pulled, axis=0)
     ef = jnp.asarray(_E.T.astype(np.float32))
@@ -2118,15 +2159,131 @@ def _fix_z_plane_windowed(cc, bc, win, sub, p_out, t,
     # Write the window interior only (border ring may be wrap-corrupted).
     # Channels >= 19 (mask/bits) are static and already correct in p_out.
     if splice:
-        return _splice_z_plane_inplace(
+        out = _splice_z_plane_inplace(
             p_out, newplane.transpose(1, 2, 0)[1:-1, 1:-1],
             x0=x0 + 1, y0=y0 + 1, c=c, interpret=interpret,
-        ), vs_after - vs_before
-    aux = sub[:, :, 19:, 1].transpose(2, 0, 1)
-    full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
-    return p_out.at[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, :, c].set(
-        full[1:-1, 1:-1].astype(p_out.dtype)
-    ), vs_after - vs_before
+        )
+    else:
+        aux = sub[:, :, 19:, 1].transpose(2, 0, 1)
+        full = jnp.concatenate([newplane, aux], axis=0).transpose(1, 2, 0)
+        out = p_out.at[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, :, c].set(
+            full[1:-1, 1:-1].astype(p_out.dtype)
+        )
+    dvs = vs_after - vs_before
+    return (out, dvs) if wk_new is None else (out, dvs, wk_new)
+
+
+def _fix_xy_plane_windowed(cc, bc, win, sub, p_out, t, interpret=False,
+                           wk_p=None, wk_rcr=None):
+    """Out-of-kernel consumer-plane fixup for an axis-0/1 NEE boundary —
+    the windkessel route: RCR-coupled outlets need a per-step rho* from
+    the carried P_c, which the in-kernel static NEE tables cannot
+    express, so a windkessel BC on ANY axis runs as a windowed fixup
+    (make_pallas_step routes them here; static/series x/y BCs keep the
+    in-kernel path). Matches the dense windkessel coupling of
+    engine/step.apply_bc_fixup (reference parity anchor: the hard-coded
+    outlet split this replaces, coronary_cfd/coronary.cu:795-942).
+
+    sub: the PRE-STEP packed slab p[c-1:c+2, a0:a1] (axis 0) or
+    p[a0:a1, c-1:c+2] (axis 1) — a major-dim XLA slice (cheap; the
+    lane-dim z stays FULL so in-plane z pulls wrap exactly like the
+    box, see _valid_window_a). The splice back is a major-dim
+    dynamic-update-slice of all 24 channels (mask channels rewritten
+    with their own static values from the slab).
+
+    Returns (p_out', velsum_delta[, P_c']) like _fix_z_plane_windowed."""
+    from lbm_tpu.core.lattice import phi
+    from lbm_tpu.engine.step import (apply_bc_fixup, collide, guo_source,
+                                     half_force_shift, moving_bb_terms)
+
+    axis = bc.axis
+    a0, a1 = win
+    c = bc.consumer_coord
+    lat_w = (slice(a0, a1), slice(None))      # (A window, B=z full)
+    nbr_w = bc.nbr_wall_plane[(slice(None),) + lat_w]
+    nbr_m = (None if bc.nbr_moving_plane is None
+             else bc.nbr_moving_plane[(slice(None),) + lat_w])
+    bb = (None if cc.wall_velocity is None
+          else moving_bb_terms(cc.wall_velocity))
+    pulled = _plane_pull_packed(sub, nbr_w, axis, 1,
+                                nbr_moving_plane=nbr_m, bb=bb)
+    if axis == 0:
+        fluid_pl = cc.fluid[c, a0:a1, :]
+        src_plane = sub[1, :, :19, :].transpose(1, 0, 2)   # (19, A, B)
+        aux_plane = sub[1, :, 19:, :]
+    else:
+        fluid_pl = cc.fluid[a0:a1, c, :]
+        src_plane = sub[:, 1, :19, :].transpose(1, 0, 2)
+        aux_plane = sub[:, 1, 19:, :]
+
+    def speed_sum(pl):
+        """sum of |u| over the spliced fluid cells (A-window interior;
+        z is full and wraps like the box, so every z lane is owned)."""
+        rho_ = jnp.sum(pl, axis=0)
+        ef_ = jnp.asarray(_E.T.astype(np.float32))
+        mom_ = jnp.tensordot(ef_, pl, axes=([1], [0]),
+                             precision=jax.lax.Precision.HIGHEST)
+        mom_ = half_force_shift(mom_, cc.force)
+        u_ = mom_ / jnp.where(rho_ == 0, 1.0, rho_)[None]
+        speed = jnp.sqrt(jnp.sum(u_ * u_, axis=0))
+        inner = jnp.zeros_like(fluid_pl).at[1:-1, :].set(fluid_pl[1:-1, :])
+        return jnp.sum(jnp.where(inner, speed, 0.0))
+
+    vs_before = speed_sum(pulled)
+
+    bc0 = dataclasses.replace(
+        bc,
+        consumer_coord=0,
+        valid=bc.valid[(slice(None),) + lat_w],
+        phi_star=(None if bc.phi_star is None
+                  else bc.phi_star[(slice(None),) + lat_w]),
+        phi_star_series=(None if bc.phi_star_series is None
+                         else bc.phi_star_series[
+                             (slice(None), slice(None)) + lat_w]),
+        flow_weight=(None if bc.flow_weight is None
+                     else bc.flow_weight[lat_w]),
+    )
+    # lift the (19, A, B) plane into a slab whose `axis` extent is 1 so
+    # apply_bc_fixup's generic plane slicer addresses it at coord 0
+    exp = 1 + axis
+    pulled_slab = jnp.expand_dims(pulled, exp)
+    src_slab = jnp.expand_dims(src_plane, exp)
+    wk_new = None
+    if wk_p is not None:
+        pulled_slab, wk_new = apply_bc_fixup(
+            pulled_slab, src_slab, bc0, t, force=cc.force, wk_p=wk_p,
+            wk_rcr=wk_rcr)
+    else:
+        pulled_slab = apply_bc_fixup(pulled_slab, src_slab, bc0, t,
+                                     force=cc.force)
+    pulled = jnp.squeeze(pulled_slab, exp)
+
+    rho = jnp.sum(pulled, axis=0)
+    ef = jnp.asarray(_E.T.astype(np.float32))
+    mom = jnp.tensordot(ef, pulled, axes=([1], [0]),
+                        precision=jax.lax.Precision.HIGHEST)
+    mom = half_force_shift(mom, cc.force)
+    u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+    feq = rho[None] * phi(u)
+    post = collide(pulled, feq, cc.tau, cc.tau_minus, cc.mrt_k,
+                   cc.closure, rho)
+    if cc.force is not None:
+        post = post + guo_source(u, cc.force, cc.tau, cc.tau_minus,
+                                 cc.mrt_kf)
+    vs_after = speed_sum(pulled)
+    newplane = jnp.where(fluid_pl[None], post, src_plane)
+    # splice the A-window interior (all 24 channels: mask channels get
+    # their own static slab values, so the channel dim stays full and
+    # the update is one contiguous major-dim DUS)
+    full = jnp.concatenate(
+        [newplane.transpose(1, 0, 2), aux_plane], axis=1
+    )[1:-1].astype(p_out.dtype)                         # (wa-2, C, B)
+    if axis == 0:
+        out = p_out.at[c, a0 + 1 : a1 - 1].set(full)
+    else:
+        out = p_out.at[a0 + 1 : a1 - 1, c].set(full)
+    dvs = vs_after - vs_before
+    return (out, dvs) if wk_new is None else (out, dvs, wk_new)
 
 
 class _PairCopy:
@@ -2587,13 +2744,15 @@ def make_pallas_step(
 
     NEE boundaries on x/y planes run INSIDE the kernel (plane-row masks +
     VMEM phi* tables); z-plane boundaries (coronary sub-outlets) fall back
-    to the XLA consumer-plane fixup.
+    to the XLA consumer-plane fixup. Windkessel (RCR) outlets on ANY
+    axis run as out-of-kernel fixups too — their rho* depends on the
+    carried per-outlet P_c, which rides the OUTER scan as an (n_wk,)
+    carry: with windkessel BCs present the returned step's signature is
+    step(p, t, wk) -> (p', velsum, wk'), matching engine/step
+    .make_step_wk (wk order = windkessel BCs within cc.bcs, wk_init).
     """
     from lbm_tpu.engine.step import has_windkessel
-    assert not has_windkessel(cc_pad.bcs), (
-        "the packed Pallas kernel does not thread the windkessel state "
-        "(per-outlet P_c carry); use the dense XLA or sparse backend"
-    )
+    has_wk = has_windkessel(cc_pad.bcs)
     nxp, nyp, nz = cc_pad.shape
     nx, ny = nxp - 2 * ring, nyp - 2 * ring
     prefer_small = interpret and tx is None and ty is None
@@ -2640,8 +2799,10 @@ def make_pallas_step(
             "variable-rate Guo prefactor — run it on the xla/sparse "
             "backends (the kernel supports closures without force)")
 
-    kernel_bcs = [bc for bc in cc_pad.bcs if bc.axis in (0, 1)]
-    fixup_bcs = [bc for bc in cc_pad.bcs if bc.axis == 2]
+    kernel_bcs = [bc for bc in cc_pad.bcs
+                  if bc.axis in (0, 1) and bc.windkessel is None]
+    fixup_bcs = [bc for bc in cc_pad.bcs
+                 if bc.axis == 2 or bc.windkessel is not None]
     if in_place and (fuse == 2 or pure_split):
         raise ValueError(
             "in_place aliasing is only wired on the single-call fuse=1 "
@@ -2653,9 +2814,9 @@ def make_pallas_step(
                              "(pad_spec(halo=2))")
         if fixup_bcs:
             raise ValueError(
-                "fuse=2 cannot interleave the out-of-kernel z-plane NEE "
-                "fixups between the two fused steps — use fuse=1 for "
-                "cases with z-axis boundaries"
+                "fuse=2 cannot interleave the out-of-kernel NEE fixups "
+                "(z-plane or windkessel boundaries) between the two "
+                "fused steps — use fuse=1 for such cases"
             )
     bcs_static = tuple(
         BCStatic.make(
@@ -2695,8 +2856,49 @@ def make_pallas_step(
                      jnp.asarray(order[np_:]), zspan)
 
     wins = [
-        _valid_bbox(bc, (nxp, nyp)) for bc in fixup_bcs
+        _valid_bbox(bc, (nxp, nyp)) if bc.axis == 2
+        else _valid_window_a(bc, nyp if bc.axis == 0 else nxp)
+        for bc in fixup_bcs
     ]
+    # carried-P_c index per fixup BC (wk order = windkessel BCs within
+    # cc.bcs — all of which are fixups here, so enumeration agrees with
+    # engine/compile.wk_init)
+    wk_ks = []
+    k = 0
+    for bc in fixup_bcs:
+        wk_ks.append(k if bc.windkessel is not None else None)
+        if bc.windkessel is not None:
+            k += 1
+
+    def extract_sub(p, bc, w):
+        if bc.axis == 2:
+            return _extract_z_slab(
+                p, x0=w[0], y0=w[2], wx=w[1] - w[0], wy=w[3] - w[2],
+                c=bc.consumer_coord, interpret=interpret)
+        a0, a1 = w
+        c0 = bc.consumer_coord
+        if bc.axis == 0:
+            return jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(p, c0 - 1, c0 + 2, axis=0),
+                a0, a1, axis=1)
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(p, c0 - 1, c0 + 2, axis=1),
+            a0, a1, axis=0)
+
+    def apply_fixup(p_bulk, idx, sub, t, wk):
+        """Fixup BC #idx; returns (p', dvs, wk') with wk threaded."""
+        bc, w, kk = fixup_bcs[idx], wins[idx], wk_ks[idx]
+        kwargs = dict(wk_p=wk[kk]) if kk is not None else {}
+        fn = (_fix_z_plane_windowed if bc.axis == 2
+              else _fix_xy_plane_windowed)
+        res = fn(cc_pad, bc, w, sub, p_bulk, t, interpret=interpret,
+                 **kwargs)
+        if kk is not None:
+            p_bulk, dvs, p_new = res
+            wk = jnp.asarray(wk).at[kk].set(p_new)
+        else:
+            p_bulk, dvs = res
+        return p_bulk, dvs, wk
 
     def nee_at(t):
         nee = []
@@ -2746,21 +2948,18 @@ def make_pallas_step(
         n_live is not None and n_live < total_tiles and split is None)
     need_seam = ip_bulk and (nx // tx) > 1 and (ny // ty) > 1
 
-    def step(p, t):
+    def step_impl(p, t, wk):
         extra = nee_at(t)
         if tids is not None:
             extra.append(tids)
-        # z-BC slabs and the seam rows must be extracted from the
+        # fixup-BC slabs and the seam rows must be extracted from the
         # PRE-step state before the input-aliased kernel call
-        # overwrites it (slabs via a DMA kernel, not an XLA lane slice
-        # — see _extract_z_slab; seam rows are a major-dim strided
-        # slice, fine in XLA).
+        # overwrites it (z slabs via a DMA kernel, not an XLA lane
+        # slice — see _extract_z_slab; x/y slabs and seam rows are
+        # major-dim slices, fine in XLA).
         seam = _extract_seam(p, tx, ring) if need_seam else None
         subs = [
-            _extract_z_slab(
-                p, x0=w[0], y0=w[2], wx=w[1] - w[0], wy=w[3] - w[2],
-                c=bc.consumer_coord, interpret=interpret,
-            )
+            extract_sub(p, bc, w)
             for bc, w in zip(fixup_bcs, wins) if w is not None
         ]
         if (subs or seam is not None) and ip_bulk:
@@ -2801,15 +3000,23 @@ def make_pallas_step(
                 has_seam=need_seam, force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
             )
         k = 0
-        for bc, win in zip(fixup_bcs, wins):
+        for idx, win in enumerate(wins):
             if win is None:
                 continue
-            p_bulk, dvs = _fix_z_plane_windowed(
-                cc_pad, bc, win, subs[k], p_bulk, t,
-                interpret=interpret)
+            p_bulk, dvs, wk = apply_fixup(p_bulk, idx, subs[k], t, wk)
             k += 1
             vs = vs + dvs
-        return p_bulk, vs
+        return p_bulk, vs, wk
+
+    if has_wk:
+        def step_wk(p, t, wk):
+            return step_impl(p, t, wk)
+
+        return step_wk
+
+    def step(p, t):
+        p, vs, _ = step_impl(p, t, None)
+        return p, vs
 
     return step
 
