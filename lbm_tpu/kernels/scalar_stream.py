@@ -78,9 +78,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lbm_tpu.core.lattice import D3Q19
 from lbm_tpu.engine.scalar import (_E7, _OPP7, _Q7, _W7, _defect,
                                    _project, _transport_pass,
                                    bc_geometry, phi7, tau_g_of)
+
+_E19 = D3Q19.E
 from lbm_tpu.engine.step import _plane_slicer
 from lbm_tpu.geometry.mask import CellType
 from lbm_tpu.kernels.collide_stream import (_STACK_FACTOR, _VMEM_LIMIT,
@@ -96,6 +99,18 @@ AUX_B = 4       # blocking indicator (WALL | MOVING)
 AUX_BZP = 5     # blocking rolled +1 along z (pull source for e_z=+1)
 AUX_BZM = 6     # blocking rolled -1 along z (pull source for e_z=-1)
 AUX_FLUID = 7
+
+# STAT-pack channel map for the COUPLED kernel (_subtile7f): the
+# velocity is no longer frozen, so its three AUX channels are replaced
+# by the static per-axis impermeability masks (blocked_axes — the
+# _project test, which the frozen route resolved on the host) and u is
+# rebuilt in-kernel from the live flow tile's moments each step.
+ST_BX, ST_BY, ST_BZ = 0, 1, 2   # blocked-axis masks (wall along +-a)
+ST_B = 3                        # blocking indicator (WALL | MOVING)
+ST_BZP = 4                      # blocking rolled +1 along z
+ST_BZM = 5                      # blocking rolled -1 along z
+ST_FLUID = 6
+# channel 7 spare
 
 
 def pack_g(g):
@@ -184,6 +199,128 @@ def _tile7(ft, at, ot, tx, ty, stx, sty, tau_g, source):
                       min(sty, ty - oy), nz, tau_g, source)
 
 
+def pack_stat(mask):
+    """Static STAT pack (X, Y, 8, Z) for the coupled kernel: per-axis
+    impermeability masks + blocking indicators + fluid (see ST_*)."""
+    m = np.asarray(mask)
+    blocking = ((m == CellType.WALL)
+                | (m == CellType.MOVING)).astype(np.float32)
+    nbr = [np.roll(blocking != 0, shift=tuple(int(v) for v in _E7[i]),
+                   axis=(0, 1, 2)) for i in range(1, _Q7)]
+    ch = [(nbr[2 * a] | nbr[2 * a + 1]).astype(np.float32)
+          for a in range(3)]                        # blocked_axes
+    ch.append(blocking)
+    ch.append(np.roll(blocking, +1, axis=2))
+    ch.append(np.roll(blocking, -1, axis=2))
+    ch.append((m == CellType.FLUID).astype(np.float32))
+    ch.append(np.zeros_like(blocking))
+    return jnp.asarray(np.stack(ch, axis=2))        # (X, Y, 8, Z)
+
+
+def _subtile7f(ft, st, pt, ot, ox, oy, stx, sty, nz, tau_g, source,
+               force=None):
+    """Coupled-transport sub-tile: like _subtile7, but u is rebuilt
+    IN-KERNEL from the live packed flow tile's moments instead of the
+    frozen AUX channels — the kernel-pace version of CoupledTransport's
+    per-step phi7 rebuild (engine/scalar.py:507-524).
+
+    pt: (tx, ty, C_flow, nz) INTERIOR flow tile (the flow kernel's
+    output p' of this step; u at a cell needs no halo). The velocity is
+    recovered from the POST-collision moments: every conservative
+    collision relaxing the momentum mode at rate s with the matching
+    Guo (1 - s/2) source prefactor lands at m' = m + F exactly, so
+    u = (m' - F/2) / rho reproduces the in-step Guo velocity
+    (m + F/2)/rho for BGK/TRT/MRT/closures alike; with force=None
+    u = m'/rho. The impermeability projection (engine/scalar._project)
+    applies the static per-axis blocked masks (ST_BX..ST_BZ).
+
+    force: None, or the static Boussinesq triple (buoy(3,), c_ref,
+    base(3,)|None) — F is rebuilt per cell from the PRE-update scalar
+    c_prev = sum_i g_i, exactly engine/thermal.BuoyantTransport's
+    ordering (flow advanced with the previous step's temperature)."""
+    cx = slice(1 + ox, 1 + ox + stx)
+    cy = slice(1 + oy, 1 + oy + sty)
+    oxs, oys = slice(ox, ox + stx), slice(oy, oy + sty)
+    one = np.float32(1.0)
+
+    rho = pt[oxs, oys, 0, :].astype(jnp.float32)
+    mx = jnp.zeros_like(rho)
+    my = jnp.zeros_like(rho)
+    mz = jnp.zeros_like(rho)
+    for i in range(1, 19):
+        v = pt[oxs, oys, i, :].astype(jnp.float32)
+        rho = rho + v
+        ex, ey, ez = (int(c_) for c_ in _E19[i])
+        if ex:
+            mx = mx + v if ex > 0 else mx - v
+        if ey:
+            my = my + v if ey > 0 else my - v
+        if ez:
+            mz = mz + v if ez > 0 else mz - v
+    fluid = st[cx, cy, ST_FLUID, :] == one
+    fF = (None, None, None)
+    if force is not None:
+        buoy, c_ref, base = force
+        c_prev = ft[cx, cy, 0, :]
+        for i in range(1, _Q7):
+            c_prev = c_prev + ft[cx, cy, i, :]
+        dc = jnp.where(fluid, c_prev - np.float32(c_ref),
+                       np.float32(0.0))
+        fF = tuple(
+            (np.float32(b) * dc + np.float32(base[a]) if base is not None
+             else np.float32(b) * dc) if b or base is not None else None
+            for a, b in enumerate(buoy))
+    inv_rho = one / jnp.where(rho == 0.0, one, rho)
+    ux = (mx if fF[0] is None else mx - np.float32(0.5) * fF[0]) * inv_rho
+    uy = (my if fF[1] is None else my - np.float32(0.5) * fF[1]) * inv_rho
+    uz = (mz if fF[2] is None else mz - np.float32(0.5) * fF[2]) * inv_rho
+    ux = jnp.where(st[cx, cy, ST_BX, :] == one, np.float32(0.0), ux)
+    uy = jnp.where(st[cx, cy, ST_BY, :] == one, np.float32(0.0), uy)
+    uz = jnp.where(st[cx, cy, ST_BZ, :] == one, np.float32(0.0), uz)
+    u3 = (ux, uy, uz)
+
+    vals = [ft[cx, cy, 0, :]]
+    c = vals[0]
+    for i in range(1, _Q7):
+        ex, ey, ez = (int(v_) for v_ in _E7[i])
+        sx = slice(1 + ox - ex, 1 + ox - ex + stx)
+        sy = slice(1 + oy - ey, 1 + oy - ey + sty)
+        piece = ft[sx, sy, i, :]
+        if ez != 0:
+            piece = pltpu.roll(piece, shift=ez % nz, axis=2)
+            bsrc = st[cx, cy, ST_BZP if ez > 0 else ST_BZM, :]
+        else:
+            bsrc = st[sx, sy, ST_B, :]
+        v = jnp.where(bsrc == one, ft[cx, cy, int(_OPP7[i]), :], piece)
+        vals.append(v)
+        c = c + v
+
+    inv_tau = np.float32(1.0 / tau_g)
+    for i in range(_Q7):
+        if i == 0:
+            phi = jnp.full_like(c, np.float32(_W7[0]))
+        else:
+            a = int(np.argmax(np.abs(_E7[i])))
+            s = np.float32(4.0 * int(_E7[i][a]))
+            phi = np.float32(_W7[i]) * (one + s * u3[a])
+        post = vals[i] - (vals[i] - c * phi) * inv_tau
+        if source:
+            post = post + np.float32(source * _W7[i])
+        ot[oxs, oys, i, :] = jnp.where(fluid, post, ft[cx, cy, i, :])
+    ot[oxs, oys, _Q7, :] = jnp.zeros_like(c)
+
+
+def _tile7f(ft, st, pt, ot, tx, ty, stx, sty, tau_g, source, force):
+    if ty % sty:
+        sty = max(d for d in range(1, sty + 1) if ty % d == 0)
+    nz = ft.shape[-1]
+    for ox in range(0, tx, stx):
+        for oy in range(0, ty, sty):
+            _subtile7f(ft, st, pt, ot, ox, oy, min(stx, tx - ox),
+                       min(sty, ty - oy), nz, tau_g, source,
+                       force=force)
+
+
 class _Pair:
     """start()/wait() over the two per-tile input DMAs (g + aux)."""
 
@@ -200,23 +337,40 @@ class _Pair:
 
 
 def _kernel7(*refs, tau_g, source, tx, ty, gx, gy, ring, stx, sty,
-             ntiles, skip, in_place, has_seam):
+             ntiles, skip, in_place, has_seam, has_flow=False,
+             force=None):
     """D3Q7 bulk kernel over packed tiles, driven by the flow kernel's
     double-buffered pipeline (collide_stream._drive — identical DMA
     ordering rules, incl. the in-place seam hazard; see _kernel's
-    docstring there). refs: g_hbm, a_hbm, [tids], [seam], out_hbm,
-    gt, at_, ot, g_sems, a_sems, out_sems, [seam_sems]."""
+    docstring there). refs: g_hbm, a_hbm, [p_hbm], [tids], [seam],
+    out_hbm, gt, at_, [pt_], ot, g_sems, a_sems, [p_sems], out_sems,
+    [seam_sems]. has_flow: a_hbm is the STAT pack and p_hbm carries the
+    live packed flow state — u is rebuilt in-kernel (_subtile7f); the
+    flow tile is INTERIOR-only (no halo), so its DMA is (tx, ty)."""
     g_hbm, a_hbm = refs[0], refs[1]
     rest = refs[2:]
+    p_hbm = None
+    if has_flow:
+        p_hbm, rest = rest[0], rest[1:]
     tids_ref = None
     if skip:
         tids_ref, rest = rest[0], rest[1:]
     seam_ref = None
     if has_seam:
         seam_ref, rest = rest[0], rest[1:]
-    out_hbm, gt, at_, ot = rest[:4]
-    g_sems, a_sems, out_sems = rest[4:7]
-    seam_sems = rest[7] if has_seam else None
+    out_hbm, gt, at_ = rest[:3]
+    rest = rest[3:]
+    pt_ = None
+    if has_flow:
+        pt_, rest = rest[0], rest[1:]
+    ot = rest[0]
+    g_sems, a_sems = rest[1], rest[2]
+    rest = rest[3:]
+    p_sems = None
+    if has_flow:
+        p_sems, rest = rest[0], rest[1:]
+    out_sems = rest[0]
+    seam_sems = rest[1] if has_seam else None
     if ntiles is None:
         ntiles = gx * gy
 
@@ -229,11 +383,17 @@ def _kernel7(*refs, tau_g, source, tx, ty, gx, gy, ring, stx, sty,
         aux = pltpu.make_async_copy(
             a_hbm.at[pl.ds(i * tx + ring - 1, tx + 2), lat],
             at_.at[slot], a_sems.at[slot])
+        cps = [aux]
+        if has_flow:
+            cps.append(pltpu.make_async_copy(
+                p_hbm.at[pl.ds(i * tx + ring, tx),
+                         pl.ds(j * ty + ring, ty)],
+                pt_.at[slot], p_sems.at[slot]))
         if not has_seam:
             main = pltpu.make_async_copy(
                 g_hbm.at[pl.ds(i * tx + ring - 1, tx + 2), lat],
                 gt.at[slot], g_sems.at[slot])
-            return _Pair(main, aux)
+            return _Pair(main, *cps)
         # in-place aliased output with a multi-row tile grid: the north
         # skirt row was already overwritten by tile tid-gy's output DMA
         # — source it from the pre-extracted pre-step seam buffer
@@ -244,7 +404,7 @@ def _kernel7(*refs, tau_g, source, tx, ty, gx, gy, ring, stx, sty,
         north = pltpu.make_async_copy(
             seam_ref.at[pl.ds(i, 1), lat],
             gt.at[slot, 0:1], seam_sems.at[slot])
-        return _Pair(main, north, aux)
+        return _Pair(main, north, *cps)
 
     def out_copy(slot, tid):
         i, j = tid // gy, tid % gy
@@ -255,17 +415,25 @@ def _kernel7(*refs, tau_g, source, tx, ty, gx, gy, ring, stx, sty,
             out_sems.at[slot])
 
     def work(p, tid, slot):
-        _tile7(gt.at[slot], at_.at[slot], ot.at[slot], tx, ty, stx, sty,
-               tau_g, source)
+        if has_flow:
+            _tile7f(gt.at[slot], at_.at[slot], pt_.at[slot],
+                    ot.at[slot], tx, ty, stx, sty, tau_g, source,
+                    force)
+        else:
+            _tile7(gt.at[slot], at_.at[slot], ot.at[slot], tx, ty,
+                   stx, sty, tau_g, source)
 
     _drive(ntiles, get, in_copy, out_copy, work, in_place=in_place)
 
 
-def _pick_tiles7(nx, ny, nz, prefer_small=False, skip=0):
+def _pick_tiles7(nx, ny, nz, prefer_small=False, skip=0,
+                 flow_c: int = 0):
     """DMA tile + compute sub-tile for the 8-channel scalar state. Same
     shape preferences the flow kernel measured (large DMA tile, narrow
     (1, 8, nz) compute value), with the VMEM budget scaled to the
-    3 packed-tile buffers at C=8 (vs the flow's 2 at C=24)."""
+    3 packed-tile buffers at C=8 (vs the flow's 2 at C=24). flow_c:
+    extra per-tile channel columns of the coupled kernel's interior
+    flow-tile buffer (C_flow=24, double-buffered)."""
     if prefer_small:
         return nx, ny, nx, ny
     budget = _VMEM_LIMIT / _STACK_FACTOR
@@ -275,7 +443,8 @@ def _pick_tiles7(nx, ny, nz, prefer_small=False, skip=0):
     for txc, tyc in cands:
         if nx % txc or ny % tyc:
             continue
-        need = 2 * (2 * (txc + 2) * (tyc + 2) + txc * tyc) * col
+        need = (2 * (2 * (txc + 2) * (tyc + 2) + txc * tyc) * col
+                + 2 * txc * tyc * flow_c * nz * 4)
         if need <= budget:
             if skip > 0:
                 skip -= 1
@@ -288,16 +457,17 @@ def _pick_tiles7(nx, ny, nz, prefer_small=False, skip=0):
     jax.jit,
     static_argnames=("tau_g", "source", "tx", "ty", "stx", "sty",
                      "ring", "n_live", "in_place", "has_seam",
-                     "interpret"),
+                     "has_flow", "force", "interpret"),
 )
 def _scalar_bulk(gp, ap, *extra, tau_g, source, tx, ty, stx, sty,
                  ring=1, n_live=None, in_place=None, has_seam=False,
-                 interpret=False):
-    """extra = [tile id list][, seam]. Same aliasing rules as the flow
-    bulk (collide_stream._pallas_bulk): a sparse tile list forces the
-    in-place aliased output (skipped tiles must keep their contents),
-    and in-place with a multi-row multi-column grid needs the pre-step
-    seam buffer."""
+                 has_flow=False, force=None, interpret=False):
+    """extra = [flow p][, tile id list][, seam]. Same aliasing rules as
+    the flow bulk (collide_stream._pallas_bulk): a sparse tile list
+    forces the in-place aliased output (skipped tiles must keep their
+    contents), and in-place with a multi-row multi-column grid needs
+    the pre-step seam buffer. has_flow/force: coupled-transport mode
+    (see _kernel7 / _subtile7f) — ap is then the STAT pack."""
     nxp, nyp, _, nz = gp.shape
     nx, ny = nxp - 2 * ring, nyp - 2 * ring
     gx, gy = nx // tx, ny // ty
@@ -314,21 +484,31 @@ def _scalar_bulk(gp, ap, *extra, tau_g, source, tx, ty, stx, sty,
     kern = functools.partial(
         _kernel7, tau_g=tau_g, source=source, tx=tx, ty=ty, gx=gx,
         gy=gy, ring=ring, stx=stx, sty=sty, ntiles=n_live, skip=skip,
-        in_place=in_place, has_seam=has_seam)
+        in_place=in_place, has_seam=has_seam, has_flow=has_flow,
+        force=force)
     scratch = [
         pltpu.VMEM((2, tx + 2, ty + 2, C7, nz), jnp.float32),
         pltpu.VMEM((2, tx + 2, ty + 2, C7, nz), jnp.float32),
+    ]
+    if has_flow:
+        cflow = int(extra[0].shape[2])
+        scratch.append(pltpu.VMEM((2, tx, ty, cflow, nz),
+                                  extra[0].dtype))
+    scratch += [
         pltpu.VMEM((2, tx, ty, C7, nz), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
     ]
+    if has_flow:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if has_seam:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
     (out,) = pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct(gp.shape, jnp.float32)],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_flow else 0)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
         + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_seam else 0),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -517,29 +697,32 @@ class ScalarTransportPallas:
         self._scan_cache = {}
 
     # ---- one step: bulk kernel + per-BC slab fixups -----------------
-    def _slab(self, gp, fx):
+    def _slab(self, gp, fx, nch=_Q7):
         a0, a1, b0, b1 = fx["win"]
         axis, cc = fx["axis"], fx["cc"]
         if axis == 2:
             sub = _extract_z_slab(gp, x0=a0, y0=b0, wx=a1 - a0,
                                   wy=b1 - b0, c=cc,
                                   interpret=self.interpret)
-            return sub.transpose(2, 0, 1, 3)[:_Q7]     # (7, wx, wy, 3)
+            return sub.transpose(2, 0, 1, 3)[:nch]     # (n, wx, wy, 3)
         if axis == 0:
-            sub = gp[cc - 1: cc + 2, a0:a1, :_Q7, b0:b1]
-            return sub.transpose(2, 0, 1, 3)           # (7, 3, wa, wb)
-        sub = gp[a0:a1, cc - 1: cc + 2, :_Q7, b0:b1]
-        return sub.transpose(2, 0, 1, 3)               # (7, wa, 3, wb)
+            sub = gp[cc - 1: cc + 2, a0:a1, :nch, b0:b1]
+            return sub.transpose(2, 0, 1, 3)           # (n, 3, wa, wb)
+        sub = gp[a0:a1, cc - 1: cc + 2, :nch, b0:b1]
+        return sub.transpose(2, 0, 1, 3)               # (n, wa, 3, wb)
 
-    def _apply_fix(self, g_out, slab_g, fx, t):
+    def _apply_fix(self, g_out, slab_g, fx, t, phi=None):
         """Recompute the consumer plane exactly on the pre-step slab via
         the dense pass, splice its window interior into the kernel
         output, and return the plane's post-stream mean concentration
-        over the BC footprint (the washout record)."""
+        over the BC footprint (the washout record). phi: override of
+        the static fx["phi"] — the coupled route rebuilds it per step
+        from the live flow slab (CoupledTransportPallas._slab_phi)."""
         axis, cc = fx["axis"], fx["cc"]
         a0, a1, b0, b1 = fx["win"]
         g_new, c = _transport_pass(
-            slab_g, t, fx["phi"], fx["nbr"], fx["bcs"], self.omega,
+            slab_g, t, fx["phi"] if phi is None else phi, fx["nbr"],
+            fx["bcs"], self.omega,
             self.tau_g, fx["comp"], self.source, fx["fluid"])
         plane_sl = _plane_slicer(axis, 1)
         newplane = g_new[(slice(None),) + plane_sl]     # (7, A, B)
@@ -656,4 +839,210 @@ class ScalarTransportPallas:
         return float(g[(slice(None),) + self._crop].sum())
 
 
-__all__ = ["ScalarTransportPallas", "pack_g", "unpack_g", "pack_aux"]
+class CoupledTransportPallas(ScalarTransportPallas):
+    """Kernel-pace time-resolved coupled transport (VERDICT r4
+    next-#1): the flow Pallas kernel and the D3Q7 scalar kernel advance
+    in ONE lax.scan body — per step the fused flow kernel produces p'
+    (including its NEE/windkessel plane fixups), then the coupled
+    scalar kernel (_subtile7f) streams p' interior tiles alongside the
+    g tiles and rebuilds the advection velocity IN-KERNEL from p''s
+    moments, replacing engine/scalar.CoupledTransport's dense-XLA flow
+    step — the route that could not even compile at the flagship
+    291x291x372 coronary box. BC consumer planes recompute densely on
+    pre-step slabs as in the frozen class, with the slab phi rebuilt
+    per step from the flow slab (_slab_phi).
+
+    Semantics vs the dense CoupledTransport (div_fix=False):
+      - the scalar advects in u = (m' - F/2)/rho from the POST-collision
+        flow state; collision invariance makes this the in-step Guo
+        velocity exactly in exact arithmetic (see _subtile7f), so
+        agreement is to fp32 op-order rounding (tests use rtol).
+      - div_fix is OFF (the defect compensation is a property of one
+        frozen field; for time-resolved flow it would have to be
+        rebuilt per step — 6 dense rolls — defeating the kernel; the
+        dense class accepts div_fix=False for the same regime).
+    Windkessel outlets ride the flow step's P_c carry
+    (collide_stream.make_pallas_step wk route) — the full clinical
+    pulsatile configuration (coronary + RCR + contrast washout) runs
+    at kernel pace.
+
+    flow_kwargs: forwarded to make_pallas_step (e.g. in_place=True at
+    512^3-class sizes, tx/ty overrides).
+    """
+
+    def __init__(self, spec, D: Optional[float] = None,
+                 tau_g: Optional[float] = None,
+                 inlet_c: Optional[dict] = None, source: float = 0.0,
+                 c0=None, f0=None, wk0=None, interpret: bool = False,
+                 tx: Optional[int] = None, ty: Optional[int] = None,
+                 stx: Optional[int] = None, sty: Optional[int] = None,
+                 tile_skip="auto", flow_kwargs: Optional[dict] = None,
+                 lowmem: Optional[bool] = None):
+        from lbm_tpu.engine.compile import compile_case, wk_init
+        from lbm_tpu.engine.step import has_windkessel, initial_f
+        from lbm_tpu.kernels import collide_stream as cs
+
+        super().__init__(spec, np.asarray(spec.u0), D=D, tau_g=tau_g,
+                         inlet_c=inlet_c, source=source, c0=c0,
+                         div_fix=False, interpret=interpret, tx=tx,
+                         ty=ty, stx=stx, sty=sty, tile_skip=tile_skip)
+        sp = self.spec_pad
+        self.stat = pack_stat(sp.mask)
+        self.aux = None     # frozen-u AUX replaced by stat + live flow
+        for fx in self._fix:
+            nbr = np.asarray(fx["nbr"])
+            fx["blocked"] = jnp.asarray(np.stack(
+                [nbr[2 * a] | nbr[2 * a + 1] for a in range(3)]))
+            fx["phi"] = None            # rebuilt per step (_slab_phi)
+
+        if lowmem is None:
+            lowmem = int(np.prod(sp.shape)) * 24 * 4 > 4e9
+        self._lowmem = bool(lowmem)
+        self.cc = compile_case(sp, light=True, host_arrays=lowmem)
+        self.has_wk = has_windkessel(self.cc.bcs)
+        self._flow_force = (None if spec.force is None else
+                            tuple(float(v) for v in spec.force))
+        kw = dict(interpret=interpret, tile_skip="auto")
+        if lowmem:
+            kw["in_place"] = True
+        kw.update(flow_kwargs or {})
+        self._flow_step = cs.make_pallas_step(self.cc, **kw)
+        # coupled-kernel force constants (None for pure transport; the
+        # Boussinesq subclass sets (buoy, c_ref, base))
+        self._force_const = (None if self._flow_force is None
+                             else ((0.0, 0.0, 0.0), 0.0,
+                                   self._flow_force))
+
+        if f0 is None:
+            if lowmem:
+                self.p = cs.packed_initial_lowmem(sp)
+            else:
+                mask = jnp.asarray(np.asarray(sp.mask))
+                self.p = cs.pack_state(initial_f(self.cc), mask)
+        else:
+            f0 = np.asarray(f0, np.float32)
+            assert f0.shape == (19,) + tuple(spec.shape), f0.shape
+            if lowmem:
+                self.p = cs.pack_state_lowmem(f0, sp)
+            else:
+                X, Y, Z = spec.shape
+                Xp, Yp, Zp = sp.shape
+                fpad = jnp.pad(jnp.asarray(f0),
+                               ((0, 0), (1, Xp - X - 1),
+                                (1, Yp - Y - 1), (0, Zp - Z)))
+                mask = jnp.asarray(np.asarray(sp.mask))
+                self.p = cs.pack_state(fpad, mask)
+        w0 = wk_init(self.cc.bcs)
+        if not self.has_wk:
+            self.wk = jnp.zeros((0,), jnp.float32)
+        else:
+            self.wk = jnp.asarray(w0 if wk0 is None else wk0,
+                                  jnp.float32)
+        self.velsum = None  # last step's fluid speed sum (diagnostic)
+
+    def _slab_phi(self, slab_p, fx, slab_g=None):
+        """phi7 on a fixup slab from the live flow slab's moments: u =
+        (m' - F/2)/rho, impermeability-projected with the slab's static
+        blocked-axis masks — the slab mirror of _subtile7f. slab_g:
+        used by the Boussinesq subclass for the per-cell F."""
+        rho = jnp.sum(slab_p, axis=0)
+        mom = jnp.tensordot(
+            jnp.asarray(_E19.T.astype(np.float32)), slab_p,
+            axes=([1], [0]), precision=jax.lax.Precision.HIGHEST)
+        F = self._slab_force(fx, slab_g)
+        if F is not None:
+            mom = mom - 0.5 * F
+        u = mom / jnp.where(rho == 0, 1.0, rho)[None]
+        u = jnp.where(fx["blocked"], 0.0, u)
+        return phi7(u)
+
+    def _slab_force(self, fx, slab_g):
+        """Slab force field (None for pure transport; static case force
+        broadcasts)."""
+        if self._flow_force is None:
+            return None
+        return jnp.asarray(self._flow_force, jnp.float32).reshape(
+            (3,) + (1,) * 3)
+
+    def make_coupled_step(self):
+        def step(p, gp, t, wk, stat):
+            if self.has_wk:
+                p, vs, wk = self._flow_step(p, t, wk)
+            else:
+                p, vs = self._flow_step(p, t)
+            extra = [p]
+            if self.tids is not None:
+                extra.append(self.tids)
+            seam = (_extract_seam(gp, self.tx, 1)
+                    if self.need_seam else None)
+            slabs_g = [self._slab(gp, fx) for fx in self._fix]
+            # post-flow-step slabs: the dense coupled route advects in
+            # THIS step's u, which includes the flow BC fixups
+            slabs_p = [self._slab(p, fx, nch=19) for fx in self._fix]
+            if self.in_place and (slabs_g or seam is not None):
+                pre = [seam] if seam is not None else []
+                bar = jax.lax.optimization_barrier((gp, *pre, *slabs_g))
+                gp, rest = bar[0], list(bar[1:])
+                if seam is not None:
+                    seam, rest = rest[0], rest[1:]
+                slabs_g = rest
+            if seam is not None:
+                extra.append(seam)
+            out = _scalar_bulk(
+                gp, stat, *extra, tau_g=self.tau_g,
+                source=self.source, tx=self.tx, ty=self.ty,
+                stx=self.stx, sty=self.sty, n_live=self.n_live,
+                in_place=self.in_place or None,
+                has_seam=self.need_seam, has_flow=True,
+                force=self._force_const, interpret=self.interpret)
+            recs = []
+            for fx, sg, sp_ in zip(self._fix, slabs_g, slabs_p):
+                phi = self._slab_phi(sp_, fx, slab_g=sg)
+                out, rec = self._apply_fix(out, sg, fx, t, phi=phi)
+                recs.append(rec)
+            return p, out, (jnp.stack(recs) if recs
+                            else jnp.zeros((0,), jnp.float32)), vs, wk
+
+        return step
+
+    def run(self, n_steps: int, record: Optional[list] = None):
+        """Advance flow + scalar n_steps in one jitted scan (flow state,
+        g state and windkessel carry all ride the scan); record as in
+        ScalarTransport.run."""
+        key = (int(n_steps), None if record is None else tuple(record))
+        if key not in self._scan_cache:
+            step = self.make_coupled_step()
+            rec_idx = tuple(record) if record is not None else ()
+
+            def scan_fn(p, g, wk, t0, stat):
+                def body(carry, t):
+                    p, g, wk = carry
+                    p, g, recs, vs, wk = step(p, g, t, wk, stat)
+                    ys = (recs[jnp.asarray(rec_idx)] if rec_idx
+                          else jnp.zeros((0,), jnp.float32))
+                    return (p, g, wk), ys
+
+                return jax.lax.scan(
+                    body, (p, g, wk),
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32))
+
+            self._scan_cache[key] = jax.jit(scan_fn,
+                                            donate_argnums=(0, 1))
+        (self.p, self.g, self.wk), series = self._scan_cache[key](
+            self.p, self.g, self.wk, jnp.int32(self.t), self.stat)
+        self.t += n_steps
+        return np.asarray(series) if record is not None else None
+
+    def macro(self):
+        """(rho, u) of the live flow on the UNPADDED box (streamed
+        packed moments, runner semantics)."""
+        from lbm_tpu.kernels.collide_stream import packed_macro
+
+        nx, ny, nz = self.spec.shape
+        rho, u = packed_macro(self.p, ring=1, force=self.cc.force,
+                              interpret=self.interpret)
+        return rho[:nx, :ny, :nz], u[:, :nx, :ny, :nz]
+
+
+__all__ = ["ScalarTransportPallas", "CoupledTransportPallas", "pack_g",
+           "unpack_g", "pack_aux", "pack_stat"]
