@@ -240,7 +240,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                   stx: int | None = None, sty: int | None = None,
                   vs_win=None, pure_zspan=None, bits=False,
                   vs_scr=None, force=None, wall_velocity=None,
-                  mrt=None, les=None):
+                  mrt=None, les=None, gft=None, fforce=None):
     """All-VMEM tile update, computed in (stx, sty) SUB-TILES.
 
     ft: ref (ex_x+2, ex_y+2, C, nz) f32 — packed tile with x/y halos.
@@ -298,6 +298,7 @@ def _tile_compute(ft, ot, tau: float, ex_x: int, ex_y: int,
                     gx0, gy0, bcs_static, vs_win, bits=bits,
                     vs_scr=vs_scr, force=force,
                     wall_velocity=wall_velocity, mrt=mrt, les=les,
+                    gft=gft, fforce=fforce,
                 )
     return total
 
@@ -603,7 +604,7 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
 def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                      gx0, gy0, bcs_static, vs_win, bits=False,
                      vs_scr=None, force=None, wall_velocity=None,
-                     mrt=None, les=None):
+                     mrt=None, les=None, gft=None, fforce=None):
     # Storage may be bf16 (pack_state dtype=): every pdf load widens to
     # fp32 (_f32), collision runs in fp32, stores narrow to ot's dtype
     # (_st). Both casts are no-ops for f32 storage. Mask-channel values
@@ -620,6 +621,36 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
     # velsum multi_reduction (observed compile failure at 256^3).
     m_ctr = ft[cx, cy, MASK_CH, :].astype(jnp.float32)
     is_fluid = m_ctr == np.float32(int(CellType.FLUID))
+
+    # Per-cell Boussinesq force field (fforce = (buoy, c_ref, base)):
+    # F = buoy * (c - c_ref) at fluid cells (+ base everywhere), with
+    # c the PRE-update scalar summed from the g tile's 7 channels —
+    # the kernel mirror of engine/thermal.BuoyantTransport._force_field
+    # (flow advances with the previous step's temperature). Components
+    # with a statically-zero buoyancy and base stay None, so e.g. a
+    # z-only gravity pays force arithmetic on 5 of 9 pairs only.
+    fF = None
+    if fforce is not None:
+        buoy, c_ref, base = fforce
+        o_xs, o_ys = slice(ox, ox + stx), slice(oy, oy + sty)
+        cph = gft[o_xs, o_ys, 0, :].astype(jnp.float32)
+        for q7 in range(1, 7):
+            cph = cph + gft[o_xs, o_ys, q7, :].astype(jnp.float32)
+        dc = jnp.where(is_fluid, cph - np.float32(c_ref),
+                       np.float32(0.0))
+        fF = []
+        for a in range(3):
+            b = float(buoy[a])
+            bs = None if base is None else float(base[a])
+            if b == 0.0 and not bs:
+                fF.append(None)
+            elif b == 0.0:
+                fF.append(jnp.full_like(dc, np.float32(bs)))
+            else:
+                v = np.float32(b) * dc
+                if bs:
+                    v = v + np.float32(bs)
+                fF.append(v)
 
     # Per-direction wall tests. bits=True: ONE hoisted i32 bitmask
     # (channel 22, wall_bits) + an AND per direction — replaces 18
@@ -689,6 +720,13 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         mx = mx + np.float32(0.5 * force[0])
         my = my + np.float32(0.5 * force[1])
         mz = mz + np.float32(0.5 * force[2])
+    if fF is not None:  # per-cell half-force shift (field mode)
+        if fF[0] is not None:
+            mx = mx + np.float32(0.5) * fF[0]
+        if fF[1] is not None:
+            my = my + np.float32(0.5) * fF[1]
+        if fF[2] is not None:
+            mz = mz + np.float32(0.5) * fF[2]
     inv_rho = np.float32(1.0) / jnp.where(rho == 0.0, np.float32(1.0), rho)
     ux, uy, uz = mx * inv_rho, my * inv_rho, mz * inv_rho
     usq = ux * ux + uy * uy + uz * uz
@@ -709,6 +747,19 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
                 else np.float32(1.0 - 0.5 * float(inv_tau_m)))
         uF = (ux * np.float32(force[0]) + uy * np.float32(force[1])
               + uz * np.float32(force[2]))
+    elif fF is not None:
+        # field-mode Guo source: same parity split, but e_i.F and u.F
+        # are per-cell arrays (None components drop their terms)
+        cp_f = np.float32(1.0 - 0.5 * float(inv_tau))
+        cm_f = (cp_f if inv_tau_m is None
+                else np.float32(1.0 - 0.5 * float(inv_tau_m)))
+        uF = None
+        for a, ua in enumerate((ux, uy, uz)):
+            if fF[a] is not None:
+                t_ = ua * fF[a]
+                uF = t_ if uF is None else uF + t_
+        if uF is None:
+            uF = jnp.zeros_like(ux)
     if les is not None:
         # Per-cell tau closure (core/rheology: Smagorinsky LES or
         # non-Newtonian nu(gamma)): Pi_ab is parity-EVEN, so only the
@@ -846,7 +897,7 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
         f0 = vals[0]
         feq0 = rho * np.float32(_W[0]) * common
         post_0 = f0 - (f0 - feq0) * inv_tau
-        if force is not None:
+        if force is not None or fF is not None:
             post_0 = post_0 + np.float32(-3.0 * cp_f * float(_W[0])) * uF
         ot[oxs, oys, 0, :] = jnp.where(is_fluid, post_0, f0).astype(odt)
     rho_tau = rho * inv_tau
@@ -891,6 +942,22 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             if eF:
                 se = se + np.float32(9.0 * cp_f * w * eF) * cu
                 so = np.float32(3.0 * cm_f * w * eF)
+                post_i = post_i + (se + so)
+                post_o = post_o + (se - so)
+            else:
+                post_i = post_i + se
+                post_o = post_o + se
+        elif fF is not None:
+            se = np.float32(-3.0 * cp_f * w) * uF
+            eFv = None
+            for a in range(3):
+                ea = int(_E[i][a])
+                if ea and fF[a] is not None:
+                    t_ = fF[a] if ea > 0 else -fF[a]
+                    eFv = t_ if eFv is None else eFv + t_
+            if eFv is not None:
+                se = se + np.float32(9.0 * cp_f * w) * (eFv * cu)
+                so = np.float32(3.0 * cm_f * w) * eFv
                 post_i = post_i + (se + so)
                 post_o = post_o + (se - so)
             else:
@@ -1209,6 +1276,7 @@ def _kernel(
     pure: bool = False, zspan=(0, -1), has_prev: bool = False,
     has_seam: bool = False, bits: bool = False, bounce: bool = False,
     force=None, wall_velocity=None, mrt=None, les=None,
+    has_gf: bool = False, fforce=None,
 ):
     """Single-step kernel. ring: halo-ring width of the packed state (2
     when the state is shared with the 2-step fused kernel). skip: a
@@ -1231,11 +1299,19 @@ def _kernel(
     tiles later in the list: west column by out(q-1), which starts
     only after in(q) landed; south row and remaining corners by
     future tiles.
-    ntiles: number of processed tiles (= len(list) if skip)."""
+    ntiles: number of processed tiles (= len(list) if skip).
+    has_gf/fforce: per-cell Boussinesq force mode — a second HBM
+    operand (the D3Q7 g-pack, right after p) streams INTERIOR tiles
+    alongside the state and F = buoy (c - c_ref) + base is built
+    in-kernel (_subtile_compute's fF path)."""
     nbc = len(bcs_static)
     p_hbm = refs[0]
-    nee_refs = refs[1 : 1 + nbc]
-    rest = refs[1 + nbc :]
+    rest = refs[1:]
+    gf_hbm = None
+    if has_gf:
+        gf_hbm, rest = rest[0], rest[1:]
+    nee_refs = rest[:nbc]
+    rest = rest[nbc:]
     if skip:
         tids_ref, rest = rest[0], rest[1:]
     if has_prev:
@@ -1250,6 +1326,9 @@ def _kernel(
         rest = rest[2:]
     out_hbm, vs_out, ft, ot = rest[:4]
     rest = rest[4:]
+    gft = None
+    if has_gf:
+        gft, rest = rest[0], rest[1:]
     if bounce:
         # bf16 storage: velsum contributions bounce through a small f32
         # VMEM scratch so the ADD multi_reduction sees zero layout
@@ -1257,6 +1336,9 @@ def _kernel(
         vs_scr, rest = rest[0], rest[1:]
     acc, in_sems, out_sems = rest[:3]
     rest = rest[3:]
+    gf_sems = None
+    if has_gf:
+        gf_sems, rest = rest[0], rest[1:]
     if halo_axis is not None:
         halo_sems, rest = rest[0], rest[1:]
     seam_sems = rest[0] if has_seam else None
@@ -1267,6 +1349,17 @@ def _kernel(
         return tids_ref[p] if skip else p
 
     def in_copy(slot, tid):
+        base = _in_copy_base(slot, tid)
+        if not has_gf:
+            return base
+        i, j = tid // gy, tid % gy
+        gcp = pltpu.make_async_copy(
+            gf_hbm.at[pl.ds(i * tx + ring, tx),
+                      pl.ds(j * ty + ring, ty)],
+            gft.at[slot], gf_sems.at[slot])
+        return _PairCopy(base, gcp)
+
+    def _in_copy_base(slot, tid):
         i, j = tid // gy, tid % gy
         if halo_axis is None:
             if not has_seam:
@@ -1393,6 +1486,7 @@ def _kernel(
             gx0=gx0, gy0=gy0, bcs_static=bcs_static,
             stx=stx, sty=sty, bits=bits, vs_scr=vs_scr, force=force,
             wall_velocity=wall_velocity, mrt=mrt, les=les,
+            gft=None if gft is None else gft.at[slot], fforce=fforce,
         )
         acc[0] = acc[0] + vs
 
@@ -1763,16 +1857,17 @@ def _pick_tiles(nx: int, ny: int, nz: int, budget_mb: float | None = None,
                      "interpret", "stx", "sty", "ring", "n_live",
                      "in_place", "pure", "zspan", "has_prev",
                      "has_seam", "bits", "force", "wall_velocity",
-                     "mrt", "les"),
+                     "mrt", "les", "has_gf", "fforce"),
 )
 def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
                  halo_axis=None, interpret=False, stx=None, sty=None,
                  ring=1, n_live=None, in_place=None, pure=False,
                  zspan=(0, -1), has_prev=False, has_seam=False,
                  bits=False, force=None, wall_velocity=None, mrt=None,
-                 les=None):
-    """extra = [*nee_tables][, tile id list][, prev_out][, seam]
-    [, lo, hi].
+                 les=None, has_gf=False, fforce=None):
+    """extra = [g-pack][, *nee_tables][, tile id list][, prev_out]
+    [, seam][, lo, hi]. has_gf/fforce: per-cell Boussinesq force mode
+    (the g-pack leads the extras; see _kernel).
 
     The tile id list (SMEM) drives two distinct features:
       - block-sparse skip: n_live < total tiles — untouched tiles must
@@ -1812,7 +1907,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         pure=pure, zspan=zspan, has_prev=has_prev,
         has_seam=has_seam, bits=bits,
         bounce=bounce, force=force, wall_velocity=wall_velocity,
-        mrt=mrt, les=les,
+        mrt=mrt, les=les, has_gf=has_gf, fforce=fforce,
     )
     if bits and (p.dtype != jnp.float32 or p.shape[2] <= BITS_CH):
         raise ValueError(
@@ -1822,7 +1917,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         )
     n_nee = (len(extra) - (2 if halo_axis is not None else 0)
              - (1 if skip else 0) - (1 if has_prev else 0)
-             - (1 if has_seam else 0))
+             - (1 if has_seam else 0) - (1 if has_gf else 0))
     cd = p.shape[2]  # 22, or 24 with the bits channel
     scratch = [
         pltpu.VMEM((2, tx + 2, ty + 2, cd, nz), p.dtype),
@@ -1831,8 +1926,15 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if has_gf:  # interior g-pack tile, after ot (see _kernel unpack)
+        c7 = int(extra[0].shape[2])
+        scratch.insert(2, pltpu.VMEM((2, tx, ty, c7, nz),
+                                     extra[0].dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # gf_sems (after
+        # out_sems; halo/seam sems follow, matching _kernel's order)
     if bounce:  # f32 velsum bounce scratch, between ot and acc
-        scratch.insert(2, pltpu.VMEM((tx, ty, nz), jnp.float32))
+        scratch.insert(2 + (1 if has_gf else 0),
+                       pltpu.VMEM((tx, ty, nz), jnp.float32))
     if halo_axis is not None:
         # (slot, top/bottom ring row) — the split tile-input DMAs
         scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
@@ -1842,7 +1944,8 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
     if in_place:
         aliases = {0: 0}
     elif has_prev:
-        aliases = {1 + n_nee + (1 if skip else 0): 0}
+        aliases = {1 + n_nee + (1 if skip else 0)
+                   + (1 if has_gf else 0): 0}
     else:
         aliases = {}
     out, vs = pl.pallas_call(
@@ -1852,6 +1955,7 @@ def _pallas_bulk(p, *extra, tau, tx, ty, bcs_static=(),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_gf else 0)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_nee
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if skip else 0)
         + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if has_prev else 0)
@@ -2714,6 +2818,7 @@ def make_pallas_step(
     ring: int = 1, fuse: int = 1, tile_skip=False,
     pure_split: bool = False, bits: bool = False,
     in_place: bool | None = None, tile_shrink: int = 0,
+    force_field=None,
 ) -> Callable:
     """Build the Pallas-backed fused step over PACKED PADDED state.
 
@@ -2750,9 +2855,33 @@ def make_pallas_step(
     carry: with windkessel BCs present the returned step's signature is
     step(p, t, wk) -> (p', velsum, wk'), matching engine/step
     .make_step_wk (wk order = windkessel BCs within cc.bcs, wk_init).
+
+    force_field: static (buoy(3,), c_ref, base(3,)|None) — the per-cell
+    Boussinesq force mode (engine/thermal semantics): the step gains a
+    g-pack argument, step(p, t, gf[, wk]), and F = buoy (c - c_ref) +
+    base is built in-kernel from gf's 7 scalar channels per tile
+    (kernel mirror of step.make_step_force; plane-BC fixups keep the
+    static base force, exactly the documented dense semantics).
     """
     from lbm_tpu.engine.step import has_windkessel
     has_wk = has_windkessel(cc_pad.bcs)
+    if force_field is not None:
+        if cc_pad.force is not None:
+            raise ValueError(
+                "force_field carries the static base force in its third "
+                "slot; compile the case without CaseSpec.force")
+        if fuse == 2 or pure_split:
+            raise ValueError(
+                "force_field is wired on the single-step full-tile path "
+                "only (no fuse=2 / pure_split)")
+        if cc_pad.mrt_k is not None or cc_pad.closure is not None:
+            raise ValueError(
+                "force_field + MRT/closure needs the moment-space or "
+                "variable-rate source — use the dense backend")
+        buoy_f, cref_f, base_f = force_field
+        force_field = (tuple(float(v) for v in buoy_f), float(cref_f),
+                       None if base_f is None
+                       else tuple(float(v) for v in base_f))
     nxp, nyp, nz = cc_pad.shape
     nx, ny = nxp - 2 * ring, nyp - 2 * ring
     prefer_small = interpret and tx is None and ty is None
@@ -2948,8 +3077,10 @@ def make_pallas_step(
         n_live is not None and n_live < total_tiles and split is None)
     need_seam = ip_bulk and (nx // tx) > 1 and (ny // ty) > 1
 
-    def step_impl(p, t, wk):
+    def step_impl(p, t, wk, gf=None):
         extra = nee_at(t)
+        if gf is not None:
+            extra = [gf] + extra
         if tids is not None:
             extra.append(tids)
         # fixup-BC slabs and the seam rows must be extracted from the
@@ -2998,6 +3129,7 @@ def make_pallas_step(
                 n_live=n_live, bits=bits,
                 in_place=True if in_place else None,
                 has_seam=need_seam, force=force, wall_velocity=wall_velocity, mrt=mrt, les=les,
+                has_gf=gf is not None, fforce=force_field,
             )
         k = 0
         for idx, win in enumerate(wins):
@@ -3007,6 +3139,19 @@ def make_pallas_step(
             k += 1
             vs = vs + dvs
         return p_bulk, vs, wk
+
+    if force_field is not None:
+        if has_wk:
+            def step_ff_wk(p, t, gf, wk):
+                return step_impl(p, t, wk, gf=gf)
+
+            return step_ff_wk
+
+        def step_ff(p, t, gf):
+            p_, vs, _ = step_impl(p, t, None, gf=gf)
+            return p_, vs
+
+        return step_ff
 
     if has_wk:
         def step_wk(p, t, wk):

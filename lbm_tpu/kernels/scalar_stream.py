@@ -723,11 +723,16 @@ class ScalarTransportPallas:
         g_new, c = _transport_pass(
             slab_g, t, fx["phi"] if phi is None else phi, fx["nbr"],
             fx["bcs"], self.omega,
-            self.tau_g, fx["comp"], self.source, fx["fluid"])
+            self.tau_g, fx["comp"], self.source, fx["fluid"],
+            dirichlet=fx.get("dirichlet"))
         plane_sl = _plane_slicer(axis, 1)
         newplane = g_new[(slice(None),) + plane_sl]     # (7, A, B)
         c_plane = c[plane_sl]
-        rec = jnp.sum(jnp.where(fx["valid"], c_plane, 0.0)) / fx["denom"]
+        if fx.get("valid") is None:      # Dirichlet-wall fixup: no
+            rec = jnp.float32(0.0)       # washout record to sample
+        else:
+            rec = (jnp.sum(jnp.where(fx["valid"], c_plane, 0.0))
+                   / fx["denom"])
         # splice the window interior (margin >= 2 makes the outermost
         # ring the only wrap-corruptible cells; full-z laterals wrap
         # exactly like the box and need no trim)
@@ -939,6 +944,8 @@ class CoupledTransportPallas(ScalarTransportPallas):
             self.wk = jnp.asarray(w0 if wk0 is None else wk0,
                                   jnp.float32)
         self.velsum = None  # last step's fluid speed sum (diagnostic)
+        self._ff = None     # Boussinesq force-field flow (subclass)
+        self._dfix = []     # Dirichlet-wall plane fixups (subclass)
 
     def _slab_phi(self, slab_p, fx, slab_g=None):
         """phi7 on a fixup slab from the live flow slab's moments: u =
@@ -966,7 +973,14 @@ class CoupledTransportPallas(ScalarTransportPallas):
 
     def make_coupled_step(self):
         def step(p, gp, t, wk, stat):
-            if self.has_wk:
+            if self._ff is not None:
+                # Boussinesq mode: the flow kernel streams the g-pack
+                # and builds F = buoy (c_prev - c_ref) per cell
+                if self.has_wk:
+                    p, vs, wk = self._flow_step(p, t, gp, wk)
+                else:
+                    p, vs = self._flow_step(p, t, gp)
+            elif self.has_wk:
                 p, vs, wk = self._flow_step(p, t, wk)
             else:
                 p, vs = self._flow_step(p, t)
@@ -975,17 +989,23 @@ class CoupledTransportPallas(ScalarTransportPallas):
                 extra.append(self.tids)
             seam = (_extract_seam(gp, self.tx, 1)
                     if self.need_seam else None)
-            slabs_g = [self._slab(gp, fx) for fx in self._fix]
+            fixes = list(self._fix) + list(self._dfix)
+            slabs_g = [self._slab(gp, fx) for fx in fixes]
             # post-flow-step slabs: the dense coupled route advects in
             # THIS step's u, which includes the flow BC fixups
-            slabs_p = [self._slab(p, fx, nch=19) for fx in self._fix]
+            slabs_p = [self._slab(p, fx, nch=19) for fx in fixes]
             if self.in_place and (slabs_g or seam is not None):
+                # sequence EVERY other consumer of gp (slab extraction,
+                # and in force-field mode the flow kernel's own g read,
+                # via p) before the input-aliased scalar kernel
                 pre = [seam] if seam is not None else []
-                bar = jax.lax.optimization_barrier((gp, *pre, *slabs_g))
-                gp, rest = bar[0], list(bar[1:])
+                bar = jax.lax.optimization_barrier(
+                    (gp, p, *pre, *slabs_g))
+                gp, p, rest = bar[0], bar[1], list(bar[2:])
                 if seam is not None:
                     seam, rest = rest[0], rest[1:]
                 slabs_g = rest
+                extra[0] = p
             if seam is not None:
                 extra.append(seam)
             out = _scalar_bulk(
@@ -996,10 +1016,11 @@ class CoupledTransportPallas(ScalarTransportPallas):
                 has_seam=self.need_seam, has_flow=True,
                 force=self._force_const, interpret=self.interpret)
             recs = []
-            for fx, sg, sp_ in zip(self._fix, slabs_g, slabs_p):
+            for fx, sg, sp_ in zip(fixes, slabs_g, slabs_p):
                 phi = self._slab_phi(sp_, fx, slab_g=sg)
                 out, rec = self._apply_fix(out, sg, fx, t, phi=phi)
-                recs.append(rec)
+                if fx.get("valid") is not None:
+                    recs.append(rec)
             return p, out, (jnp.stack(recs) if recs
                             else jnp.zeros((0,), jnp.float32)), vs, wk
 
@@ -1044,5 +1065,206 @@ class CoupledTransportPallas(ScalarTransportPallas):
         return rho[:nx, :ny, :nz], u[:, :nx, :ny, :nz]
 
 
-__all__ = ["ScalarTransportPallas", "CoupledTransportPallas", "pack_g",
-           "unpack_g", "pack_aux", "pack_stat"]
+class BuoyantTransportPallas(CoupledTransportPallas):
+    """Boussinesq thermal convection at kernel pace (VERDICT r4
+    next-#3): the flow Pallas kernel runs in force-field mode
+    (collide_stream.make_pallas_step force_field=) — streaming the
+    temperature g-pack's interior tiles and building the buoyancy
+    F = buoy (c - c_ref) per cell in-kernel — and the coupled scalar
+    kernel advects the temperature in the resulting live velocity,
+    replacing engine/thermal.BuoyantTransport's dense-only route
+    (engine/thermal.py:112) for 3D thermal boxes at 128^3-256^3 scale.
+
+    Isothermal (Dirichlet) walls: the D3Q7 kernel keeps plain
+    bounce-back; every fluid plane adjacent to a Dirichlet wall plate
+    is recomputed exactly by the dense pass (anti-bounce-back included)
+    on a 3-plane slab and spliced — the same consumer-plane fixup
+    architecture as the BC planes. This requires the finite wall_c
+    cells to decompose into axis-aligned planes (plates — both
+    canonical cavities qualify); anything more complex raises with
+    guidance to the dense route.
+
+    Kernel geometry contract applies: x/y boundary layers must be
+    non-fluid (use cases/thermal.heated_cavity_3d / a walled 3D RB box;
+    the laterally-PERIODIC quasi-2D cases stay on the dense route).
+    spec.force must be None (no static base force on this route)."""
+
+    def __init__(self, spec, D: Optional[float] = None,
+                 tau_g: Optional[float] = None, buoyancy=(0.0, 0.0, 0.0),
+                 c_ref: float = 0.0, wall_c=None,
+                 inlet_c: Optional[dict] = None, source: float = 0.0,
+                 c0=None, f0=None, interpret: bool = False,
+                 tx: Optional[int] = None, ty: Optional[int] = None,
+                 stx: Optional[int] = None, sty: Optional[int] = None,
+                 tile_skip="auto", flow_kwargs: Optional[dict] = None,
+                 lowmem: Optional[bool] = None):
+        assert spec.force is None, (
+            "the Pallas buoyant route carries no static base force "
+            "(plane-BC fixups would need it threaded); use the dense "
+            "BuoyantTransport for CaseSpec.force cases")
+        buoy = tuple(float(v) for v in buoyancy)
+        fk = dict(flow_kwargs or {})
+        fk["force_field"] = (buoy, float(c_ref), None)
+        super().__init__(spec, D=D, tau_g=tau_g, inlet_c=inlet_c,
+                         source=source, c0=c0, f0=f0,
+                         interpret=interpret, tx=tx, ty=ty, stx=stx,
+                         sty=sty, tile_skip=tile_skip, flow_kwargs=fk,
+                         lowmem=lowmem)
+        self._ff = (buoy, float(c_ref))
+        self._force_const = (buoy, float(c_ref), None)
+        self._buoy = jnp.asarray(buoy, jnp.float32)
+        self._cref = np.float32(c_ref)
+        if wall_c is not None:
+            self._build_dirichlet_fixes(wall_c)
+
+    def _build_dirichlet_fixes(self, wall_c):
+        """Plane-decompose the Dirichlet wall set and build one slab
+        fixup per affected fluid consumer plane (see class docstring)."""
+        sp = self.spec_pad
+        X, Y, Z = (int(s) for s in self.spec.shape)
+        Xp, Yp, Zp = (int(s) for s in sp.shape)
+        wcp = np.full((Xp, Yp, Zp), np.nan, np.float32)
+        wcp[1:1 + X, 1:1 + Y, :Z] = np.asarray(wall_c, np.float32)
+        mask = np.asarray(sp.mask)
+        isd = np.isfinite(wcp)
+        blocking = ((mask == CellType.WALL)
+                    | (mask == CellType.MOVING))
+        assert blocking[isd].all(), (
+            "wall_c prescribes values at non-wall cells (NaN = "
+            "adiabatic)")
+        vals = np.where(isd, wcp, 0.0).astype(np.float32)
+        ax3 = (0, 1, 2)
+        nbr_dir = np.stack(
+            [np.roll(isd, shift=tuple(int(v) for v in _E7[i]), axis=ax3)
+             for i in range(1, _Q7)])
+        cw2 = np.stack(
+            [(2.0 * _W7[i]
+              * np.roll(vals, shift=tuple(int(v) for v in _E7[i]),
+                        axis=ax3)).astype(np.float32)
+             for i in range(1, _Q7)])
+        nbr_b = np.stack(
+            [np.roll(blocking, shift=tuple(int(v) for v in _E7[i]),
+                     axis=ax3) for i in range(1, _Q7)])
+        fluid = mask == CellType.FLUID
+        affected = nbr_dir.any(axis=0) & fluid
+        cov = np.zeros_like(affected)
+        planes = []
+        cand = set()
+        for a in range(3):
+            for k in np.unique(np.nonzero(isd)[a]):
+                for kc in (int(k) - 1, int(k) + 1):
+                    if 1 <= kc < sp.shape[a] - 1:
+                        cand.add((a, kc))
+        for (a, kc) in sorted(cand):
+            sl = [slice(None)] * 3
+            sl[a] = kc
+            aff_pl = affected[tuple(sl)]
+            if not aff_pl.any():
+                continue
+            planes.append((a, kc, aff_pl))
+            cov[tuple(sl)] |= aff_pl
+        if not (cov == affected).all():
+            raise ValueError(
+                "wall_c's Dirichlet cells do not decompose into "
+                "axis-aligned plates whose fluid neighbors lie on "
+                "whole consumer planes — this kernel route fixes up "
+                "plate geometries only; use the dense BuoyantTransport")
+        for (a, kc, aff_pl) in planes:
+            lats = [ax for ax in range(3) if ax != a]
+            xs, ys = np.nonzero(aff_pl)
+            lims = []
+            for w, lat in ((xs, lats[0]), (ys, lats[1])):
+                if lat == 2:
+                    lims.append((0, Zp))        # full z: no lane slice
+                else:
+                    lims.append((max(int(w.min()) - 2, 1),
+                                 min(int(w.max()) + 3,
+                                     sp.shape[lat] - 1)))
+            (a0, a1), (b0, b1) = lims
+
+            def crop(arr, lead=0, a=a, kc=kc, lats=lats, a0=a0, a1=a1,
+                     b0=b0, b1=b1):
+                idx = [slice(None)] * lead + [None, None, None]
+                idx[lead + a] = slice(kc - 1, kc + 2)
+                idx[lead + lats[0]] = slice(a0, a1)
+                idx[lead + lats[1]] = slice(b0, b1)
+                return np.ascontiguousarray(arr[tuple(idx)])
+
+            self._dfix.append(dict(
+                axis=a, cc=kc, win=(a0, a1, b0, b1), phi=None,
+                nbr=jnp.asarray(crop(nbr_b, lead=1)),
+                comp=None, fluid=jnp.asarray(crop(fluid)),
+                bcs=[], valid=None,
+                dirichlet=(jnp.asarray(crop(nbr_dir, lead=1)),
+                           jnp.asarray(crop(cw2, lead=1))),
+                blocked=jnp.asarray(np.stack(
+                    [crop(nbr_b[2 * ax] | nbr_b[2 * ax + 1])
+                     for ax in range(3)])),
+            ))
+
+    def _slab_force(self, fx, slab_g):
+        """Per-cell Boussinesq force on the fixup slab, from the
+        PRE-step temperature slab (dense _force_field semantics)."""
+        c_prev = jnp.sum(slab_g, axis=0)
+        dc = jnp.where(fx["fluid"], c_prev - self._cref, 0.0)
+        return self._buoy.reshape((3, 1, 1, 1)) * dc[None]
+
+    def nusselt_profile(self, hot_axis: int, kappa: float, dT: float,
+                        H: float):
+        """Per-plane Nusselt number (engine/thermal semantics) from the
+        live kernel state — u includes the buoyant half-force shift."""
+        c = np.asarray(self.concentration(), np.float64)
+        _, u = self._macro_buoyant()
+        ua = np.asarray(u[hot_axis], np.float64)
+        return self._nusselt_from(c, ua, hot_axis, kappa, dT, H)
+
+    def _nusselt_from(self, c, ua, hot_axis, kappa, dT, H):
+        fluid = np.asarray(self.fluid)
+        n = c.shape[hot_axis]
+        planes, nu = [], []
+        for x in range(2, n - 2):
+            sl = [slice(None)] * 3
+            sl[hot_axis] = x
+            slp = list(sl)
+            slp[hot_axis] = x + 1
+            slm = list(sl)
+            slm[hot_axis] = x - 1
+            adv = (ua[tuple(sl)] * c[tuple(sl)])[fluid[tuple(sl)]].sum()
+            dif = (-kappa * 0.5
+                   * (c[tuple(slp)] - c[tuple(slm)]))[
+                       fluid[tuple(sl)]].sum()
+            area = fluid[tuple(sl)].sum()
+            if area == 0:
+                continue
+            planes.append(x)
+            nu.append((adv + dif) / (area * kappa * dT / H))
+        return np.asarray(planes), np.asarray(nu)
+
+    def _macro_buoyant(self):
+        """(rho, u) on the unpadded box, SAME convention as the dense
+        BuoyantTransport.macro(): moments of the stored post-collision
+        state with the current force's +F/2 half-shift — u_macro =
+        (m' + F/2)/rho = u_packed + F/(2 rho). (The in-step Guo
+        velocity the transport advects in is (m' - F/2)/rho; the dense
+        class's Nusselt anchors were validated in the +F/2 macro
+        convention, so the diagnostics keep it.)"""
+        from lbm_tpu.kernels.collide_stream import packed_macro
+
+        nx, ny, nz = self.spec.shape
+        rho, u = packed_macro(self.p, ring=1,
+                              interpret=self.interpret)
+        rho = rho[:nx, :ny, :nz]
+        u = u[:, :nx, :ny, :nz]
+        c = jnp.sum(unpack_g(self.g), axis=0)[self._crop]
+        fluid = self.fluid
+        dc = jnp.where(fluid, c - self._cref, 0.0)
+        F = jnp.asarray(self._buoy).reshape((3, 1, 1, 1)) * dc[None]
+        u = u + 0.5 * F / jnp.where(rho == 0, 1.0, rho)[None]
+        return rho, u
+
+    macro = _macro_buoyant
+
+
+__all__ = ["ScalarTransportPallas", "CoupledTransportPallas",
+           "BuoyantTransportPallas", "pack_g", "unpack_g", "pack_aux",
+           "pack_stat"]
