@@ -167,7 +167,8 @@ def _relabel_plane(mask, axis, coord, label, window=None):
 
 
 def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels,
-                windkessel=None) -> list[PlaneBC]:
+                windkessel=None, pulsatile=None,
+                shape=None, inlet_scale: float = 1.0) -> list[PlaneBC]:
     """windkessel: None reproduces the reference's prescribed-velocity
     outlets (coronary.cu:795-942); a list of four (Rp, C, Rd) lattice
     tuples — [main outlet, sub-outlet 5, 6, 7] — replaces every outlet
@@ -175,14 +176,33 @@ def _boundaries(inlet_x, outlet_x, sub_planes, sub_labels,
     (spec.PlaneBC.windkessel), so the flow SPLIT emerges from the
     downstream resistances instead of hard-coded outlet speeds — the
     clinical truncated-vasculature configuration."""
-    bcs = [
+    u_in = inlet_scale * 0.1745 / C_U
+    if pulsatile is not None:
+        # systole/diastole-gated plug inlet: the reference's steady
+        # u* = 0.1745 m/s (coronary.cu:716-792) scaled by the periodic
+        # waveform of cases/curved_vessel.pulse_waveform — the
+        # time-resolved regime the coupled-transport kernel targets
+        from lbm_tpu.cases.curved_vessel import pulse_waveform
+
+        nphase, period_steps = (int(v) for v in pulsatile)
+        wave = pulse_waveform(nphase)
+        A, B = shape[1], shape[2]
+        series = np.zeros((nphase, 3, A, B), np.float32)
+        series[:, 0] = (wave * u_in)[:, None, None]
+        inlet = PlaneBC(
+            mask_value=int(CellType.INLET), axis=0, coord=inlet_x,
+            normal=+1, rho_mode="fixed", rho_value=1.0,
+            u_mode="series", u_series=series,
+            u_series_stride=max(1, period_steps // nphase),
+        )
+    else:
         # coronary.cu:716-792: rho* = 1 AND u* prescribed at the inlet.
-        PlaneBC(
-            mask_value=int(CellType.INLET), axis=0, coord=inlet_x, normal=+1,
-            rho_mode="fixed", rho_value=1.0, u_mode="fixed",
-            u_value=(0.1745 / C_U, 0.0, 0.0),
-        ),
-    ]
+        inlet = PlaneBC(
+            mask_value=int(CellType.INLET), axis=0, coord=inlet_x,
+            normal=+1, rho_mode="fixed", rho_value=1.0, u_mode="fixed",
+            u_value=(u_in, 0.0, 0.0),
+        )
+    bcs = [inlet]
     if windkessel is not None:
         wk = [tuple(float(v) for v in w) for w in windkessel]
         assert len(wk) == 1 + len(sub_planes), (
@@ -240,6 +260,11 @@ def build(
     windkessel=None,  # [main, sub5, sub6, sub7] (Rp, C, Rd) lattice
     # tuples: RCR-terminated pressure outlets instead of the
     # reference's prescribed outlet velocities (see _boundaries)
+    pulsatile=None,  # (nphase, period_steps): systole/diastole-gated
+    # series inlet (pulse_waveform) instead of the steady plug — the
+    # time-resolved clinical configuration (pairs with windkessel=)
+    inlet_scale: float = 1.0,  # inlet speed multiplier (hyperemic FFR
+    # runs 3-5x the resting rate; rescale watches lattice Ma)
     stenosis: float | None = None,  # fractional diameter reduction of
     # a smooth cosine constriction on the main tube proximal segment
     # (synthetic_tree_flag; voxel synthetic route only) — the lesion
@@ -308,10 +333,11 @@ def build(
 
     sub_planes = [s[0] for s in subs]
     bcs = _boundaries(inlet_x, outlet_x, sub_planes, sub_labels=(5, 6, 7),
-                      windkessel=windkessel)
+                      windkessel=windkessel, pulsatile=pulsatile,
+                      shape=tuple(shape), inlet_scale=inlet_scale)
     u0 = np.zeros((3,) + tuple(shape), np.float32)
     # coronary.cu:297-309: prescribed BC speeds in the init macro fields.
-    u0[0][mask == CellType.INLET] = 0.1745 / C_U
+    u0[0][mask == CellType.INLET] = inlet_scale * 0.1745 / C_U
     if windkessel is None:
         u0[0][mask == CellType.OUTLET] = 0.1 / C_U
         for label in (5, 6, 7):
