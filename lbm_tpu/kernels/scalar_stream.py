@@ -1147,28 +1147,35 @@ class BuoyantTransportPallas(CoupledTransportPallas):
                      axis=ax3) for i in range(1, _Q7)])
         fluid = mask == CellType.FLUID
         affected = nbr_dir.any(axis=0) & fluid
+        # consumer planes: for each axis a, the coords holding fluid
+        # cells whose Dirichlet neighbor lies ALONG a (cells adjacent
+        # to a plate only laterally must not spawn a plane per lateral
+        # coordinate — that would be O(N) planes for one plate). Every
+        # affected cell has a Dirichlet neighbor along some axis, so
+        # it lands on that axis's plane at its own coordinate, and the
+        # plane recompute (full dense pass with the complete dirichlet
+        # crop) repairs ALL its links at once.
         cov = np.zeros_like(affected)
         planes = []
-        cand = set()
         for a in range(3):
-            for k in np.unique(np.nonzero(isd)[a]):
-                for kc in (int(k) - 1, int(k) + 1):
-                    if 1 <= kc < sp.shape[a] - 1:
-                        cand.add((a, kc))
-        for (a, kc) in sorted(cand):
-            sl = [slice(None)] * 3
-            sl[a] = kc
-            aff_pl = affected[tuple(sl)]
-            if not aff_pl.any():
-                continue
-            planes.append((a, kc, aff_pl))
-            cov[tuple(sl)] |= aff_pl
-        if not (cov == affected).all():
-            raise ValueError(
-                "wall_c's Dirichlet cells do not decompose into "
-                "axis-aligned plates whose fluid neighbors lie on "
-                "whole consumer planes — this kernel route fixes up "
-                "plate geometries only; use the dense BuoyantTransport")
+            dirs_a = [i - 1 for i in range(1, _Q7)
+                      if int(_E7[i][a]) != 0]
+            aff_a = (nbr_dir[dirs_a[0]] | nbr_dir[dirs_a[1]]) & fluid
+            for kc in np.unique(np.nonzero(aff_a)[a]):
+                kc = int(kc)
+                if not (1 <= kc < sp.shape[a] - 1):
+                    raise ValueError(
+                        "Dirichlet consumer plane at the domain edge — "
+                        "the slab fixup needs one interior plane on "
+                        "each side; use the dense BuoyantTransport")
+                sl = [slice(None)] * 3
+                sl[a] = kc
+                aff_pl = affected[tuple(sl)]
+                planes.append((a, kc, aff_pl))
+                cov[tuple(sl)] |= aff_pl
+        assert (cov == affected).all(), (
+            "internal: Dirichlet consumer-plane decomposition missed "
+            "affected cells — report this geometry")
         for (a, kc, aff_pl) in planes:
             lats = [ax for ax in range(3) if ax != a]
             xs, ys = np.nonzero(aff_pl)
