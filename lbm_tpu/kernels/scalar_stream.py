@@ -545,7 +545,7 @@ class ScalarTransportPallas:
                  c0=None, div_fix: bool = True, interpret: bool = False,
                  tx: Optional[int] = None, ty: Optional[int] = None,
                  stx: Optional[int] = None, sty: Optional[int] = None,
-                 tile_skip="auto"):
+                 tile_skip="auto", live_u: bool = False):
         assert (D is None) != (tau_g is None), (
             "give exactly one of D (lattice diffusivity) or tau_g")
         self.tau_g = float(tau_g_of(D) if D is not None else tau_g)
@@ -575,8 +575,16 @@ class ScalarTransportPallas:
         u = np.asarray(u, np.float32)
         assert u.shape == (3, X, Y, Z), u.shape
         up[:, 1:1 + X, 1:1 + Y, :Z] = u
-        up = np.asarray(_project(jnp.asarray(up),
-                                 jnp.asarray(blocked_axes)))
+        if live_u:
+            # coupled route (CoupledTransportPallas): u is rebuilt from
+            # the live flow each step, so the frozen projection is only
+            # needed for the c0 init and slab statics — do it on the
+            # HOST (a full-box device _project round-trip over the axon
+            # tunnel moves ~400 MB at the flagship shape for nothing)
+            up = np.where(blocked_axes, np.float32(0.0), up)
+        else:
+            up = np.asarray(_project(jnp.asarray(up),
+                                     jnp.asarray(blocked_axes)))
         self.omega = np.float32(1.0 - 1.0 / self.tau_g)
         self.source = float(source)
 
@@ -593,13 +601,26 @@ class ScalarTransportPallas:
                                         self._bc_geo))
             comp = np.where(fluid, -defect, 0.0).astype(np.float32)
 
-        self.aux = pack_aux(up, comp, blocking, fluid)
+        # the coupled route never reads the frozen AUX pack — skip its
+        # ~1 GB host->device transfer at the flagship shape
+        self.aux = None if live_u else pack_aux(up, comp, blocking,
+                                                fluid)
         if c0 is None:
             self.g = jnp.zeros((Xp, Yp, C7, Zp), jnp.float32)
         else:
             c0p = np.zeros((Xp, Yp, Zp), np.float32)
             c0p[1:1 + X, 1:1 + Y, :Z] = np.asarray(c0, np.float32)
-            ph = np.asarray(phi7(jnp.asarray(up)))
+            if live_u:  # host phi7 (same formula; avoid a full-box
+                # device round-trip at flagship shapes)
+                e = _E7.astype(np.float32)
+                ph = np.stack([
+                    _W7[i] * (np.float32(1.0)
+                              + np.float32(4.0)
+                              * (e[i, 0] * up[0] + e[i, 1] * up[1]
+                                 + e[i, 2] * up[2]))
+                    for i in range(_Q7)])
+            else:
+                ph = np.asarray(phi7(jnp.asarray(up)))
             g0 = np.where(fluid[None], c0p[None] * ph, 0.0)
             self.g = pack_g(jnp.asarray(g0))
 
@@ -890,7 +911,8 @@ class CoupledTransportPallas(ScalarTransportPallas):
         super().__init__(spec, np.asarray(spec.u0), D=D, tau_g=tau_g,
                          inlet_c=inlet_c, source=source, c0=c0,
                          div_fix=False, interpret=interpret, tx=tx,
-                         ty=ty, stx=stx, sty=sty, tile_skip=tile_skip)
+                         ty=ty, stx=stx, sty=sty, tile_skip=tile_skip,
+                         live_u=True)
         sp = self.spec_pad
         self.stat = pack_stat(sp.mask)
         self.aux = None     # frozen-u AUX replaced by stat + live flow

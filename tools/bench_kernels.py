@@ -101,8 +101,27 @@ def main():
             copy_only = var.endswith("_copy") and not (s1copy or s2copy)
             fuse = 2 if var.startswith("f2") else 1
             ring = fuse
+            # feature variants (VERDICT r4 weak-1: measure the
+            # per-feature kernel taxes against the common copy floor):
+            # f1_trt / f1_mrt / f1_les / f1_rheo / f1_force / f1_mov
+            case_kw = {}
+            for feat in ("trt", "mrt", "les", "rheo", "force", "mov"):
+                if var.endswith("_" + feat):
+                    from lbm_tpu.core.rheology import carreau_blood
+                    from lbm_tpu.core.units import UnitSystem
+                    case_kw = {
+                        "trt": dict(collision="trt"),
+                        "mrt": dict(collision="mrt"),
+                        "les": dict(smagorinsky_cs=0.17),
+                        "rheo": dict(rheology=carreau_blood(
+                            UnitSystem(CH=1e-4, C_U=0.2,
+                                       C_rho=1060.0))),
+                        "force": dict(force=(1e-6, 0.0, 0.0)),
+                        "mov": dict(lid="bounceback"),
+                    }[feat]
+                    break
             spec = cs.pad_spec(
-                get_case("lid_driven_cavity", n=args.n),
+                get_case("lid_driven_cavity", n=args.n, **case_kw),
                 lane_multiple=128, plane_multiples=(tx, ty), halo=ring,
             )
             cc = compile_case(spec, light=True)
