@@ -340,12 +340,23 @@ def _sparse_step_tail(sc: SparseCase, f_s, pulled):
     f_eq = rho[None] * phi(u)
     if sc.closure is not None:
         from lbm_tpu.core.rheology import tau_eff
+        from lbm_tpu.engine.step import closure_tau_minus
         fneq = pulled - f_eq
         te = tau_eff(fneq, rho, sc.tau, sc.closure)
-        f_post = pulled - fneq / te[None]
+        te_m = None
+        if sc.tau_minus is not None:   # TRT + closure (engine/step)
+            te_m = closure_tau_minus(te, sc.tau, sc.tau_minus)
+            opp = jnp.asarray(_OPP)
+            s_neq = fneq + fneq[opp]
+            d_neq = fneq - fneq[opp]
+            f_post = (pulled - s_neq / (2.0 * te[None])
+                      - d_neq / (2.0 * te_m[None]))
+        else:
+            f_post = pulled - fneq / te[None]
         if sc.force is not None:
             f_post = f_post + guo_source(u, sc.force, sc.tau,
-                                         tau_local=te)
+                                         tau_local=te,
+                                         tau_local_minus=te_m)
         f_new = jnp.where(sc.fluid[None], f_post, f_s)
         return f_new, rho, u
     if sc.mrt_k is not None:

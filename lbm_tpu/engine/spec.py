@@ -194,8 +194,11 @@ class CaseSpec:
             from lbm_tpu.core.rheology import normalize_closure
             # validates params and the exclusivity of the two knobs
             normalize_closure(self.smagorinsky_cs, self.rheology)
-            assert self.collision == "bgk", \
-                "per-cell tau closures are wired for collision='bgk'"
+            assert self.collision in ("bgk", "trt"), (
+                "per-cell tau closures compose with BGK (tau_eff) and "
+                "TRT (even at tau_eff, odd via the constant magic "
+                "Lambda — engine/step.closure_tau_minus); MRT's "
+                "moment-space rates are not wired")
         if self.force is not None:
             self.force = tuple(float(c) for c in self.force)
             assert len(self.force) == 3

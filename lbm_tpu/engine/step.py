@@ -179,7 +179,7 @@ def half_force_shift(mom, force):
 
 
 def guo_source(u, force, tau, tau_minus=None, mrt_kf=None,
-               tau_local=None):
+               tau_local=None, tau_local_minus=None):
     """(19, ...) Guo forcing source term with parity-split prefactors.
 
     Raw source G_i = w_i [3 (e_i - u) + 9 (e_i . u) e_i] . F splits into
@@ -193,7 +193,9 @@ def guo_source(u, force, tau, tau_minus=None, mrt_kf=None,
     tau_local: a per-cell tau_eff array (LES / non-Newtonian closures,
     core/rheology.py) — the variable-rate form of the same prefactor,
     (1 - 1/(2 tau_eff)) on both halves (the closure collide is BGK at
-    tau_eff)."""
+    tau_eff). tau_local_minus: per-cell ODD rate for the TRT+closure
+    composition (closure_tau_minus) — the odd half takes its own
+    (1 - 1/(2 tau_eff-)) prefactor."""
     e = jnp.asarray(_E.astype(np.float32))
     w = jnp.asarray(D3Q19.W.astype(np.float32))
     lead = (D3Q19.Q,) + (1,) * (u.ndim - 1)
@@ -221,6 +223,9 @@ def guo_source(u, force, tau, tau_minus=None, mrt_kf=None,
         )
     if tau_local is not None:
         cp_loc = np.float32(1.0) - np.float32(0.5) / tau_local
+        if tau_local_minus is not None:
+            cm_loc = np.float32(1.0) - np.float32(0.5) / tau_local_minus
+            return cp_loc[None] * g_even + cm_loc[None] * g_odd
         return cp_loc[None] * (g_even + g_odd)
     cp = np.float32(1.0 - 0.5 / tau)
     cm = cp if tau_minus is None else np.float32(1.0 - 0.5 / tau_minus)
@@ -232,6 +237,17 @@ def les_tau_eff(fneq, rho, tau, cs):
     generalized per-cell machinery in core/rheology.py."""
     from lbm_tpu.core.rheology import tau_eff
     return tau_eff(fneq, rho, tau, ("smag", float(cs)))
+
+
+def closure_tau_minus(te, tau, tau_minus):
+    """Per-cell ODD rate for a TRT + tau-closure composition: hold the
+    magic parameter Lambda = (tau+ - 1/2)(tau- - 1/2) at its STATIC
+    value while the closure varies the even rate — the standard
+    stabilized LES/rheology-TRT pairing (wall placement and the
+    bounce-back error are Lambda-controlled, so keeping Lambda fixed
+    preserves them under the eddy/apparent viscosity)."""
+    lam = np.float32((float(tau) - 0.5) * (float(tau_minus) - 0.5))
+    return np.float32(0.5) + lam / (te - np.float32(0.5))
 
 
 def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
@@ -247,14 +263,23 @@ def collide(pulled, f_eq, tau, tau_minus=None, mrt_k=None,
     f' = f - K (f - feq) — one tensordot, so the moment-space
     relaxation runs as a matmul (MXU on TPU).
     Closure (a core/rheology tuple — LES or non-Newtonian, needs rho):
-    BGK at the per-cell tau_eff."""
+    BGK at the per-cell tau_eff; with tau_minus also set, the even
+    parity relaxes at tau_eff and the odd at closure_tau_minus
+    (constant magic Lambda)."""
     if closure is not None:
         fneq = pulled - f_eq
         if rho is None:
             rho = jnp.sum(pulled, axis=0)
         from lbm_tpu.core.rheology import tau_eff
         te = tau_eff(fneq, rho, tau, closure)
-        return pulled - fneq / te[None]
+        if tau_minus is None:
+            return pulled - fneq / te[None]
+        te_m = closure_tau_minus(te, tau, tau_minus)
+        opp = jnp.asarray(_OPP)
+        s_neq = fneq + fneq[opp]
+        d_neq = fneq - fneq[opp]
+        return (pulled - s_neq / (2.0 * te[None])
+                - d_neq / (2.0 * te_m[None]))
     if mrt_k is not None:
         fneq = pulled - f_eq
         return pulled - jnp.tensordot(
@@ -285,10 +310,20 @@ def post_collision(pulled, f_eq, rho, u, tau, cc, force=_UNSET):
         from lbm_tpu.core.rheology import tau_eff
         fneq = pulled - f_eq
         te = tau_eff(fneq, rho, tau, cc.closure)
-        f_post = pulled - fneq / te[None]
+        te_m = None
+        if cc.tau_minus is not None:   # TRT + closure: constant-Lambda
+            te_m = closure_tau_minus(te, cc.tau, cc.tau_minus)
+            opp = jnp.asarray(_OPP)
+            s_neq = fneq + fneq[opp]
+            d_neq = fneq - fneq[opp]
+            f_post = (pulled - s_neq / (2.0 * te[None])
+                      - d_neq / (2.0 * te_m[None]))
+        else:
+            f_post = pulled - fneq / te[None]
         if force is not None:
             f_post = f_post + guo_source(u, force, cc.tau,
-                                         tau_local=te)
+                                         tau_local=te,
+                                         tau_local_minus=te_m)
         return f_post
     f_post = collide(pulled, f_eq, tau, cc.tau_minus, cc.mrt_k)
     if force is not None:

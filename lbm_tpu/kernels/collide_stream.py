@@ -2922,6 +2922,11 @@ def make_pallas_step(
         spec0 = cc_pad.spec
         mrt = mrt_rank_update(float(cc_pad.tau), spec0.mrt_rates)
     les = cc_pad.closure  # static tau-closure tuple (core/rheology)
+    if les is not None and cc_pad.tau_minus is not None:
+        raise ValueError(
+            "per-cell tau closure + TRT (constant-Lambda odd rate) is "
+            "wired on the xla/sparse backends only — the kernel's "
+            "closure branch relaxes BGK at tau_eff")
     if les is not None and force is not None:
         raise ValueError(
             "per-cell tau closure (LES/rheology) + body force needs the "

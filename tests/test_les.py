@@ -133,12 +133,82 @@ def test_les_sparse_matches_dense():
 
 
 def test_les_constraint_asserts():
-    with pytest.raises(AssertionError):
-        get_case("lid_driven_cavity", n=16, collision="trt",
+    with pytest.raises(AssertionError):  # MRT moment rates not wired
+        get_case("lid_driven_cavity", n=16, collision="mrt",
                  smagorinsky_cs=0.17)
     with pytest.raises(ValueError):  # exclusive per-cell tau closures
         get_case("lid_driven_cavity", n=16, smagorinsky_cs=0.17,
                  rheology={"model": "power_law", "K": 0.1, "n": 0.7})
+
+
+def test_les_trt_degenerates_to_plain_trt_at_tiny_cs():
+    """LES + TRT (r5: constant-Lambda odd rate, closure_tau_minus):
+    with Cs -> 0 the closure's tau_eff -> tau everywhere, the
+    constant-Lambda odd rate folds back to the base tau_minus, and the
+    composition must reproduce PLAIN TRT at the same magic Lambda.
+    (Note the composition does NOT degenerate to LES+BGK at
+    magic_lambda=(tau-1/2)^2: holding Lambda constant makes the
+    per-cell odd rate differ from tau_eff wherever the closure is
+    active — that is the point of the pairing.)"""
+    spec_p = get_case("lid_driven_cavity", n=16, collision="trt",
+                      magic_lambda=0.1875)
+    spec_c = get_case("lid_driven_cavity", n=16, collision="trt",
+                      magic_lambda=0.1875, smagorinsky_cs=1e-6)
+    ccp = compile_case(spec_p)
+    ccc = compile_case(spec_c)
+    fp = _dense_run(ccp, initial_f(ccp), 40)
+    fc = _dense_run(ccc, initial_f(ccc), 40)
+    np.testing.assert_allclose(fc, fp, rtol=1e-5, atol=1e-7)
+
+
+def test_les_trt_differs_and_stays_finite():
+    """At the standard Lambda = 3/16 the odd rate differs per cell:
+    the composition is a distinct, finite operator (and the sparse
+    backend agrees with the dense one through it)."""
+    import dataclasses
+
+    from lbm_tpu.engine.runner import Simulation
+
+    spec = get_case("poiseuille", n=16, collision="trt",
+                    magic_lambda=0.1875)
+    spec = dataclasses.replace(spec, smagorinsky_cs=0.17)
+    spec.__post_init__()
+    sim_d = Simulation(spec, backend="xla")
+    sim_s = Simulation(spec, backend="sparse")
+    for s in (sim_d, sim_s):
+        s.run(max_steps=40, time_save=20, verbose=False)
+    fd = np.asarray(sim_d.f_standard())
+    assert np.isfinite(fd).all()
+    live = np.asarray(spec.mask) != 0
+    np.testing.assert_allclose(
+        np.asarray(sim_s.f_standard())[:, live], fd[:, live],
+        rtol=3e-5, atol=1e-7)
+    # differs from plain TRT (the closure is live)
+    plain = Simulation(get_case("poiseuille", n=16, collision="trt",
+                                magic_lambda=0.1875), backend="xla")
+    plain.run(max_steps=40, time_save=20, verbose=False)
+    assert np.abs(fd - np.asarray(plain.f_standard())).max() > 1e-7
+
+
+def test_les_trt_buoyancy_composes():
+    """LES + TRT + Boussinesq buoyancy (the stabilized high-Ra
+    pairing): the dense thermal route runs the triple composition with
+    the per-cell Guo prefactors split by parity (guo_source
+    tau_local_minus) and stays finite through a convective transient."""
+    import dataclasses
+
+    from lbm_tpu.cases.thermal import rayleigh_benard
+    from lbm_tpu.engine.thermal import BuoyantTransport
+
+    spec, kwargs, info = rayleigh_benard(nx=16, ny=1, nz=10, ra=3000.0)
+    spec = dataclasses.replace(spec, collision="trt",
+                               magic_lambda=0.1875,
+                               smagorinsky_cs=0.12)
+    spec.__post_init__()
+    bt = BuoyantTransport(spec, **kwargs)
+    e = bt.run(120, record_energy=True)
+    assert np.isfinite(e).all() and e[-1] > 0
+    assert np.isfinite(np.asarray(bt.concentration())).all()
 
 
 def _blowup_step(cc, steps, check_every=250):

@@ -85,9 +85,12 @@ def test_closure_validation():
     with pytest.raises(AssertionError):  # bad bounds
         normalize_closure(None, {"model": "power_law", "K": 0.1,
                                  "n": 0.7, "tau_bounds": (0.4, 2.0)})
-    with pytest.raises(AssertionError):  # closures are BGK-wired
-        get_case("lid_driven_cavity", n=16, collision="trt",
+    with pytest.raises(AssertionError):  # MRT moment rates not wired
+        get_case("lid_driven_cavity", n=16, collision="mrt",
                  rheology={"model": "power_law", "K": 0.1, "n": 0.7})
+    # r5: closures compose with TRT (constant-Lambda odd rate)
+    get_case("lid_driven_cavity", n=16, collision="trt",
+             rheology={"model": "power_law", "K": 0.1, "n": 0.7})
     # defaults materialize into the static tuple
     assert normalize_closure(None, {"model": "carreau_yasuda",
                                     "nu0": 0.1, "nu_inf": 0.01,
