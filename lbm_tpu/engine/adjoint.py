@@ -194,5 +194,101 @@ def fit_windkessel(spec, target_split, n_steps: int = 800,
     return theta, history
 
 
+def transport_rollout(st, tau_g, n_steps: int, record,
+                      remat_chunk: int = 25, g0=None):
+    """Differentiable frozen-field transport rollout with TRACED
+    relaxation time (the non-RCR parameter family, VERDICT r4 next-#9):
+    advance a dense engine/scalar.ScalarTransport's state n_steps with
+    tau_g a traced scalar and return the (n_steps, len(record))
+    consumer-plane concentration series — the observable a measured
+    washout curve provides. Same remat-chunked reverse-mode structure
+    as `rollout`. The instance's own tau_g/omega are ignored; div_fix's
+    compensation field (built once from the frozen u) is
+    tau_g-independent and stays static."""
+    from lbm_tpu.engine.scalar import _transport_pass
+
+    tau_g = jnp.asarray(tau_g, jnp.float32)
+    omega = 1.0 - 1.0 / tau_g
+    fields = st.fields
+    rec = [(st._bcs[k][1], st._bcs[k][2]) for k in record]
+    denom = [jnp.float32(jnp.sum(v)) for _, v in rec]
+    if g0 is None:
+        g0 = st.g
+    n_outer, rem = divmod(n_steps, remat_chunk)
+    assert rem == 0, (
+        f"remat_chunk={remat_chunk} must divide n_steps={n_steps}")
+
+    @jax.checkpoint
+    def chunk(g, t0):
+        def body(g, i):
+            phi, nbr_block, div_comp, fluid, dirichlet = fields
+            g, c = _transport_pass(g, t0 + i, phi, nbr_block, st._bcs,
+                                   omega, tau_g, div_comp, st.source,
+                                   fluid, dirichlet)
+            ys = jnp.stack(
+                [jnp.sum(jnp.where(v, c[sl], 0.0)) / dn
+                 for (sl, v), dn in zip(rec, denom)])
+            return g, ys
+
+        return jax.lax.scan(body, g, jnp.arange(remat_chunk,
+                                                dtype=jnp.int32))
+
+    t0s = (jnp.arange(n_outer, dtype=jnp.int32) * remat_chunk)
+
+    def outer(g, t0):
+        g, ys = chunk(g, t0)
+        return g, ys
+
+    g, ys = jax.lax.scan(outer, g0, t0s)
+    return ys.reshape(n_steps, len(record))
+
+
+def fit_diffusivity(st, observed, record, n_steps: Optional[int] = None,
+                    iters: int = 40, lr: float = 0.1,
+                    D0: Optional[float] = None, remat_chunk: int = 25,
+                    verbose: bool = False):
+    """Recover the lattice diffusivity from a measured washout curve —
+    the natural inverse problem of the transport machinery: gradient-
+    descend log(tau_g - 1/2) (= log 4D, positivity built in) until the
+    rollout's consumer-plane series matches `observed`
+    ((n_steps, len(record)) — e.g. a clinical contrast time-density
+    curve). Returns (D_fitted, history of (loss, D) per iterate).
+    FD-validated gradient: tests/test_adjoint.py."""
+    import optax
+
+    from lbm_tpu.engine.scalar import tau_g_of
+
+    observed = jnp.asarray(observed, jnp.float32)
+    if n_steps is None:
+        n_steps = int(observed.shape[0])
+    x = jnp.log(jnp.float32(
+        tau_g_of(D0) - 0.5 if D0 is not None else st.tau_g - 0.5))
+
+    def loss_fn(x):
+        series = transport_rollout(st, 0.5 + jnp.exp(x), n_steps,
+                                   record, remat_chunk=remat_chunk)
+        return jnp.mean((series - observed) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    opt = optax.adam(lr)
+    state = opt.init(x)
+    history = []
+    best = (np.inf, x)
+    for it in range(iters):
+        loss, g = vg(x)
+        if float(loss) < best[0]:
+            best = (float(loss), x)
+        upd, state = opt.update(g, state)
+        x = optax.apply_updates(x, upd)
+        d_it = float(np.exp(np.asarray(x))) / 4.0
+        history.append((float(loss), d_it))
+        if verbose:
+            print(f"  iter {it:3d} loss {float(loss):.3e} "
+                  f"D {d_it:.5f}")
+    d_fit = float(np.exp(np.asarray(best[1]))) / 4.0
+    return d_fit, history
+
+
 __all__ = ["make_step_theta", "outlet_fluxes", "flow_split", "rollout",
-           "fit_windkessel", "wk_params"]
+           "fit_windkessel", "wk_params", "transport_rollout",
+           "fit_diffusivity"]

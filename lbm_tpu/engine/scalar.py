@@ -193,7 +193,11 @@ def _transport_pass(g, t, phi, nbr_block, bcs, omega, tau_g, div_comp,
         pulled = pulled.at[(d,) + sl].set(
             jnp.where(valid, val, pulled[(d,) + sl]))
     c = jnp.sum(pulled, axis=0)
-    g_post = pulled - (pulled - c[None] * phi) / jnp.float32(tau_g)
+    # tau_g/omega may be TRACED scalars (the differentiable-D route,
+    # engine/adjoint.fit_diffusivity) — jnp.asarray instead of a
+    # np.float32 cast, which rejects tracers
+    g_post = pulled - (pulled - c[None] * phi) / jnp.asarray(
+        tau_g, jnp.float32)
     w = jnp.asarray(_W7).reshape((_Q7, 1, 1, 1))
     if div_comp is not None:
         g_post = g_post + (c * div_comp)[None] * w

@@ -134,7 +134,77 @@ def test_fit_windkessel_moves_coronary_split_to_target():
     assert loss_end < loss0 / 5, (loss0, loss_end)
     assert np.abs(split_end - target).max() < np.abs(split0 - target).max()
     # fitted resistances follow the physics: more flow demanded =>
-    # lower distal resistance, so Rd ordering is the REVERSE of the
-    # target-split ordering
-    assert np.all(np.diff(theta[:, 2]) > 0) == np.all(
-        np.diff(target) < 0)
+    # lower distal resistance. Only the TOTAL path resistance ordering
+    # is cleanly determined — in-tree segments differ per outlet and
+    # 10 Adam iterations leave near-ties among the low-flow pair — so
+    # assert the coarse structure: the largest-flow outlet gets the
+    # smallest Rd, and both low-flow outlets out-resist both
+    # high-flow ones.
+    rd = theta[:, 2]
+    order = np.argsort(-target)            # high flow -> low flow
+    assert rd[order[0]] == rd.min()
+    assert rd[order[2:]].min() > rd[order[:2]].max()
+
+
+# ---- non-RCR parameter family: diffusivity from a washout curve ----
+# (VERDICT r4 next-#9: trace tau_g through the transport rollout)
+
+def _frozen_transport(n=14, D=0.03):
+    from lbm_tpu.engine.runner import Simulation
+    from lbm_tpu.engine.scalar import ScalarTransport
+
+    spec = get_case("poiseuille", n=n)
+    sim = Simulation(spec, backend="xla")
+    sim.run(max_steps=300, time_save=100, verbose=False)
+    u = np.asarray(sim.macro()[1])
+    return ScalarTransport(spec, u, D=D, inlet_c={0: 1.0})
+
+
+def test_transport_rollout_matches_run():
+    """transport_rollout at the instance's own tau_g reproduces
+    ScalarTransport.run's recorded series exactly (same pass, same
+    scan structure up to remat chunking)."""
+    from lbm_tpu.engine.adjoint import transport_rollout
+
+    st = _frozen_transport()
+    series = transport_rollout(st, st.tau_g, 50, [1], remat_chunk=25)
+    ref = st.run(50, record=[1])
+    np.testing.assert_allclose(np.asarray(series), ref, rtol=2e-6,
+                               atol=1e-7)
+
+
+def test_diffusivity_gradient_matches_finite_difference():
+    """d(series-mismatch)/d(log(tau_g - 1/2)) against central FD."""
+    from lbm_tpu.engine.adjoint import transport_rollout
+
+    st = _frozen_transport(D=0.03)
+    obs = jnp.asarray(
+        transport_rollout(st, 0.5 + 4 * 0.05, 40, [1], remat_chunk=20))
+
+    def loss(x):
+        s = transport_rollout(st, 0.5 + jnp.exp(x), 40, [1],
+                              remat_chunk=20)
+        return jnp.mean((s - obs) ** 2)
+
+    x0 = jnp.log(jnp.float32(4 * 0.03))
+    g = float(jax.grad(loss)(x0))
+    eps = 1e-2
+    fd = (float(loss(x0 + eps)) - float(loss(x0 - eps))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=2e-2), (g, fd)
+
+
+@pytest.mark.slow
+def test_fit_diffusivity_recovers_true_D():
+    """Synthesize a washout curve at D_true, start the fit 2.5x off,
+    and recover D within a few percent — the contrast-curve inverse
+    problem (fit_diffusivity)."""
+    from lbm_tpu.engine.adjoint import fit_diffusivity, transport_rollout
+
+    d_true = 0.04
+    st = _frozen_transport(D=d_true)
+    obs = np.asarray(transport_rollout(st, 0.5 + 4 * d_true, 100, [1],
+                                       remat_chunk=25))
+    d_fit, hist = fit_diffusivity(st, obs, [1], n_steps=100, iters=40,
+                                  lr=0.15, D0=0.1)
+    assert d_fit == pytest.approx(d_true, rel=0.05), (d_fit, hist[-1])
+    assert hist[-1][0] < hist[0][0] * 1e-2, "loss must collapse"
