@@ -263,14 +263,28 @@ def build(
     pulsatile=None,  # (nphase, period_steps): systole/diastole-gated
     # series inlet (pulse_waveform) instead of the steady plug — the
     # time-resolved clinical configuration (pairs with windkessel=)
-    inlet_scale: float = 1.0,  # inlet speed multiplier (hyperemic FFR
-    # runs 3-5x the resting rate; rescale watches lattice Ma)
+    inlet_scale: float = 1.0,  # LATTICE inlet speed multiplier (raises
+    # lattice Ma directly — prefer hyperemia= for physiological rates)
+    hyperemia: float = 1.0,  # physical flow multiplier at FIXED lattice
+    # speed: rescales the unit system (C_U *= h => physical inlet speed
+    # h * 0.1745 m/s at the same u_lat) and the relaxation time
+    # (tau -> 1/2 + (tau - 1/2)/h keeps the physical viscosity), so
+    # hyperemic FFR runs 3-5x resting flow without raising lattice Ma
+    # anywhere — the stenosis throat is the Ma-limiting site and scales
+    # ~(R/r)^2 off the UNSCALED u_lat. Pair with collision='trt' for
+    # stability at the reduced tau.
     stenosis: float | None = None,  # fractional diameter reduction of
     # a smooth cosine constriction on the main tube proximal segment
     # (synthetic_tree_flag; voxel synthetic route only) — the lesion
     # the FFR diagnostic grades
 ) -> CaseSpec:
-    units = UnitSystem(CH=CH, C_U=C_U, C_rho=1060.0)
+    assert hyperemia >= 1.0, "hyperemia is a flow MULTIPLIER (>= 1)"
+    units = UnitSystem(CH=CH, C_U=C_U * hyperemia, C_rho=1060.0)
+    if hyperemia != 1.0:
+        tau = 0.5 + (tau - 0.5) / hyperemia
+        assert tau > 0.5005, (
+            f"hyperemia={hyperemia} drives tau to {tau:.5f} — too "
+            "stiff; raise the base tau or lower the hyperemic factor")
     wall_sdf = None
     if stenosis is not None:
         assert geo_path is None and not curved, (

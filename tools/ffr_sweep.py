@@ -1,0 +1,97 @@
+"""FFR-vs-severity sweep, resting AND hyperemic (VERDICT r4 next-#7):
+clinical ischemia grading runs hyperemic flow (3-5x the resting inlet
+rate, adenosine-induced) where the stenosis throat's quadratic loss
+pushes FFR toward the 0.80 treatment threshold — the resting-flow runs
+of r4 (FFR 0.984 vs 0.992) never crossed clinical significance.
+
+Hyperemia here rescales the UNIT SYSTEM at fixed lattice speed
+(cases/coronary.py hyperemia=): physical flow h-fold up, tau down to
+hold the physical viscosity, lattice Ma unchanged anywhere (the throat
+is the Ma-limiting site). TRT collision for stability at the reduced
+tau. Outlets keep the reference's prescribed-velocity form, so the
+flux through the lesion is pinned and dp reads the lesion loss.
+
+Usage: python tools/ffr_sweep.py [--shape 128,64,96] [--radius 10]
+         [--sev 0,0.2,0.3,0.4,0.5] [--hyper 3.5] [--steps 4000]
+Smoke: LBM_TPU_PLATFORM=cpu python tools/ffr_sweep.py \
+         --shape 64,32,48 --radius 5 --sev 0,0.4 --steps 150
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="128,64,96")
+    ap.add_argument("--radius", type=int, default=10)
+    ap.add_argument("--sev", default="0,0.2,0.3,0.4,0.5")
+    ap.add_argument("--hyper", type=float, default=3.5)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--tau", type=float, default=0.56)
+    args = ap.parse_args()
+
+    if os.environ.get("LBM_TPU_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["LBM_TPU_PLATFORM"])
+
+    import numpy as np
+
+    from lbm_tpu.cases import get_case
+    from lbm_tpu.engine.diagnostics import ffr
+    from lbm_tpu.engine.runner import Simulation
+
+    shape = tuple(int(s) for s in args.shape.split(","))
+    sevs = [float(s) for s in args.sev.split(",")]
+
+    def run_one(sev, h):
+        spec = get_case(
+            "coronary", shape=shape, radius=args.radius,
+            tau=args.tau, collision="trt",
+            stenosis=None if sev == 0.0 else sev,
+            hyperemia=h)
+        sim = Simulation(spec)
+        t0 = time.perf_counter()
+        sim.run(max_steps=args.steps, time_save=min(1000, args.steps),
+                verbose=False)
+        rho, _ = (np.asarray(a) for a in sim.macro())
+        f_main, dp = ffr(spec, rho, 0, 1)
+        return f_main, dp, time.perf_counter() - t0, spec
+
+    print(f"coronary {shape} radius={args.radius} tau={args.tau} TRT; "
+          f"hyperemic factor {args.hyper} (physical flow, fixed "
+          f"lattice Ma)", flush=True)
+    print(f"{'sev':>5} {'FFR rest':>9} {'dp rest':>9} "
+          f"{'FFR hyper':>10} {'dp hyper':>9}")
+    rows = []
+    for sev in sevs:
+        fr, dpr, tr, _ = run_one(sev, 1.0)
+        fh, dph, th, _ = run_one(sev, args.hyper)
+        rows.append((sev, fr, fh))
+        print(f"{sev:5.2f} {fr:9.3f} {dpr:7.2f}mm {fh:10.3f} "
+              f"{dph:7.2f}mm   [{tr:.0f}s + {th:.0f}s]", flush=True)
+    rows = np.asarray(rows)
+    assert np.all(np.diff(rows[:, 1]) <= 5e-3), \
+        "resting FFR must fall with severity"
+    # compare states only at real lesions (the healthy tree's dp is
+    # mmHg-noise and short smoke horizons leave the slower hyperemic
+    # transient unconverged there)
+    sig = rows[:, 0] > 0
+    assert np.all(rows[sig, 2] <= rows[sig, 1] + 1e-6), \
+        "hyperemic FFR must not exceed resting FFR at real lesions"
+    if (rows[:, 2] < 0.80).any():
+        s_cross = rows[rows[:, 2] < 0.80][0, 0]
+        print(f"hyperemic FFR crosses the 0.80 ischemia threshold at "
+              f"severity {s_cross:.2f} (resting stays "
+              f"{rows[:, 1].min():.3f})", flush=True)
+    print("OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,9 +57,13 @@ def main():
         return dataclasses.replace(s, boundaries=bcs)
 
     def time_sim(spec):
-        sim = Simulation(spec, backend="pallas" if not interpret
-                         else "pallas")
-        sim.run(max_steps=100, time_save=100, verbose=False)  # compile
+        sim = Simulation(spec, backend="pallas")
+        # warm with the SAME chunk length as the timed run — a chunk
+        # of a different length is a different scan and would put a
+        # recompile inside the timing (the first cut of this tool
+        # measured exactly that artifact)
+        sim.run(max_steps=args.steps, time_save=args.steps,
+                verbose=False)
         t0 = time.perf_counter()
         sim.run(max_steps=args.steps, time_save=args.steps,
                 verbose=False)
@@ -69,7 +73,7 @@ def main():
         ct = CoupledTransportPallas(spec, tau_g=0.6,
                                     inlet_c={0: 1.0},
                                     interpret=interpret)
-        ct.run(100, record=[0, 1])  # compile
+        ct.run(args.steps, record=[0, 1])  # compile at this length
         t0 = time.perf_counter()
         ct.run(args.steps, record=[0, 1])
         return (time.perf_counter() - t0) / args.steps * 1e3
