@@ -777,6 +777,35 @@ class Simulation:
             )
         return self._chunk_fns[n]
 
+    def _usq_value(self) -> float:
+        """The 'usq' residual sample for the current state — ONE jitted
+        call end-to-end. The naive route (self.macro() then _usq) runs
+        packed_macro + the pad crops + the reduction as EAGER ops, and
+        eager dispatch over the axon tunnel costs ~30 ms RPC per op —
+        measured 1156 ms per chunk at the flagship coronary box, which
+        at time_save=300 was +3.8 ms/step of pure dispatch (the gap
+        between the raw 4.6 ms/step scan and the 8.4 the runner showed).
+        Jitting the whole sample fuses it into one dispatch + a 4-byte
+        fetch."""
+        if self.backend == "pallas" and self.mesh is None:
+            if getattr(self, "_usq_packed_fn", None) is None:
+                from lbm_tpu.kernels.collide_stream import packed_macro
+
+                nx, ny, nz = self.spec.shape
+                r = self._ring
+                force = self.cc.force
+                usq = self._usq()
+                interp = getattr(self, "_pallas_interpret", False)
+
+                def sample(p):
+                    rho, u = packed_macro(p, ring=r, force=force,
+                                          interpret=interp)
+                    return usq(u[:, :nx, :ny, :nz])
+
+                self._usq_packed_fn = jax.jit(sample)
+            return float(self._usq_packed_fn(self.f))
+        return float(self._usq()(self.macro()[1]))
+
     def _usq(self):
         """Windowed u^2 sum over the unpadded interior region, from the
         (rho, u) fields that macro() returns."""
@@ -852,7 +881,7 @@ class Simulation:
                     prev = float(s)
                 self._last_velsum = prev
             else:  # 'usq'
-                s = float(self._usq()(self.macro()[1]))
+                s = self._usq_value()
                 if self._last_usq is not None and s != 0:
                     residual = abs(self._last_usq - s) / s
                 self._last_usq = s

@@ -765,16 +765,21 @@ class ScalarTransportPallas:
                 g_out, val, x0=a0 + 1, y0=b0 + 1, c=cc, nch=_Q7,
                 interpret=self.interpret), rec
         # axis 0/1: lateral axes are (other plane axis, z); z is full
-        # (wraps like the box), the other axis windowed -> trim [1:-1]
-        pl_v = newplane.transpose(1, 2, 0)              # (A, B, 7)
+        # (wraps like the box), the other axis windowed -> trim [1:-1].
+        # Write ALL 8 channels (pad channel zeroed — the bulk kernel
+        # writes it zero too): a 7-of-8 channel-dim DUS is a
+        # non-contiguous update that XLA answers with a copy of the
+        # whole g-pack per fixup per step at flagship scale, exactly
+        # the flow kernel's 24-channel-splice lesson
+        # (collide_stream._fix_xy_plane_windowed).
+        pl_v = newplane.transpose(1, 2, 0)[1:-1]        # (A-2, B, 7)
+        val = jnp.concatenate(
+            [pl_v, jnp.zeros(pl_v.shape[:2] + (C7 - _Q7,),
+                             pl_v.dtype)], axis=2).transpose(0, 2, 1)
         if axis == 0:
-            val = pl_v[1:-1]                            # trim lat0=y
-            out = g_out.at[cc, a0 + 1: a1 - 1, :_Q7, b0:b1].set(
-                val.transpose(0, 2, 1))
+            out = g_out.at[cc, a0 + 1: a1 - 1, :, b0:b1].set(val)
         else:
-            val = pl_v[1:-1]                            # trim lat0=x
-            out = g_out.at[a0 + 1: a1 - 1, cc, :_Q7, b0:b1].set(
-                val.transpose(0, 2, 1))
+            out = g_out.at[a0 + 1: a1 - 1, cc, :, b0:b1].set(val)
         return out, rec
 
     def make_step(self):
@@ -1065,9 +1070,16 @@ class CoupledTransportPallas(ScalarTransportPallas):
                           else jnp.zeros((0,), jnp.float32))
                     return (p, g, wk), ys
 
+                # unroll=2: the two big in-place-aliased carries (p and
+                # g) keep their buffers in place within the unrolled
+                # body — without it XLA copies a multi-GB carry per
+                # step to maintain the scan's alternating-buffer
+                # invariant (measured 17.3 -> see PARITY; the same
+                # +42% lesson as the flow runner's chunk scan)
                 return jax.lax.scan(
                     body, (p, g, wk),
-                    t0 + jnp.arange(n_steps, dtype=jnp.int32))
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32),
+                    unroll=2 if n_steps % 2 == 0 else 1)
 
             self._scan_cache[key] = jax.jit(scan_fn,
                                             donate_argnums=(0, 1))
