@@ -15,9 +15,16 @@ i.e. XLA_FLAGS / JAX_PLATFORMS unset):
                  shard_map Pallas path must compile AND hold its own
                  perf floor (--min-shard-mlups, default 2500 vs the
                  r4 measurement of 2859).
-  3. multichip — `__graft_entry__.dryrun_multichip(8)`: full training
+  3. trt       — `bench.py --opt collision=trt`: feature-path floor
+                 (--min-trt-mlups, default 2000 vs r4's 2288) — a 2x
+                 regression in a feature kernel branch passed the four
+                 r4 gates (VERDICT r4 weak-2).
+  4. scalar    — `tools/bench_scalar.py --variants pallas`: transport-
+                 kernel ceiling (--max-scalar-ms, default 0.40 vs the
+                 measured 0.284 at 96x96x120).
+  5. multichip — `__graft_entry__.dryrun_multichip(8)`: full training
                  step jitted over an 8-device virtual mesh, one step run.
-  4. entry     — `__graft_entry__.entry()` jit-compiles on the real chip.
+  6. entry     — `__graft_entry__.entry()` jit-compiles on the real chip.
 
 Usage: python tools/gates.py [--min-mlups 2700] [--skip entry ...]
 Exit code: 0 iff every gate passes.
@@ -37,6 +44,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATES = {
     "bench": [sys.executable, "bench.py"],
     "sharded": [sys.executable, "bench.py", "--shard", "1"],
+    # feature-path floor (VERDICT r4 weak-2: a 2x regression in the
+    # TRT/LES/... kernel branches passed every gate): the TRT cavity
+    # must hold near its r4 measurement of 2288 MLUPS.
+    "trt": [sys.executable, "bench.py", "--opt", "collision=trt"],
+    # scalar-kernel floor: the 96x96x120 frozen-field transport kernel
+    # (r4/r5 measured 0.284 ms/step; fail above --max-scalar-ms).
+    "scalar": [sys.executable, "tools/bench_scalar.py",
+               "--variants", "pallas", "--steps", "200"],
     "multichip": [
         sys.executable, "-c",
         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')",
@@ -51,7 +66,8 @@ GATES = {
 
 # The real-TPU gates ride the remote compile service whose latency is
 # erratic (seconds to minutes for the same kernel) — budget generously.
-TIMEOUTS = {"bench": 900, "sharded": 900, "multichip": 600, "entry": 600}
+TIMEOUTS = {"bench": 900, "sharded": 900, "multichip": 600, "entry": 600,
+            "trt": 900, "scalar": 900}
 
 
 def run_gate(name: str, cmd: list[str], min_mlups: float) -> tuple[bool, str]:
@@ -69,7 +85,7 @@ def run_gate(name: str, cmd: list[str], min_mlups: float) -> tuple[bool, str]:
     if proc.returncode != 0:
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
         return False, f"rc={proc.returncode} ({dt:.0f}s)\n  " + "\n  ".join(tail)
-    if name in ("bench", "sharded"):
+    if name in ("bench", "sharded", "trt"):
         line = next(
             (ln for ln in proc.stdout.strip().splitlines()
              if ln.startswith("{")), None)
@@ -81,6 +97,17 @@ def run_gate(name: str, cmd: list[str], min_mlups: float) -> tuple[bool, str]:
                 f"{rec['value']} {rec.get('unit', '')} < required "
                 f"{min_mlups} ({dt:.0f}s)")
         return True, f"{rec['value']} {rec.get('unit', '')} ({dt:.0f}s)"
+    if name == "scalar":
+        import re
+
+        m = re.search(r"'pallas':\s*([0-9.]+)", proc.stdout)
+        if m is None:
+            return False, f"no pallas ms/step in output ({dt:.0f}s)"
+        ms = float(m.group(1))
+        if ms > min_mlups:  # min_mlups carries --max-scalar-ms here
+            return False, (f"{ms} ms/step > allowed {min_mlups} "
+                           f"({dt:.0f}s)")
+        return True, f"{ms} ms/step ({dt:.0f}s)"
     return True, f"OK ({dt:.0f}s)"
 
 
@@ -94,6 +121,13 @@ def main() -> int:
                    "r4 measured 2859 after the full-plane exchange fix "
                    "(r3's 8-channel trim cost 2.3 ms/step of sublane "
                    "gather/scatter glue)")
+    p.add_argument("--min-trt-mlups", type=float, default=2000.0,
+                   help="TRT-cavity feature-path floor (r4 measured "
+                   "2288; a silent 2x feature regression passed the "
+                   "r4 gates — VERDICT weak-2)")
+    p.add_argument("--max-scalar-ms", type=float, default=0.40,
+                   help="scalar-kernel ceiling, ms/step at 96x96x120 "
+                   "(r4/r5 measured 0.284; axon noise headroom)")
     p.add_argument("--skip", nargs="*", default=[], choices=list(GATES))
     args = p.parse_args()
 
@@ -102,7 +136,9 @@ def main() -> int:
         if name in args.skip:
             print(f"[gates] {name:<9} SKIPPED")
             continue
-        floor = args.min_shard_mlups if name == "sharded" else args.min_mlups
+        floor = {"sharded": args.min_shard_mlups,
+                 "trt": args.min_trt_mlups,
+                 "scalar": args.max_scalar_ms}.get(name, args.min_mlups)
         ok, msg = run_gate(name, cmd, floor)
         print(f"[gates] {name:<9} {'PASS' if ok else 'FAIL'}  {msg}")
         if not ok:
