@@ -146,11 +146,16 @@ def dirichlet_walls(mask, wall_c):
     ScalarTransport (e.g. a perfectly absorbing wall: c_w = 0)."""
     wc = np.asarray(wall_c, np.float32)
     isd = np.isfinite(wc)
-    blocking = ((np.asarray(mask) == CellType.WALL)
-                | (np.asarray(mask) == CellType.MOVING))
-    assert blocking[isd].all(), (
-        "wall_c prescribes values at non-wall cells; Dirichlet scalar "
-        "values live on WALL/MOVING cells (NaN = adiabatic)")
+    # STATIC walls only: the anti-bounce-back closure below omits the
+    # moving-wall velocity term (a moving isothermal wall needs
+    # + 4 w_i (e_i . u_w) inside the bracket), so a Dirichlet value on
+    # a MOVING cell would be silently first-order wrong — refuse loudly
+    # (ADVICE r4).
+    assert (np.asarray(mask)[isd] == CellType.WALL).all(), (
+        "wall_c prescribes values at non-wall (or MOVING) cells; "
+        "Dirichlet scalar values live on STATIC WALL cells only (NaN "
+        "= adiabatic; a MOVING isothermal wall would need the e_i.u_w "
+        "closure term, which is not implemented)")
     vals = np.where(isd, wc, 0.0).astype(np.float32)
     nbr_dir, cw2 = [], []
     for i in range(1, _Q7):
@@ -300,6 +305,16 @@ class ScalarTransport:
         self.source = float(source)
         self.dirichlet = (None if wall_c is None
                           else dirichlet_walls(mask, wall_c))
+        if wall_c is not None and div_fix:
+            # the defect derivation treats every wall link as
+            # bounce-back; near Dirichlet walls the compensation is
+            # exact only where the local c matches c_w (ADVICE r4:
+            # no silent slightly-wrong composition)
+            print("[lbm_tpu] ScalarTransport: div_fix=True with "
+                  "wall_c — the divergence compensation assumes pure "
+                  "bounce-back walls and is approximate near Dirichlet "
+                  "cells; pass div_fix=False to silence (the thermal "
+                  "route's default)", flush=True)
         if c0 is None:
             self.g = jnp.zeros((_Q7,) + tuple(spec.shape), jnp.float32)
         else:

@@ -109,6 +109,15 @@ class BuoyantTransport:
         self.cc = compile_case(spec)
         assert not has_windkessel(self.cc.bcs), (
             "windkessel outlets are not wired for the buoyant route")
+        if self.cc.bcs and np.any(np.asarray(buoyancy) != 0.0):
+            # make_step_force keeps the STATIC cc.force in the plane-BC
+            # NEE fixups' half-shift — second-order at an open plane,
+            # but not silent (ADVICE r4)
+            print("[lbm_tpu] BuoyantTransport: plane BCs present — "
+                  "their NEE fixups use the static CaseSpec.force, not "
+                  "the per-cell buoyancy (a second-order approximation "
+                  "at open planes; closed thermal boxes are exact)",
+                  flush=True)
         self._flow_step = make_step_force(self.cc)
         mask = np.asarray(spec.mask)
         blocking = (mask == CellType.WALL) | (mask == CellType.MOVING)
@@ -271,6 +280,15 @@ class BuoyantTransport:
                 raise ValueError(
                     f"checkpoint is for case {case!r}, this transport "
                     f"is {self.spec.name!r}")
+            shp = tuple(self.spec.shape)
+            if (d["f"].shape != (19,) + shp
+                    or d["g"].shape != (7,) + shp):
+                raise ValueError(
+                    f"checkpoint shapes f{d['f'].shape} / "
+                    f"g{d['g'].shape} do not match this case's "
+                    f"{shp} — a same-named checkpoint from a "
+                    f"different resolution (ADVICE r4: fail here, not "
+                    f"with a cryptic jit shape error later)")
             self.f = jnp.asarray(d["f"])
             self.g = jnp.asarray(d["g"])
             self.t = int(d["t"])

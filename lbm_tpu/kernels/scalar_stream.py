@@ -1163,9 +1163,9 @@ class BuoyantTransportPallas(CoupledTransportPallas):
         isd = np.isfinite(wcp)
         blocking = ((mask == CellType.WALL)
                     | (mask == CellType.MOVING))
-        assert blocking[isd].all(), (
-            "wall_c prescribes values at non-wall cells (NaN = "
-            "adiabatic)")
+        assert (mask[isd] == CellType.WALL).all(), (
+            "wall_c prescribes values at non-wall (or MOVING) cells "
+            "(NaN = adiabatic; see scalar.dirichlet_walls)")
         vals = np.where(isd, wcp, 0.0).astype(np.float32)
         ax3 = (0, 1, 2)
         nbr_dir = np.stack(
