@@ -545,7 +545,8 @@ class ScalarTransportPallas:
                  c0=None, div_fix: bool = True, interpret: bool = False,
                  tx: Optional[int] = None, ty: Optional[int] = None,
                  stx: Optional[int] = None, sty: Optional[int] = None,
-                 tile_skip="auto", live_u: bool = False):
+                 tile_skip="auto", live_u: bool = False, mesh=None,
+                 shard_axis: Optional[int] = None):
         assert (D is None) != (tau_g is None), (
             "give exactly one of D (lattice diffusivity) or tau_g")
         self.tau_g = float(tau_g_of(D) if D is not None else tau_g)
@@ -716,6 +717,298 @@ class ScalarTransportPallas:
                           and (ny // self.ty) > 1)
         self.t = 0
         self._scan_cache = {}
+        self.mesh = None
+        if mesh is not None:
+            assert not live_u, (
+                "mesh= is the frozen-field kernel route; the coupled "
+                "kernel is single-chip (use the dense CoupledTransport "
+                "mesh= for sharded time-resolved transport)")
+            self._build_sharded(mesh, shard_axis, up, comp, mask,
+                                bcs_cfn)
+
+    # ---- multi-chip: blocked layout + ppermuted halo planes ---------
+    def _build_sharded(self, mesh, shard_axis, up, comp, mask, bcs_cfn):
+        """Shard the frozen-field kernel over a device mesh: the packed
+        g carves into per-shard blocks along one BC-free x/y axis, each
+        block carrying its own one-cell halo rows IN the array (the
+        to_blocked overlap layout of parallel/pallas_sharded). Per step
+        each shard ppermutes its edge interior planes around the ring
+        and WRITES them into its own halo rows, after which the
+        UNCHANGED single-chip bulk kernel runs on the local block —
+        no kernel halo machinery needed (D3Q7 pulls reach one cell).
+        BC slab fixups recompute from per-shard HOST-built static crops
+        (union local windows along the shard dim, the flow path's
+        static-uniform-window argument); record sums count only shard-
+        interior rows (each global row is interior to exactly one
+        shard) and psum."""
+        from lbm_tpu.parallel.mesh import free_axis
+        from lbm_tpu.parallel.pallas_sharded import (_overlap_windows,
+                                                     blocked_sharding,
+                                                     shard_tile_lists)
+
+        sp = self.spec_pad
+        axis = free_axis(self.spec) if shard_axis is None else shard_axis
+        assert axis in (0, 1), (
+            "the packed scalar layout keeps z on the lane dim; shard "
+            "x or y (use the dense GSPMD route for z-only cases)")
+        for bc in sp.boundaries:
+            assert bc.axis != axis, "BC on the shard axis"
+        ndev = mesh.devices.size
+        n_axis = sp.shape[axis] - 2
+        assert n_axis % ndev == 0, (
+            f"axis extent {n_axis} not divisible by {ndev}")
+        L = n_axis // ndev
+        self.mesh = mesh
+        self._shax = axis
+        self._L = L
+        self._ndev = ndev
+        self._axname = "d"
+
+        mask_np = np.asarray(mask)
+        self._g_blocked_sharding = blocked_sharding(mesh, 4, axis,
+                                                    self._axname)
+        self.g = jax.device_put(
+            _overlap_windows(np.asarray(self.g), axis, ndev, L),
+            self._g_blocked_sharding)
+        self.aux = jax.device_put(
+            _overlap_windows(np.asarray(self.aux), axis, ndev, L),
+            self._g_blocked_sharding)
+
+        # per-shard local tile geometry (block interior = L x loc_ny)
+        loc_nx = L if axis == 0 else sp.shape[0] - 2
+        loc_ny = L if axis == 1 else sp.shape[1] - 2
+        atx, aty, astx, asty = _pick_tiles7(
+            loc_nx, loc_ny, sp.shape[2], prefer_small=self.interpret)
+        self._stx_s, self._sty_s = ((atx, aty) if self.interpret
+                                    else (astx, asty))
+        self._tx_s, self._ty_s = atx, aty
+        tids_np, n_max, total = shard_tile_lists(mask_np, ndev, axis,
+                                                 atx, aty)
+        skip = n_max / max(total, 1) < 0.6
+        self._tids_s = jnp.asarray(tids_np) if skip else None
+        self._nmax_s = n_max if skip else None
+        self._inplace_s = bool(skip)
+        gx_l, gy_l = loc_nx // atx, loc_ny // aty
+        self._seam_s = self._inplace_s and gx_l > 1 and gy_l > 1
+
+        def sdw(b0, b1):
+            """Union local window along the shard dim (flow path's
+            shard_dim_window): one static window valid on every shard."""
+            s_first = max(0, (b0 - (L + 2)) // L + 1)
+            s_last = min(ndev - 1, -(-b1 // L) - 1)
+            u_lo = max(0, b0 - s_last * L)
+            u_hi = min(L + 2, b1 - s_first * L)
+            return u_lo, u_hi
+
+        # Per-fix per-shard static crops from the global host arrays.
+        up = np.asarray(up, np.float32)
+        e7 = _E7.astype(np.float32)
+        phi_full = np.stack([
+            _W7[i] * (np.float32(1.0) + np.float32(4.0)
+                      * (e7[i, 0] * up[0] + e7[i, 1] * up[1]
+                         + e7[i, 2] * up[2]))
+            for i in range(_Q7)])
+        blocking = ((mask_np == CellType.WALL)
+                    | (mask_np == CellType.MOVING))
+        nbr_full = np.stack(
+            [np.roll(blocking, shift=tuple(int(v) for v in _E7[i]),
+                     axis=(0, 1, 2)) for i in range(1, _Q7)])
+        fluid_full = mask_np == CellType.FLUID
+        comp_full = np.asarray(comp, np.float32)
+
+        self._sfix = []
+        for k, fx in enumerate(self._fix):
+            a, cc0 = fx["axis"], fx["cc"]
+            lats = [d for d in range(3) if d != a]
+            a0, a1, b0, b1 = fx["win"]
+            wins_g = {lats[0]: (a0, a1), lats[1]: (b0, b1)}
+            loc_win = {}
+            for d, (w0, w1) in wins_g.items():
+                loc_win[d] = sdw(w0, w1) if d == axis else (w0, w1)
+            (la0, la1) = loc_win[lats[0]]
+            (lb0, lb1) = loc_win[lats[1]]
+
+            def crops(arr, lead=0, a=a, cc0=cc0, lats=lats,
+                      la0=la0, la1=la1, lb0=lb0, lb1=lb1):
+                """(ndev, ...) stack of per-shard crops (local
+                windows -> global rows s*L + local along the shard
+                dim)."""
+                outs = []
+                for s in range(ndev):
+                    idx = [slice(None)] * lead + [None] * 3
+                    idx[lead + a] = slice(cc0 - 1, cc0 + 2)
+                    for (d, w0, w1) in ((lats[0], la0, la1),
+                                        (lats[1], lb0, lb1)):
+                        off = s * L if d == axis else 0
+                        idx[lead + d] = slice(off + w0, off + w1)
+                    outs.append(np.ascontiguousarray(arr[tuple(idx)]))
+                return jnp.asarray(np.stack(outs))
+
+            # record mask: valid plane cells, HALO rows zeroed so each
+            # global cell is counted by exactly one shard
+            def plane_crops(v2d, zero_halo, a=a, lats=lats, la0=la0,
+                            la1=la1, lb0=lb0, lb1=lb1):
+                outs = []
+                for s in range(ndev):
+                    idx = [None, None]
+                    for j, (d, w0, w1) in enumerate(
+                            ((lats[0], la0, la1), (lats[1], lb0, lb1))):
+                        off = s * L if d == axis else 0
+                        idx[j] = slice(off + w0, off + w1)
+                    blk = np.array(v2d[tuple(idx)])
+                    if zero_halo and axis in lats:
+                        j = lats.index(axis)
+                        w0 = (la0, lb0)[j]
+                        w1 = (la1, lb1)[j]
+                        sel = [slice(None), slice(None)]
+                        for halo_row in (0, L + 1):
+                            if w0 <= halo_row < w1:
+                                sel2 = list(sel)
+                                sel2[j] = halo_row - w0
+                                blk[tuple(sel2)] = False
+                        # overlap-window duplicate: global row s*L+L+1
+                        # == (s+1)*L + 1 appears as halo here and
+                        # interior there — zeroing halos suffices
+                    outs.append(blk)
+                return jnp.asarray(np.stack(outs))
+
+            # rebuild slab bcs from the global geometry with the LOCAL
+            # windows (the single-chip fx["bcs"] crops used the global
+            # window)
+            sbcs = []
+            rec_valid = None
+            for k2, bc2 in enumerate(sp.boundaries):
+                d2, axis2, _, _, plane2 = self._bc_geo[k2]
+                if axis2 != a or bc2.coord + bc2.normal != cc0:
+                    continue
+                v_full = np.asarray(plane2)
+                vb = plane_crops(v_full, zero_halo=False)
+                if k2 != k and not bool(np.asarray(vb).any()):
+                    continue
+                sbcs.append((d2, _plane_slicer(a, 1), vb, bcs_cfn[k2]))
+                if k2 == k:
+                    rec_valid = plane_crops(v_full, zero_halo=True)
+            self._sfix.append(dict(
+                axis=a, cc=cc0, win=(la0, la1, lb0, lb1),
+                phi=crops(phi_full, lead=1),
+                nbr=crops(nbr_full, lead=1),
+                comp=crops(comp_full),
+                fluid=crops(fluid_full),
+                bcs=sbcs, valid=rec_valid, denom=fx["denom"],
+            ))
+
+    def _sharded_step(self):
+        """local shard_map body builder: (gp_loc, t, aux_loc, tids_loc,
+        *fix crops) -> (gp', recs)."""
+        import functools as _ft
+
+        axis, L, name = self._shax, self._L, self._axname
+        tx, ty = self._tx_s, self._ty_s
+        stx, sty = self._stx_s, self._sty_s
+        n_max, in_place = self._nmax_s, self._inplace_s
+        need_seam = self._seam_s
+        interpret = self.interpret
+
+        def local_step(gp, t, aux_loc, *arrs):
+            arrs = list(arrs)
+            tids_loc = None
+            if self._tids_s is not None:
+                tids_loc = arrs.pop(0).reshape(-1)
+            fxs = []
+            for fx in self._sfix:
+                loc = dict(fx)
+                loc["phi"] = arrs.pop(0)
+                loc["nbr"] = arrs.pop(0)
+                loc["comp"] = arrs.pop(0)
+                loc["fluid"] = arrs.pop(0)
+                bcs = []
+                for (d2, sl2, v, cfn) in fx["bcs"]:
+                    bcs.append((d2, sl2, arrs.pop(0), cfn))
+                loc["bcs"] = bcs
+                if fx["valid"] is not None:
+                    loc["valid"] = arrs.pop(0)
+                fxs.append(loc)
+            n = jax.lax.axis_size(name)
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            if axis == 0:
+                lo = jax.lax.ppermute(gp[L:L + 1], name, fwd)
+                hi = jax.lax.ppermute(gp[1:2], name, bwd)
+                gp = gp.at[0:1].set(lo).at[L + 1:L + 2].set(hi)
+            else:
+                lo = jax.lax.ppermute(gp[:, L:L + 1], name, fwd)
+                hi = jax.lax.ppermute(gp[:, 1:2], name, bwd)
+                gp = gp.at[:, 0:1].set(lo).at[:, L + 1:L + 2].set(hi)
+            extra = []
+            if tids_loc is not None:
+                extra.append(tids_loc)
+            seam = (_extract_seam(gp, tx, 1) if need_seam else None)
+            slabs = [self._slab_local(gp, fx, interpret) for fx in fxs]
+            if in_place and (slabs or seam is not None):
+                pre = [seam] if seam is not None else []
+                bar = jax.lax.optimization_barrier((gp, *pre, *slabs))
+                gp, rest = bar[0], list(bar[1:])
+                if seam is not None:
+                    seam, rest = rest[0], rest[1:]
+                slabs = rest
+            if seam is not None:
+                extra.append(seam)
+            out = _scalar_bulk(
+                gp, aux_loc, *extra, tau_g=self.tau_g,
+                source=self.source, tx=tx, ty=ty, stx=stx, sty=sty,
+                n_live=n_max, in_place=in_place or None,
+                has_seam=need_seam, interpret=interpret)
+            recs = []
+            for fx, slab in zip(fxs, slabs):
+                bcs_loc = [(d2, sl2, v[0], cfn)
+                           for (d2, sl2, v, cfn) in fx["bcs"]]
+                g_new, c = _transport_pass(
+                    slab, t, fx["phi"][0], fx["nbr"][0], bcs_loc,
+                    self.omega, self.tau_g, fx["comp"][0], self.source,
+                    fx["fluid"][0])
+                plane_sl = _plane_slicer(fx["axis"], 1)
+                newplane = g_new[(slice(None),) + plane_sl]
+                c_plane = c[plane_sl]
+                if fx["valid"] is not None:
+                    recs.append(jnp.sum(jnp.where(
+                        fx["valid"][0], c_plane, 0.0)) / fx["denom"])
+                out = self._splice_local(out, newplane, fx, interpret)
+            rec_v = (jnp.stack(recs) if recs
+                     else jnp.zeros((0,), jnp.float32))
+            return out, jax.lax.psum(rec_v, name)
+
+        return local_step
+
+    def _slab_local(self, gp, fx, interpret):
+        """Pre-step slab on the LOCAL block, window in local coords."""
+        a0, a1, b0, b1 = fx["win"]
+        a, cc0 = fx["axis"], fx["cc"]
+        if a == 2:
+            sub = _extract_z_slab(gp, x0=a0, y0=b0, wx=a1 - a0,
+                                  wy=b1 - b0, c=cc0,
+                                  interpret=interpret)
+            return sub.transpose(2, 0, 1, 3)[:_Q7]
+        if a == 0:
+            return gp[cc0 - 1: cc0 + 2, a0:a1, :_Q7,
+                      b0:b1].transpose(2, 0, 1, 3)
+        return gp[a0:a1, cc0 - 1: cc0 + 2, :_Q7,
+                  b0:b1].transpose(2, 0, 1, 3)
+
+    def _splice_local(self, g_out, newplane, fx, interpret):
+        a0, a1, b0, b1 = fx["win"]
+        a, cc0 = fx["axis"], fx["cc"]
+        if a == 2:
+            val = newplane.transpose(1, 2, 0)[1:-1, 1:-1]
+            return _splice_z_plane_inplace(
+                g_out, val, x0=a0 + 1, y0=b0 + 1, c=cc0, nch=_Q7,
+                interpret=interpret)
+        pl_v = newplane.transpose(1, 2, 0)[1:-1]
+        val = jnp.concatenate(
+            [pl_v, jnp.zeros(pl_v.shape[:2] + (C7 - _Q7,),
+                             pl_v.dtype)], axis=2).transpose(0, 2, 1)
+        if a == 0:
+            return g_out.at[cc0, a0 + 1: a1 - 1, :, b0:b1].set(val)
+        return g_out.at[a0 + 1: a1 - 1, cc0, :, b0:b1].set(val)
 
     # ---- one step: bulk kernel + per-BC slab fixups -----------------
     def _slab(self, gp, fx, nch=_Q7):
@@ -819,10 +1112,78 @@ class ScalarTransportPallas:
 
         return step
 
+    def _run_sharded(self, n_steps: int, record):
+        key = ("sh", int(n_steps),
+               None if record is None else tuple(record))
+        if key not in self._scan_cache:
+            from jax.sharding import PartitionSpec as P
+
+            local_step = self._sharded_step()
+            name, axis = self._axname, self._shax
+            st = [None] * 4
+            st[axis] = name
+            st_spec = P(*st)
+            in_specs = [st_spec, P(), st_spec]
+            extras = []
+
+            def add(arr):
+                in_specs.append(P(name, *([None] * (arr.ndim - 1))))
+                extras.append(arr)
+
+            if self._tids_s is not None:
+                add(self._tids_s)
+            for fx in self._sfix:
+                for arr in (fx["phi"], fx["nbr"], fx["comp"],
+                            fx["fluid"]):
+                    add(arr)
+                for (_, _, v, _) in fx["bcs"]:
+                    add(v)
+                if fx["valid"] is not None:
+                    add(fx["valid"])
+            sm = jax.shard_map(local_step, mesh=self.mesh,
+                               in_specs=tuple(in_specs),
+                               out_specs=(st_spec, P()),
+                               check_vma=False)
+            rec_idx = tuple(record) if record is not None else ()
+
+            def scan_fn(g, t0, aux, *ex):
+                def body(g, t):
+                    g, recs = sm(g, t, aux, *ex)
+                    ys = (recs[jnp.asarray(rec_idx)] if rec_idx
+                          else jnp.zeros((0,), jnp.float32))
+                    return g, ys
+
+                return jax.lax.scan(
+                    body, g,
+                    t0 + jnp.arange(n_steps, dtype=jnp.int32))
+
+            self._scan_cache[key] = (jax.jit(scan_fn), extras)
+        fn, extras = self._scan_cache[key]
+        self.g, series = fn(self.g, jnp.int32(self.t), self.aux,
+                            *extras)
+        self.t += n_steps
+        return np.asarray(series) if record is not None else None
+
+    def _g_global(self):
+        """The packed global state (host round-trip when sharded)."""
+        if self.mesh is None:
+            return self.g
+        gb = np.asarray(self.g)
+        ndev, L, axis = self._ndev, self._L, self._shax
+        blocks = np.split(gb, ndev, axis=axis)
+        inner = [np.take(b, range(1, L + 1), axis=axis)
+                 for b in blocks]
+        first = np.take(blocks[0], [0], axis=axis)
+        last = np.take(blocks[-1], [L + 1], axis=axis)
+        return jnp.asarray(np.concatenate([first] + inner + [last],
+                                          axis=axis))
+
     def run(self, n_steps: int, record: Optional[list] = None):
         """Advance n_steps in one jitted lax.scan; record: boundary
         indices whose consumer-plane mean concentration is sampled
         every step (from the fixup recompute — no state slicing)."""
+        if self.mesh is not None:
+            return self._run_sharded(n_steps, record)
         key = (int(n_steps), None if record is None else tuple(record))
         if key not in self._scan_cache:
             step = self.make_step()
@@ -855,7 +1216,7 @@ class ScalarTransportPallas:
     def concentration(self):
         """(X, Y, Z) scalar field on the UNPADDED box (zeros at
         non-fluid cells)."""
-        c = jnp.sum(unpack_g(self.g), axis=0)
+        c = jnp.sum(unpack_g(self._g_global()), axis=0)
         c = jnp.where(self.fluid_pad, c, 0.0)
         return c[self._crop]
 
@@ -866,7 +1227,7 @@ class ScalarTransportPallas:
         fluid cell ever pulls from it (x/y boundary layers are
         non-fluid, the same proof the flow kernel rests on) — so the
         sum must crop to the interior."""
-        g = np.asarray(unpack_g(self.g), np.float64)
+        g = np.asarray(unpack_g(self._g_global()), np.float64)
         return float(g[(slice(None),) + self._crop].sum())
 
 

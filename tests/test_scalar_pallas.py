@@ -161,3 +161,60 @@ def test_validation():
     with pytest.raises(AssertionError):
         ScalarTransportPallas(spec, u, D=0.02, inlet_c={3: 1.0},
                               interpret=True)
+
+
+@pytest.mark.multichip
+def test_scalar_pallas_sharded_matches_single_device():
+    """mesh= on the SCALAR KERNEL (r5, VERDICT r4 next-#8): blocked
+    per-shard g with ppermuted halo planes written into the local
+    arrays, per-shard tile lists, union-window slab fixups with
+    interior-owned record sums — multi-step fields AND washout series
+    vs the single-chip kernel on the 8-device CPU mesh."""
+    import jax
+
+    from lbm_tpu.parallel.mesh import lattice_mesh
+
+    assert len(jax.devices()) == 8
+    spec = get_case("poiseuille", n=16)
+    sim = Simulation(spec, backend="xla")
+    sim.run(max_steps=200, time_save=100, verbose=False)
+    u = np.asarray(sim.macro()[1])
+    kw = dict(D=0.03, inlet_c={0: 1.0}, interpret=True)
+    st1 = ScalarTransportPallas(spec, u, **kw)
+    stm = ScalarTransportPallas(spec, u, mesh=lattice_mesh(), **kw)
+    s1 = st1.run(48, record=[0, 1])
+    sm = stm.run(48, record=[0, 1])
+    np.testing.assert_allclose(sm, s1, rtol=2e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(stm.concentration()), np.asarray(st1.concentration()),
+        rtol=2e-6, atol=1e-8)
+    assert stm.total() == pytest.approx(st1.total(), rel=1e-6)
+
+
+@pytest.mark.multichip
+def test_scalar_pallas_sharded_coronary_bolus():
+    """Sharded kernel on the branched tree (y shards, x-plane inlet +
+    z-plane sub-outlet fixups with union windows + tile skip): bolus
+    series and fields match single-chip through several shard-boundary
+    crossings."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.parallel.mesh import lattice_mesh
+
+    assert len(jax.devices()) == 8
+    spec = get_case("coronary", shape=(48, 24, 40), radius=5)
+    sim = Simulation(spec, backend="xla")
+    sim.run(max_steps=200, time_save=100, verbose=False)
+    u = np.asarray(sim.macro()[1])
+    bolus = {0: lambda t: jnp.where(t < 16, 1.0, 0.0)}
+    kw = dict(D=0.03, inlet_c=bolus, interpret=True)
+    st1 = ScalarTransportPallas(spec, u, **kw)
+    stm = ScalarTransportPallas(spec, u, mesh=lattice_mesh(),
+                                shard_axis=1, **kw)
+    s1 = st1.run(40, record=[0, 1, 2])
+    sm = stm.run(40, record=[0, 1, 2])
+    np.testing.assert_allclose(sm, s1, rtol=2e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(stm.concentration()), np.asarray(st1.concentration()),
+        rtol=2e-6, atol=1e-8)
