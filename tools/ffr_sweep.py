@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--hyper", type=float, default=3.5)
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--tau", type=float, default=0.56)
+    ap.add_argument("--cs", type=float, default=0.12,
+                    help="Smagorinsky Cs for the HYPEREMIC runs: the "
+                    "rescaled tau (~0.517 at h=3.5) NaNs the staircase "
+                    "tree bare — the r5 LES+TRT pairing (constant "
+                    "magic Lambda) stabilizes it; 0 disables")
     args = ap.parse_args()
 
     if os.environ.get("LBM_TPU_PLATFORM"):
@@ -55,7 +60,8 @@ def main():
             "coronary", shape=shape, radius=args.radius,
             tau=args.tau, collision="trt",
             stenosis=None if sev == 0.0 else sev,
-            hyperemia=h)
+            hyperemia=h,
+            smagorinsky_cs=(args.cs if h > 1.0 and args.cs else None))
         sim = Simulation(spec)
         t0 = time.perf_counter()
         sim.run(max_steps=args.steps, time_save=min(1000, args.steps),
