@@ -1,0 +1,109 @@
+"""512^3 contrast washout on one chip (VERDICT r4 weak-4: "512^3
+transport — the scale the flow path conquered — is undemonstrated"):
+run the 512^3 coronary-class tree's flow for a short development
+horizon (the full convergence story is tools/demo_512_outputs.py /
+demo_512_sharded.py), freeze the macro, and drive the D3Q7 scalar
+Pallas kernel through a recorded washout at the full 134M-cell box —
+tile-skip + in-place on the ~0.8%-occupancy tree.
+
+Memory: g-pack + AUX pack are ~4.3 GB each at (514, 514, 8, 512);
+with the in-place aliased output both fit one chip alongside nothing
+else (the flow state is dropped after the macro freeze). The macro
+fetch and AUX upload are axon-tunnel-bound one-offs.
+
+Usage: python tools/demo_512_washout.py [--flow-steps 2000]
+         [--steps 3000] [--bolus 800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--flow-steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--bolus", type=int, default=800)
+    ap.add_argument("--chunk", type=int, default=500)
+    args = ap.parse_args()
+
+    if os.environ.get("LBM_TPU_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["LBM_TPU_PLATFORM"])
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbm_tpu.cases import get_case
+    from lbm_tpu.engine.runner import Simulation
+    from lbm_tpu.kernels.scalar_stream import ScalarTransportPallas
+
+    interpret = jax.default_backend() == "cpu"
+    n = args.n
+    spec = get_case("coronary", shape=(n, n, n),
+                    radius=max(6, n // 36))
+    ncell = n ** 3
+
+    t0 = time.perf_counter()
+    sim = Simulation(spec)
+    sim.run(max_steps=args.flow_steps,
+            time_save=min(1000, args.flow_steps), verbose=False)
+    print(f"flow: {args.flow_steps} steps (backend={sim.backend}, "
+          f"lowmem={sim._lowmem}) in {time.perf_counter()-t0:.0f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    u = np.asarray(sim.macro()[1], np.float32)
+    print(f"macro freeze: {u.nbytes/1e9:.1f} GB fetched in "
+          f"{time.perf_counter()-t0:.0f}s", flush=True)
+    # free the flow state before the transport packs allocate
+    sim.f.delete()
+    del sim
+
+    gate = int(args.bolus)
+    bolus = {0: lambda t: jnp.where(t < gate, 1.0, 0.0)}
+    t0 = time.perf_counter()
+    st = ScalarTransportPallas(spec, u, D=0.02, inlet_c=bolus,
+                               interpret=interpret)
+    print(f"transport build: {time.perf_counter()-t0:.0f}s (tiles "
+          f"{st.tx}x{st.ty}, live {st.n_live}, in_place "
+          f"{st.in_place})", flush=True)
+
+    rec = list(range(len(spec.boundaries)))
+    t0 = time.perf_counter()
+    st.run(min(args.chunk, args.steps), record=rec)
+    print(f"warmup: compile + first chunk "
+          f"{time.perf_counter()-t0:.0f}s", flush=True)
+    series = []
+    left = args.steps - min(args.chunk, args.steps)
+    t0 = time.perf_counter()
+    while left > 0:
+        m = min(args.chunk, left)
+        series.append(st.run(m, record=rec))
+        left -= m
+    dt = time.perf_counter() - t0
+    nst = args.steps - min(args.chunk, args.steps)
+    print(f"washout: {nst} steps in {dt:.1f}s = "
+          f"{dt/max(nst,1)*1e3:.2f} ms/step "
+          f"({ncell*nst/dt/1e6:.0f} MLUPS box-convention transport)",
+          flush=True)
+    series = np.concatenate(series, axis=0) if series else np.zeros(
+        (0, len(rec)))
+    tot = st.total()
+    print(f"series peaks: "
+          + " ".join(f"bc{k}={series[:, k].max():.3f}"
+                     for k in rec) if len(series) else "", flush=True)
+    print(f"scalar total: {tot:.2f}", flush=True)
+    assert np.isfinite(tot)
+    print("OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
