@@ -64,7 +64,11 @@ def main():
             smagorinsky_cs=(args.cs if h > 1.0 and args.cs else None))
         sim = Simulation(spec)
         t0 = time.perf_counter()
-        sim.run(max_steps=args.steps, time_save=min(1000, args.steps),
+        # the hyperemic lattice viscosity is h-fold smaller, so the
+        # development time is h-fold MORE steps — scale the horizon or
+        # the healthy tree reads an unconverged (even negative) dp
+        n_steps = int(args.steps * h)
+        sim.run(max_steps=n_steps, time_save=min(1000, n_steps),
                 verbose=False)
         rho, _ = (np.asarray(a) for a in sim.macro())
         f_main, dp = ffr(spec, rho, 0, 1)
