@@ -311,3 +311,24 @@ def test_wk_stress_and_wss_thread_state(backend):
     acc = sim.wss_accumulator()
     acc.sample_sim(sim)
     assert np.isfinite(np.asarray(acc.tawss_field())[fl]).all()
+
+
+def test_wk_pulsatile_coronary_pallas_matches_dense():
+    """The r5 clinical inlet: coronary pulsatile=(nphase, period) turns
+    the reference's steady plug into a series NEE inlet (in-kernel
+    series tables on axis 0) composed with 4 RCR outlets — kernel path
+    vs dense through the time-varying waveform."""
+    wk = [(1e-4, 5e3, 2e-3), (1e-4, 5e3, 1e-3),
+          (1e-4, 5e3, 4e-3), (1e-4, 5e3, 8e-3)]
+    spec = get_case("coronary", shape=(48, 24, 40), radius=5,
+                    windkessel=wk, pulsatile=(4, 8))
+    sim_d = Simulation(spec, backend="xla")
+    sim_p = Simulation(spec, backend="pallas")
+    for s in (sim_d, sim_p):
+        s.run(max_steps=40, time_save=20, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(sim_p.wk), np.asarray(sim_d.wk), rtol=3e-5,
+        atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(sim_p.f_standard()), np.asarray(sim_d.f_standard()),
+        rtol=3e-5, atol=1e-8)
