@@ -77,21 +77,27 @@ def main():
     print(f"coronary {shape} radius={args.radius} tau={args.tau} TRT; "
           f"hyperemic factor {args.hyper} (physical flow, fixed "
           f"lattice Ma)", flush=True)
-    print(f"{'sev':>5} {'FFR rest':>9} {'dp rest':>9} "
-          f"{'FFR hyper':>10} {'dp hyper':>9}")
+    print(f"{'sev':>5} {'dp rest':>9} {'dp hyper':>9} "
+          f"{'FFR rest':>9} {'FFR hyper':>10}   (lesion-attributed: "
+          f"dp(sev) - dp(0) per state — the healthy tree carries an "
+          f"O(Ma^2) plane offset that cancels in the difference)")
+    assert sevs[0] == 0.0, "sev list must start at 0 (the baseline)"
+    base = {}
     rows = []
     for sev in sevs:
-        fr, dpr, tr, _ = run_one(sev, 1.0)
-        fh, dph, th, _ = run_one(sev, args.hyper)
+        _, dpr, tr, spec_r = run_one(sev, 1.0)
+        _, dph, th, _ = run_one(sev, args.hyper)
+        if sev == 0.0:
+            base = {"r": dpr, "h": dph}
+        p_a = 90.0
+        fr = (p_a - (dpr - base["r"])) / p_a
+        fh = (p_a - (dph - base["h"])) / p_a
         rows.append((sev, fr, fh))
-        print(f"{sev:5.2f} {fr:9.3f} {dpr:7.2f}mm {fh:10.3f} "
-              f"{dph:7.2f}mm   [{tr:.0f}s + {th:.0f}s]", flush=True)
+        print(f"{sev:5.2f} {dpr:7.2f}mm {dph:7.2f}mm {fr:9.3f} "
+              f"{fh:10.3f}   [{tr:.0f}s + {th:.0f}s]", flush=True)
     rows = np.asarray(rows)
     assert np.all(np.diff(rows[:, 1]) <= 5e-3), \
         "resting FFR must fall with severity"
-    # compare states only at real lesions (the healthy tree's dp is
-    # mmHg-noise and short smoke horizons leave the slower hyperemic
-    # transient unconverged there)
     sig = rows[:, 0] > 0
     assert np.all(rows[sig, 2] <= rows[sig, 1] + 1e-6), \
         "hyperemic FFR must not exceed resting FFR at real lesions"
