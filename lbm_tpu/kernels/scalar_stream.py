@@ -1227,7 +1227,25 @@ class ScalarTransportPallas:
         fluid cell ever pulls from it (x/y boundary layers are
         non-fluid, the same proof the flow kernel rests on) — so the
         sum must crop to the interior."""
-        g = np.asarray(unpack_g(self._g_global()), np.float64)
+        gg = self._g_global()
+        X, Y, Z = (int(s) for s in self.spec.shape)
+        if int(np.prod(gg.shape)) * 4 > 2e9:
+            # 512^3-class: the dense unpack (transposed (7, X, Y, Z)
+            # copy) next to the g/aux packs OOMs one chip — stream
+            # x-row chunks through the DMA extractor instead
+            from lbm_tpu.kernels.collide_stream import _extract_rows
+
+            B = max(1, int(256e6) // (gg.shape[1] * C7
+                                      * gg.shape[3] * 4))
+            tot = 0.0
+            for x0 in range(0, X, B):
+                b = min(B, X - x0)
+                blk = np.asarray(_extract_rows(
+                    gg, x0=1 + x0, wx=b, interpret=self.interpret),
+                    np.float64)
+                tot += blk[:, 1:1 + Y, :_Q7, :Z].sum()
+            return float(tot)
+        g = np.asarray(unpack_g(gg), np.float64)
         return float(g[(slice(None),) + self._crop].sum())
 
 
