@@ -105,11 +105,6 @@ class Simulation:
                 # prefactor); the dense backend takes both.
                 downgrade = (f"collision={spec.collision!r}/closure "
                              "composed with a body force")
-            if (backend == "pallas" and spec.collision == "trt"
-                    and (spec.smagorinsky_cs is not None
-                         or spec.rheology is not None)):
-                # closure+TRT (constant-Lambda odd rate) is dense/sparse
-                downgrade = "per-cell closure composed with TRT"
             if backend == "pallas" and spec.wall_sdf is not None:
                 # Bouzidi curved walls need 19 per-link q planes the
                 # packed kernel layout has no channel budget for.

@@ -434,11 +434,33 @@ def _subtile_compute_pure(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             + np.float32(2.0) * (pxy * pxy + pxz * pxz + pyz * pyz)))
         te = tau_eff_from_p(p_l, inv_rho, 1.0 / float(inv_tau), les)
         inv_te = np.float32(1.0) / te
-        for i in range(19):
-            out_v = vals[i] - inv_te * fneq_l[i]
-            ot[oxs, oys, i, :] = jnp.where(
-                z_fluid, out_v, ft[cx, cy, i, :]
-            ).astype(odt)
+        if inv_tau_m is not None:   # closure + TRT (see full path)
+            lam = np.float32(
+                (1.0 / float(inv_tau) - 0.5)
+                * (1.0 / float(inv_tau_m) - 0.5))
+            inv_te_m = np.float32(1.0) / (
+                np.float32(0.5) + lam / (te - np.float32(0.5)))
+            h_p = np.float32(0.5) * inv_te
+            h_m = np.float32(0.5) * inv_te_m
+            out0 = vals[0] - inv_te * fneq_l[0]
+            ot[oxs, oys, 0, :] = jnp.where(
+                z_fluid, out0, ft[cx, cy, 0, :]).astype(odt)
+            for i, o in pairs_l:
+                d_l = fneq_l[i] - fneq_l[o]
+                ev_t = h_p * s_l[i]
+                od_t = h_m * d_l
+                ot[oxs, oys, i, :] = jnp.where(
+                    z_fluid, vals[i] - (ev_t + od_t),
+                    ft[cx, cy, i, :]).astype(odt)
+                ot[oxs, oys, o, :] = jnp.where(
+                    z_fluid, vals[o] - (ev_t - od_t),
+                    ft[cx, cy, o, :]).astype(odt)
+        else:
+            for i in range(19):
+                out_v = vals[i] - inv_te * fneq_l[i]
+                ot[oxs, oys, i, :] = jnp.where(
+                    z_fluid, out_v, ft[cx, cy, i, :]
+                ).astype(odt)
     elif mrt is not None:
         # MRT (core/mrt.mrt_rank_update) in PARITY-PAIRED form: basis
         # rows have definite parity, so even rows consume only the 9
@@ -804,11 +826,37 @@ def _subtile_compute(ft, ot, inv_tau, ox, oy, stx, sty, nz,
             + np.float32(2.0) * (pxy * pxy + pxz * pxz + pyz * pyz)))
         te = tau_eff_from_p(p_l, inv_rho, 1.0 / float(inv_tau), les)
         inv_te = np.float32(1.0) / te
-        for i in range(19):
-            out_v = vals[i] - inv_te * fneq_l[i]
-            ot[oxs, oys, i, :] = jnp.where(
-                is_fluid, out_v, ft[cx, cy, i, :]
-            ).astype(odt)
+        if inv_tau_m is not None:
+            # closure + TRT (r5, engine/step.closure_tau_minus): the
+            # even parity relaxes at the per-cell tau_eff, the odd at
+            # the constant-magic-Lambda rate te_m = 1/2 + Lam/(te-1/2)
+            # — the pair sums s_l are in hand; diffs cost one sub each
+            lam = np.float32(
+                (1.0 / float(inv_tau) - 0.5)
+                * (1.0 / float(inv_tau_m) - 0.5))
+            inv_te_m = np.float32(1.0) / (
+                np.float32(0.5) + lam / (te - np.float32(0.5)))
+            h_p = np.float32(0.5) * inv_te
+            h_m = np.float32(0.5) * inv_te_m
+            out0 = vals[0] - inv_te * fneq_l[0]   # rest: own partner
+            ot[oxs, oys, 0, :] = jnp.where(
+                is_fluid, out0, ft[cx, cy, 0, :]).astype(odt)
+            for i, o in pairs_l:
+                d_l = fneq_l[i] - fneq_l[o]
+                ev_t = h_p * s_l[i]
+                od_t = h_m * d_l
+                out_i = vals[i] - (ev_t + od_t)
+                out_o = vals[o] - (ev_t - od_t)
+                ot[oxs, oys, i, :] = jnp.where(
+                    is_fluid, out_i, ft[cx, cy, i, :]).astype(odt)
+                ot[oxs, oys, o, :] = jnp.where(
+                    is_fluid, out_o, ft[cx, cy, o, :]).astype(odt)
+        else:
+            for i in range(19):
+                out_v = vals[i] - inv_te * fneq_l[i]
+                ot[oxs, oys, i, :] = jnp.where(
+                    is_fluid, out_v, ft[cx, cy, i, :]
+                ).astype(odt)
     elif mrt is not None:
         # MRT (core/mrt.mrt_rank_update) in PARITY-PAIRED form: basis
         # rows have definite parity, so even rows consume only the 9
@@ -1190,6 +1238,13 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
                                  + pyz_r * pyz_r)))
         te_r = tau_eff_from_p(p_r, ir, 1.0 / float(inv_tau), les)
         inv_te_row = np.float32(1.0) / te_r
+        inv_te_row_m = None
+        if inv_tau_m is not None:   # closure + TRT (constant Lambda)
+            lam_r = np.float32(
+                (1.0 / float(inv_tau) - 0.5)
+                * (1.0 / float(inv_tau_m) - 0.5))
+            inv_te_row_m = np.float32(1.0) / (
+                np.float32(0.5) + lam_r / (te_r - np.float32(0.5)))
     moms_m = None
     if mrt is not None:  # MRT rank update (see _subtile_compute)
         rows_m, coefs_m = mrt
@@ -1209,7 +1264,14 @@ def _row_fix(ft, ot_slot, bc, nee, r, lat0, tau: float, vs_lat=None,
     for i in range(19):
         v = pulls[i]
         if les is not None:
-            post = v - inv_te_row * fneq_row[i]
+            if inv_te_row_m is None:
+                post = v - inv_te_row * fneq_row[i]
+            else:
+                o_ = int(_OPP[i])
+                s_ = fneq_row[i] + fneq_row[o_]
+                d_ = fneq_row[i] - fneq_row[o_]
+                post = v - (np.float32(0.5) * inv_te_row * s_
+                            + np.float32(0.5) * inv_te_row_m * d_)
         elif mrt is not None:
             post = v - inv_tau * fneqs_m[i]
             for r_row, mv in zip(rows_m, moms_m):
@@ -2921,12 +2983,9 @@ def make_pallas_step(
         from lbm_tpu.core.mrt import mrt_rank_update
         spec0 = cc_pad.spec
         mrt = mrt_rank_update(float(cc_pad.tau), spec0.mrt_rates)
-    les = cc_pad.closure  # static tau-closure tuple (core/rheology)
-    if les is not None and cc_pad.tau_minus is not None:
-        raise ValueError(
-            "per-cell tau closure + TRT (constant-Lambda odd rate) is "
-            "wired on the xla/sparse backends only — the kernel's "
-            "closure branch relaxes BGK at tau_eff")
+    les = cc_pad.closure  # static tau-closure tuple (core/rheology):
+    # with TRT the closure branch runs the constant-Lambda parity
+    # split (per-cell even rate tau_eff, odd via closure_tau_minus)
     if les is not None and force is not None:
         raise ValueError(
             "per-cell tau closure (LES/rheology) + body force needs the "

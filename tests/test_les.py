@@ -258,3 +258,28 @@ def test_les_laminar_invariance_poiseuille():
         errs[cs] = float(np.linalg.norm((uy - exact)[fl])
                          / np.linalg.norm(exact[fl]))
     assert errs[0.17] < 1.2 * errs[None], errs
+
+
+@pytest.mark.parametrize("feature", ["les", "rheo"])
+def test_closure_trt_pallas_matches_dense(feature):
+    """closure + TRT on the KERNEL (r5): the les branch's constant-
+    Lambda parity split (per-cell even rate tau_eff, odd via
+    closure_tau_minus) — multi-step whole-box agreement with the dense
+    route, incl. the in-kernel NEE lid rows (_row_fix's split)."""
+    kw = ({"smagorinsky_cs": 0.17} if feature == "les" else
+          {"rheology": {"model": "power_law", "K": 0.02, "n": 0.7}})
+    spec = get_case("lid_driven_cavity", n=16, collision="trt",
+                    magic_lambda=0.1875, **kw)
+    cc = compile_case(spec)
+    f_ref = _dense_run(cc, initial_f(cc), 30)
+
+    padded = pad_spec(spec, lane_multiple=1, plane_multiples=(1, 1))
+    ccp = compile_case(padded, light=True)
+    pstep = jax.jit(make_pallas_step(ccp, interpret=True))
+    mask = jnp.asarray(np.asarray(padded.mask))
+    p = pack_state(jnp.pad(initial_f(cc),
+                           ((0, 0), (1, 1), (1, 1), (0, 0))), mask)
+    for t in range(30):
+        p, vs = pstep(p, jnp.int32(t))
+    fp = np.asarray(unpack_state(p))[:, 1:-1, 1:-1, :]
+    np.testing.assert_allclose(fp, f_ref, rtol=3e-5, atol=1e-7)
