@@ -900,8 +900,6 @@ class ScalarTransportPallas:
     def _sharded_step(self):
         """local shard_map body builder: (gp_loc, t, aux_loc, tids_loc,
         *fix crops) -> (gp', recs)."""
-        import functools as _ft
-
         axis, L, name = self._shax, self._L, self._axname
         tx, ty = self._tx_s, self._ty_s
         stx, sty = self._stx_s, self._sty_s
