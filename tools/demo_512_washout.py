@@ -70,8 +70,12 @@ def main():
     gate = int(args.bolus)
     bolus = {0: lambda t: jnp.where(t < gate, 1.0, 0.0)}
     t0 = time.perf_counter()
+    # div_fix=False skips the full-box device defect build (6 rolls of
+    # the 134M-cell u over the axon tunnel dominated a 45-min build);
+    # the fix corrects a ~3% saturation overshoot irrelevant to a
+    # transit-time demo
     st = ScalarTransportPallas(spec, u, D=0.02, inlet_c=bolus,
-                               interpret=interpret)
+                               div_fix=False, interpret=interpret)
     print(f"transport build: {time.perf_counter()-t0:.0f}s (tiles "
           f"{st.tx}x{st.ty}, live {st.n_live}, in_place "
           f"{st.in_place})", flush=True)
